@@ -1,0 +1,62 @@
+"""End-to-end Ray pipeline vs the reference-semantics oracle: the P/R gate.
+
+The Ray pipeline's sorted nodes/edges output over the fixture corpus must
+EQUAL the single-process oracle output (P/R = 1.0 ≥ the 0.95 gate of
+BASELINE.json)."""
+
+import json
+
+import pytest
+
+import knowledge_graph_construction_ray.sources.readers as readers
+from knowledge_graph_construction_ray.materialize import (
+    edges_to_triples,
+    triples_set,
+)
+from knowledge_graph_construction_ray.oracle import precision_recall
+from knowledge_graph_construction_ray.pipelines.kg import build_graph
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, fixture_corpus):
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    nodes, edges = build_graph(docs)
+    return nodes.to_pandas(), edges.to_pandas(), edges
+
+
+def test_nodes_match_oracle_exactly(built, oracle_graph):
+    nodes_df, _, _ = built
+    expected = oracle_graph.nodes_table().to_pandas()
+    got = nodes_df.reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert list(got["label"]) == list(expected["label"])
+    assert list(got["name"]) == list(expected["name"])
+    # property maps must match key-by-key (JSON key order normalized)
+    for g, e in zip(got["props"], expected["props"]):
+        assert json.loads(g) == json.loads(e)
+
+
+def test_edges_match_oracle_exactly(built, oracle_graph):
+    _, edges_df, _ = built
+    expected = oracle_graph.edges_table().to_pandas()
+    assert edges_df.reset_index(drop=True).equals(expected)
+
+
+def test_triple_precision_recall_gate(built, oracle_graph):
+    _, _, edges = built
+    predicted = triples_set(edges_to_triples(edges))
+    p, r = precision_recall(predicted, oracle_graph.triples())
+    assert p == 1.0 and r == 1.0  # gate is >= 0.95; we hold exact parity
+
+
+def test_salted_two_stage_fold_is_equivalent(ray_session, fixture_corpus, oracle_graph):
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    nodes, edges = build_graph(docs, salted=True, num_buckets=16)
+    predicted = triples_set(edges_to_triples(edges))
+    assert predicted == oracle_graph.triples()
+    # spot-check that the upsert fold (incl. null-deletion) survived salting
+    df = nodes.to_pandas()
+    row = df[(df["label"] == "Disease") & (df["name"] == "病症010")].iloc[0]
+    props = json.loads(row["props"])
+    assert props["icd_code"] == "ICD-DUP25"
+    assert "get_way" not in props
