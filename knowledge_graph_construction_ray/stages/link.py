@@ -1,0 +1,302 @@
+"""Entity linking + canonicalization (A5 + D5).
+
+The reference *plans* an alias/normalization stage (原发性高血压→高血压,
+恶性肿瘤-重度→恶性肿瘤 — Documents/2.13优化方向.md:38, 2.16优化汇总.md:98)
+without implementing it; the north_star requires it as a first-class stage:
+candidate generation + link scoring on actor pools holding warm alias
+dictionaries and embedding indexes, then canonicalization via
+groupby-on-surface-form union-find clustering with salted keys.
+
+Design (scale notes):
+
+* **Candidate generation** is a distributed groupby on
+  ``(label, normalized_surface_form)`` — each node contributes its own
+  normal form plus conservative variant bases (text before a ``-`` suffix).
+  A variant is linked ONLY when a node whose name IS the base form exists
+  with the same label (no speculative merging of distinct entities).
+* **Union-find** is two-stage: the per-group stage collapses within-group
+  duplicates and emits (canonical, variant) PAIRS; only the pairs — sparse
+  relative to nodes — reach the driver's global union-find
+  (state/unionfind.py).  Head surface forms are defused by the groupby's
+  upstream combiner exactly like the merge shuffle.
+* **Remap** broadcasts the final (label, name) → canonical map and rewrites
+  node names and BOTH edge endpoints in one ``map_batches`` pass, then
+  re-runs the merge fold: renames can create new duplicate keys, and the
+  commutative lineage-tagged fold resolves them exactly.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..merge import merge_elements
+from ..state.unionfind import UnionFind
+from ..stages.records import edge_merge_key, node_merge_key
+
+
+def normalize_surface(name: str) -> str:
+    """Conservative surface normalization: NFKC + trim + casefold (latin).
+    Near-identity for well-formed CJK names, so default-on canonicalization
+    keeps P/R against the reference's graph."""
+    return unicodedata.normalize("NFKC", name).strip().casefold()
+
+
+def variant_bases(name: str) -> list[str]:
+    """Alias-rule candidates: '恶性肿瘤-重度' → ['恶性肿瘤'].  Only the text
+    before the first '-', and only when it is a plausible name (≥ 2 chars)."""
+    if "-" in name:
+        base = name.split("-", 1)[0].strip()
+        if len(base) >= 2:
+            return [base]
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Candidate pair generation (distributed)
+# ---------------------------------------------------------------------------
+
+
+def _candidates_batch(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df = df[df["kind"] == "node"]
+    labels: list[str] = []
+    keys: list[str] = []
+    names: list[str] = []
+    is_self: list[bool] = []
+    for label, name in zip(df["label"], df["name"]):
+        norm = normalize_surface(name)
+        labels.append(label)
+        keys.append(norm)
+        names.append(name)
+        is_self.append(True)
+        for base in variant_bases(name):
+            labels.append(label)
+            keys.append(normalize_surface(base))
+            names.append(name)
+            is_self.append(False)
+    return pa.Table.from_pydict(
+        {"label": labels, "key": keys, "name": names, "is_self": is_self}
+    )
+
+
+def _group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """One (label, key) surface-form group → (canonical, variant) pairs.
+
+    A group links only if it contains a *self* member (a node whose own
+    normal form is the key); the canonical is the self member closest to the
+    key (exact match preferred, then shortest, then lexicographic)."""
+    out_label, out_canon, out_variant = [], [], []
+    for (label, key), g in df.groupby(["label", "key"], sort=False):
+        names = list(dict.fromkeys(g["name"]))
+        if len(names) < 2:
+            continue
+        self_names = list(dict.fromkeys(g.loc[g["is_self"], "name"]))
+        if not self_names:
+            continue  # no base node exists → leave variants alone
+        canonical = min(
+            self_names, key=lambda n: (normalize_surface(n) != key, len(n), n)
+        )
+        for name in names:
+            if name != canonical:
+                out_label.append(label)
+                out_canon.append(canonical)
+                out_variant.append(name)
+    return pd.DataFrame(
+        {"label": out_label, "canonical": out_canon, "variant": out_variant}
+    )
+
+
+def build_canonical_map(merged_elements) -> dict[tuple[str, str], str]:
+    """Distributed candidate gen + groupby, then driver-side union-find over
+    the (sparse) pair set → {(label, variant_name): canonical_name}."""
+    pairs = (
+        merged_elements.map_batches(_candidates_batch, batch_format="pyarrow")
+        .groupby(["label", "key"])
+        .map_groups(_group_pairs, batch_format="pandas")
+    )
+    uf = UnionFind()
+    members: set[tuple[str, str]] = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
+        for label, canon, variant in zip(b["label"], b["canonical"], b["variant"]):
+            uf.union((label, canon), (label, variant))
+            members.add((label, canon))
+            members.add((label, variant))
+    mapping: dict[tuple[str, str], str] = {}
+    for rep, cluster in uf.clusters().items():
+        # cluster representative: own-normal-form name, shortest, lexicographic
+        canonical = min(
+            cluster,
+            key=lambda ln: (normalize_surface(ln[1]) != ln[1], len(ln[1]), ln[1]),
+        )[1]
+        for label, name in cluster:
+            if name != canonical:
+                mapping[(label, name)] = canonical
+    return mapping
+
+
+# ---------------------------------------------------------------------------
+# Remap + re-merge
+# ---------------------------------------------------------------------------
+
+
+def _remap_batch(mapping: dict[tuple[str, str], str]):
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not mapping:
+            return df
+        node_mask = df["kind"] == "node"
+        df = df.copy()
+        df.loc[node_mask, "name"] = [
+            mapping.get((l, n), n)
+            for l, n in zip(df.loc[node_mask, "label"], df.loc[node_mask, "name"])
+        ]
+        edge_mask = ~node_mask
+        df.loc[edge_mask, "src_name"] = [
+            mapping.get((l, n), n)
+            for l, n in zip(df.loc[edge_mask, "src_label"], df.loc[edge_mask, "src_name"])
+        ]
+        df.loc[edge_mask, "dst_name"] = [
+            mapping.get((l, n), n)
+            for l, n in zip(df.loc[edge_mask, "dst_label"], df.loc[edge_mask, "dst_name"])
+        ]
+        df.loc[node_mask, "merge_key"] = [
+            node_merge_key(l, n)
+            for l, n in zip(df.loc[node_mask, "label"], df.loc[node_mask, "name"])
+        ]
+        df.loc[edge_mask, "merge_key"] = [
+            edge_merge_key(sl, sn, r, dl, dn)
+            for sl, sn, r, dl, dn in zip(
+                df.loc[edge_mask, "src_label"], df.loc[edge_mask, "src_name"],
+                df.loc[edge_mask, "rel"], df.loc[edge_mask, "dst_label"],
+                df.loc[edge_mask, "dst_name"],
+            )
+        ]
+        return df
+
+    return remap
+
+
+def canonicalize_elements(merged_elements, *, num_buckets: int = 64):
+    """D5: cluster surface variants, remap nodes + both edge endpoints, then
+    re-run the merge fold to collapse renamed duplicates exactly."""
+    mapping = build_canonical_map(merged_elements)
+    if not mapping:
+        return merged_elements
+    remapped = merged_elements.map_batches(
+        _remap_batch(mapping), batch_format="pandas"
+    )
+    return merge_elements(remapped, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Link scoring (A5 actor pool)
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(text: str, n: int = 2) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def _hash_embed(text: str, dim: int = 64) -> np.ndarray:
+    """Deterministic char-ngram hashing embedding (no model downloads in
+    this sandbox; a real embedding model drops into the same actor slot)."""
+    import zlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    for g in _char_ngrams(text):
+        h = zlib.crc32(g.encode("utf-8"))
+        v[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+    norm = np.linalg.norm(v)
+    return v / norm if norm else v
+
+
+class LinkScorer:
+    """Entity-link scoring actor: warm alias dict + embedding index built
+    once per actor (``__init__``), scored per batch (``__call__``).
+
+    Scoring cascade (deterministic): exact match 1.0 → normalized match
+    0.9 → variant-base match 0.8 → embedding cosine (hash embeddings) if
+    ≥ ``threshold``, else unlinked (score 0, empty entity)."""
+
+    def __init__(self, gazetteer: Any, threshold: float = 0.55):
+        try:
+            import ray
+
+            if isinstance(gazetteer, ray.ObjectRef):
+                gazetteer = ray.get(gazetteer)
+        except ImportError:  # pragma: no cover
+            pass
+        self.gazetteer: dict[str, str] = dict(gazetteer)  # name -> label
+        self.threshold = threshold
+        self.by_norm: dict[str, str] = {}
+        for name in self.gazetteer:
+            self.by_norm.setdefault(normalize_surface(name), name)
+        names = sorted(self.gazetteer)
+        self.index_names = names
+        self.index = (
+            np.stack([_hash_embed(n) for n in names])
+            if names
+            else np.zeros((0, 64))
+        )
+
+    def score(self, surface: str) -> tuple[str, str, float]:
+        gaz = self.gazetteer
+        if surface in gaz:
+            return surface, gaz[surface], 1.0
+        norm = normalize_surface(surface)
+        hit = self.by_norm.get(norm)
+        if hit is not None:
+            return hit, gaz[hit], 0.9
+        for base in variant_bases(surface):
+            hit = self.by_norm.get(normalize_surface(base))
+            if hit is not None:
+                return hit, gaz[hit], 0.8
+        if len(self.index_names):
+            sims = self.index @ _hash_embed(surface)
+            best = int(np.argmax(sims))
+            if sims[best] >= self.threshold:
+                name = self.index_names[best]
+                return name, gaz[name], float(sims[best])
+        return "", "", 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        scored = [self.score(s) for s in df["surface"]]
+        df["entity_name"] = [s[0] for s in scored]
+        df["entity_label"] = [s[1] for s in scored]
+        df["link_score"] = [s[2] for s in scored]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def link_mentions(mentions, gazetteer, *, threshold: float = 0.55,
+                  concurrency: int = 4, batch_size: int = 1024):
+    """Mentions Dataset → linked mentions via a LinkScorer actor pool (the
+    gazetteer ships once per actor via ray.put)."""
+    import ray
+
+    ref = ray.put(dict(gazetteer))
+    return mentions.map_batches(
+        LinkScorer,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def build_gazetteer(nodes, labels: set[str] | None = None) -> dict[str, str]:
+    """Driver-side gazetteer from the materialized nodes table (name →
+    label).  Assumption documented: the dictionary side is the SMALL side
+    (≈5k names in the reference corpus) and is broadcast, never shuffled."""
+    out: dict[str, str] = {}
+    for b in nodes.iter_batches(batch_size=65536, batch_format="pandas"):
+        for label, name in zip(b["label"], b["name"]):
+            if labels is None or label in labels:
+                out.setdefault(name, label)
+    return out

@@ -1,0 +1,172 @@
+"""Text IE stages: mention detection + schema-constrained triple extraction
+with media_ref-aware span alignment (reference pipeline 3.2,
+text_graph_builder.py:93-111; extractor surface entity_extraction.py:21-56).
+
+Both stages are ``map_batches`` callables.  ``TextTripleExtractor`` is
+stateless (compiled patterns are module-level).  ``MentionDetector`` is an
+actor-pool class: the gazetteer (alias dictionary — the reference's planned
+HanLP/BERT NER surface, entity_extraction.py:12-19, holds model state the
+same way) is broadcast once with ``ray.put`` and the combined regex is
+compiled once per actor in ``__init__``, then reused across batches.
+
+Every emitted row carries ``(doc_id, span_idx, offset)`` provenance where
+``offset`` is the character offset in the doc's concatenated text
+('\n'-joined text spans).  Media spans are skipped but KEEP the running
+offset consistent (they contribute 0 chars) — extractors never emit
+heads/tails from media spans.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pyarrow as pa
+
+from ..functions.ie_patterns import clause_triples
+from ..schema import (
+    EXTRACTED_TRIPLES_SCHEMA,
+    MEDIA_KIND,
+    MENTIONS_SCHEMA,
+)
+
+
+def _iter_text_spans(batch: pa.Table):
+    """Yield (doc_id, span_idx, kind, text, offset) for non-media spans."""
+    batch = batch.combine_chunks()
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans")
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    for doc_id, spans in zip(doc_ids, spans_col.to_pylist()):
+        for idx, s in enumerate(spans):
+            if s["kind"] == MEDIA_KIND:
+                continue
+            yield doc_id, idx, s["kind"], s["text"], s["offset"]
+
+
+def extract_text_triples(batch: pa.Table) -> pa.Table:
+    """Stateless kernel: policy-text docs → provenance-carrying triples
+    (the deterministic A2 extractor; same output contract as the reference's
+    LLM extractor, text_graph_builder.py:50-54)."""
+    cols: dict[str, list[Any]] = {n: [] for n in EXTRACTED_TRIPLES_SCHEMA.names}
+    for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
+        for t in clause_triples(text):
+            cols["doc_id"].append(doc_id)
+            cols["span_idx"].append(span_idx)
+            cols["offset"].append(offset)
+            cols["head"].append(t["head"])
+            cols["head_type"].append(t["type"])
+            cols["relation"].append(t["relation"])
+            cols["tail"].append(t["tail"])
+            cols["tail_type"].append(t["tail_type"])
+    return pa.Table.from_pydict(cols, schema=EXTRACTED_TRIPLES_SCHEMA)
+
+
+class MentionDetector:
+    """A4: gazetteer mention detection as an actor-pool stage.
+
+    ``gazetteer``: dict name → label (node names; 403 diseases + 3,365
+    medicines + 1,256 symptoms in the reference corpus — small enough to
+    broadcast).  Pass a ``ray.ObjectRef`` (from ``ray.put``) so the dict
+    ships to each actor ONCE via the object store, not per batch.
+
+    Matching is longest-match-first (names sorted by length desc in one
+    compiled alternation regex), non-overlapping left-to-right — a
+    deterministic stand-in for the reference's declared NER surface.
+    """
+
+    def __init__(self, gazetteer: Any):
+        try:
+            import ray
+
+            if isinstance(gazetteer, ray.ObjectRef):
+                gazetteer = ray.get(gazetteer)
+        except ImportError:  # pragma: no cover
+            pass
+        self.gazetteer: dict[str, str] = dict(gazetteer)
+        names = sorted(self.gazetteer, key=len, reverse=True)
+        self.pattern = (
+            re.compile("|".join(re.escape(n) for n in names)) if names else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list[Any]] = {n: [] for n in MENTIONS_SCHEMA.names}
+        if self.pattern is not None:
+            for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
+                for m in self.pattern.finditer(text):
+                    cols["doc_id"].append(doc_id)
+                    cols["span_idx"].append(span_idx)
+                    cols["offset"].append(offset + m.start())
+                    cols["surface"].append(m.group(0))
+                    cols["label"].append(self.gazetteer[m.group(0)])
+        return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+
+
+class LLMTripleExtractor:
+    """A2 variant: LLM-backed extractor with the same output contract.
+
+    The reference builds a lazily-initialized OpenAI-compatible client per
+    process (llm_integration.py:28-50) and post-processes with a markdown
+    fence strip + json.loads (text_graph_builder.py:62-63).  Here the client
+    is built once per actor in ``__init__`` from an injectable factory; this
+    sandbox has no network, so the default factory raises and tests inject a
+    deterministic fake.
+    """
+
+    def __init__(self, client_factory=None):
+        if client_factory is None:
+            raise NotImplementedError(
+                "no LLM endpoint in this environment; inject client_factory "
+                "returning an object with .generate(prompt) -> str (JSON "
+                "triple list, possibly fenced)"
+            )
+        self.client = client_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ..functions.ie_patterns import strip_markdown_fences
+
+        cols: dict[str, list[Any]] = {n: [] for n in EXTRACTED_TRIPLES_SCHEMA.names}
+        for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
+            raw = self.client.generate(text)
+            try:
+                triples = json.loads(strip_markdown_fences(raw))
+            except (json.JSONDecodeError, TypeError):
+                triples = []  # empty-result fallback (text_graph_builder.py:66-69)
+            for t in triples:
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(span_idx)
+                cols["offset"].append(offset)
+                cols["head"].append(t["head"])
+                cols["head_type"].append(t.get("type", "Insurance"))
+                cols["relation"].append(t["relation"])
+                cols["tail"].append(t["tail"])
+                cols["tail_type"].append(t["tail_type"])
+        return pa.Table.from_pydict(cols, schema=EXTRACTED_TRIPLES_SCHEMA)
+
+
+def detect_mentions(docs, gazetteer, *, concurrency: int = 4, batch_size: int = 256):
+    """docs Dataset → mentions Dataset via a MentionDetector actor pool.
+
+    The gazetteer is ``ray.put`` once on the driver; each actor reads it
+    from the object store in ``__init__`` (broadcast join pattern — no
+    shuffle)."""
+    import ray
+
+    ref = ray.put(dict(gazetteer))
+    return docs.map_batches(
+        MentionDetector,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_triples_pipeline(docs, *, batch_size: int = 512):
+    """docs Dataset → provenance-carrying extracted triples Dataset."""
+    return docs.map_batches(
+        extract_text_triples, batch_format="pyarrow", batch_size=batch_size
+    )

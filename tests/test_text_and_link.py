@@ -1,0 +1,107 @@
+"""M4/M5: text IE stages (mention detection, triple extraction with media
+alignment) and entity linking / canonicalization."""
+
+import pyarrow as pa
+import pytest
+
+import knowledge_graph_construction_ray.sources.readers as readers
+from knowledge_graph_construction_ray.schema import DOCS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def policy_docs(ray_session, fixture_corpus):
+    mask = pa.compute.match_substring(fixture_corpus.column("doc_id"), "policy_text")
+    return readers.from_arrow_docs(fixture_corpus.filter(mask))
+
+
+def test_extract_text_triples_provenance_and_media_alignment(policy_docs):
+    from knowledge_graph_construction_ray.stages.text import extract_triples_pipeline
+
+    df = extract_triples_pipeline(policy_docs).to_pandas()
+    doc0 = df[df["doc_id"] == "policy_text:000000"].sort_values("span_idx")
+    # doc 0 spans: title, clause(COVERS), clause(filler), MEDIA, clause(AGE),
+    # clause(EXCLUDES), MEDIA, clause(REFUSES)
+    assert list(doc0["relation"]) == ["COVERS", "ALLOWS_AGE", "EXCLUDES", "REFUSES_DISEASE"]
+    # span_idx counts media spans (positional), offsets ignore them
+    assert list(doc0["span_idx"]) == [1, 4, 5, 7]
+    offs = list(doc0["offset"])
+    assert offs == sorted(offs) and offs[0] == len("保险条款00") + 1
+    assert (df["head_type"] == "Insurance").all()
+
+
+def test_mention_detector_actor_pool(policy_docs):
+    import ray
+
+    from knowledge_graph_construction_ray.stages.text import detect_mentions
+
+    gaz = {"病症000": "Disease", "保00号": "Insurance", "恶性肿瘤": "Disease"}
+    out = detect_mentions(policy_docs, gaz, concurrency=2, batch_size=4).to_pandas()
+    d0 = out[out["doc_id"] == "policy_text:000000"]
+    assert set(d0["surface"]) == {"病症000", "保00号"}
+    # offset provenance: first 保00号 mention sits at the start of span 1
+    first = d0.sort_values("offset").iloc[0]
+    assert first["surface"] == "保00号" and first["offset"] == len("保险条款00") + 1
+    # longest-match-first: 恶性肿瘤-重度 text yields 恶性肿瘤 (doc 6)
+    d6 = out[out["doc_id"] == "policy_text:000006"]
+    assert "恶性肿瘤" in set(d6["surface"])
+
+
+def test_llm_extractor_contract_with_fake_client(ray_session):
+    from knowledge_graph_construction_ray.stages.text import LLMTripleExtractor
+
+    class FakeClient:
+        def generate(self, prompt):
+            return (
+                '```json\n[{"head": "X保", "type": "Insurance", "relation": '
+                '"COVERS", "tail": "病症A", "tail_type": "Disease"}]\n```'
+            )
+
+    ex = LLMTripleExtractor(client_factory=FakeClient)
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": ["policy_text:000099"],
+            "spans": [[{"kind": "clause", "text": "任意文本", "media_ref": "", "offset": 0}]],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    out = ex(batch).to_pylist()
+    assert out == [
+        {
+            "doc_id": "policy_text:000099", "span_idx": 0, "offset": 0,
+            "head": "X保", "head_type": "Insurance", "relation": "COVERS",
+            "tail": "病症A", "tail_type": "Disease",
+        }
+    ]
+    with pytest.raises(NotImplementedError):
+        LLMTripleExtractor()  # no network in this sandbox
+
+
+def test_link_scorer_cascade(ray_session):
+    from knowledge_graph_construction_ray.stages.link import LinkScorer
+
+    scorer = LinkScorer({"恶性肿瘤": "Disease", "病症001": "Disease"})
+    assert scorer.score("恶性肿瘤") == ("恶性肿瘤", "Disease", 1.0)
+    assert scorer.score(" 恶性肿瘤 ")[2] == 0.9  # normalized
+    assert scorer.score("恶性肿瘤-重度")[:2] == ("恶性肿瘤", "Disease")  # variant base
+    assert scorer.score("毫无关联词")[2] == 0.0  # unlinked
+
+
+def test_canonicalization_merges_surface_variants(ray_session, fixture_corpus, oracle_graph):
+    from knowledge_graph_construction_ray.materialize import edges_to_triples, triples_set
+    from knowledge_graph_construction_ray.oracle import precision_recall
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    nodes, edges = build_graph(docs, canonicalize=True)
+    ndf = nodes.to_pandas()
+    # the 恶性肿瘤-重度 variant is absorbed into 恶性肿瘤
+    assert "恶性肿瘤-重度" not in set(ndf["name"])
+    edf = edges.to_pandas()
+    remapped = set(
+        edf[(edf["src_name"] == "保06号") & (edf["rel"] == "COVERS")]["dst_name"]
+    )
+    assert "恶性肿瘤" in remapped and "恶性肿瘤-重度" not in remapped
+    # overall parity stays above the 0.95 gate (only variant triples move)
+    pred = triples_set(edges_to_triples(edges))
+    p, r = precision_recall(pred, oracle_graph.triples())
+    assert p >= 0.95 and r >= 0.95
