@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline over sf0.001-derived
+inputs; ``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2) over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry (column names match
+the Ray outputs exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Per the driver contract, nothing here (nor in the library) calls
+``ray.init()`` / ``ray.shutdown()`` — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: build the knowledge graph (extract → upsert/dedup
+    shuffle → canonicalize → sorted materialization) over the deterministic
+    span-doc corpus plus a mention-detection pass over the sf0.001 driver
+    documents; returns the canonical (subj, pred, obj) triples Dataset."""
+    from knowledge_graph_construction_ray.fixtures import generate_corpus
+    from knowledge_graph_construction_ray.pipelines.kg import build_triples
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+
+    docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
+    return build_triples(docs, canonicalize=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from knowledge_graph_construction_ray.query.relational import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from knowledge_graph_construction_ray.query.relational import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -141,4 +141,17 @@ def merge_elements(
             _fold_bucket, batch_format="pandas"
         )
         folded = folded.drop_columns(["bucket"])
-    return folded
+    return folded.map_batches(_normalize_schema, batch_format="pandas")
+
+
+def _normalize_schema(df: pd.DataFrame):
+    """Pin the output to ELEMENTS_SCHEMA — buckets containing only nodes
+    (or only edges) would otherwise infer null-typed Arrow columns for the
+    all-null fields, causing schema-mismatch noise downstream."""
+    import pyarrow as pa
+
+    from .schema import ELEMENTS_SCHEMA
+
+    return pa.Table.from_pandas(
+        df[list(ELEMENTS_SCHEMA.names)], schema=ELEMENTS_SCHEMA, preserve_index=False
+    )

@@ -1,0 +1,626 @@
+"""Driver-table query suite: every operator family of SURVEY.md §2 exercised
+over the testdata tables (region nation customer supplier part orders
+lineitem events documents embeddings), each with a DuckDB oracle SQL string
+whose COLUMN NAMES match the Ray output exactly (the driver hashes values
+under sorted column names).
+
+Conventions:
+* reads prune columns at the source (``read_parquet(columns=[...])``);
+* small sides (customer, nation, gazetteers, query vectors) are broadcast —
+  pandas lookup / ``ray.put``, never a shuffle;
+* float aggregates are ROUND()ed identically on both sides (summation order
+  differs between engines);
+* rows-only entries (no SQL) are algorithms SQL can't express — language-ID
+  voting, MinHash/SimHash near-dup, the fixture KG build; they are verified
+  in pytest instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (G/J/D/T/M/F operator families)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """G: grouped aggregate with a computed measure, partial-aggregated
+    per batch implicitly by Ray's Sum; TPC-H Q1 shape."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def j2_segment_revenue(sf_dir: str):
+    """J: large ⋈ small as a broadcast join (customer dict via ray.put read
+    once per actor), then grouped aggregate."""
+    import ray
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AttachSegment:
+        def __init__(self):
+            import ray as _ray
+
+            self.seg = _ray.get(seg_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            return df[["c_mktsegment", "o_totalprice"]]
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(AttachSegment, batch_format="pandas", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .sort("c_mktsegment")
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+J2_SQL = """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def j3_top_customers(sf_dir: str):
+    """J+T: broadcast dim join + global top-k with deterministic tie-break."""
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_name"] = df["c_nationkey"].map(nmap)
+        return df[["c_custkey", "c_name", "n_name", "c_acctbal"]]
+
+    return (
+        rd.read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pandas")
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+J3_SQL = """
+SELECT c_custkey, c_name, n_name, c_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def g1_customer_priorities(sf_dir: str):
+    """G1: grouped collect-DISTINCT (the reference's collect(DISTINCT …),
+    graph_retriever.py:52-54) — list rendered as a sorted joined string so
+    both engines hash identically."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["o_custkey"], 100)), batch_format="pyarrow"
+    )
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [df["o_custkey"].iloc[0]],
+                "priorities": [",".join(sorted(set(df["o_orderpriority"])))],
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(collect, batch_format="pandas").sort("c_custkey").to_pandas()
+
+
+G1_SQL = """
+SELECT o_custkey AS c_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders WHERE o_custkey < 100 GROUP BY 1 ORDER BY 1
+"""
+
+
+def g2_doc_stats_by_lang(sf_dir: str):
+    return (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .sort("lang")
+        .to_pandas()
+    )
+
+
+G2_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def d2_distinct_flag_status(sf_dir: str):
+    """D2: exact distinct on a composite key via groupby (shuffle)."""
+    return (
+        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .sort(["l_returnflag", "l_linestatus"])
+        .to_pandas()
+    )
+
+
+D2_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
+"""
+
+
+def t2_top_orders(sf_dir: str):
+    return (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+T2_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def m7_filter_contains(sf_dir: str):
+    """M7/F1: vectorized substring predicate + equality filter."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "n_chars"])
+    return (
+        ds.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t["lang"], "en"), pc.match_substring(t["text"], "stream"))
+            ).select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+M7_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = 'en' AND text LIKE '%stream%' ORDER BY doc_id
+"""
+
+
+def m8_reindex(sf_dir: str):
+    """M8: filter + sequential 1-based id in sorted order (streaming driver
+    pass — see pipelines/curation.py for why this op is serial)."""
+    from ..pipelines.curation import curate
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = ds.map_batches(lambda t: t.filter(pc.greater(t["n_chars"], 200)), batch_format="pyarrow")
+    out = curate(ds, filter_col="doc_id", keywords=("",), sort_cols=("doc_id",), id_col="new_id")
+    return out[["doc_id", "new_id"]]
+
+
+M8_SQL = """
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS new_id
+FROM documents WHERE n_chars > 200 ORDER BY doc_id
+"""
+
+
+def f2_dirty_cast(sf_dir: str):
+    """F2: string→int cast with non-numeric → null (the toInteger(price)
+    semantics, graph_retriever.py:193-196), over events.props JSON text."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_id": df["event_id"]})
+        out["k_val"] = pd.to_numeric(
+            df["props"].str.extract(r"(\d+)", expand=False), errors="coerce"
+        ).astype("Int64")
+        return out
+
+    return ds.map_batches(kernel, batch_format="pandas").sort("event_id").to_pandas()
+
+
+F2_SQL = """
+SELECT event_id, TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_val
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (events): windows + sessionization
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling window per key: groupby (user, hour bucket) aggregate."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"]})
+        # normalize to microseconds regardless of pandas datetime unit
+        es_us = df["ts"].astype("datetime64[us]").astype("int64")
+        out["hour_bucket"] = (es_us // 3_600_000_000).astype("int64")
+        out["value"] = df["value"]
+        return out
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["user_id", "hour_bucket"])
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessions(sf_dir: str, gap_s: int = 1800):
+    """Sessionization: partition by key, sort by time within the group, cut
+    on gaps > 30 min (ordering assumption: per-user event times are what
+    they are in the table; groupby supplies per-key locality)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        es = df["ts"].astype("datetime64[us]").astype("int64")  # microseconds
+        new = (es.diff().fillna(gap_s * 10**6 + 1) > gap_s * 10**6).astype("int64")
+        sid = new.cumsum()
+        out = (
+            pd.DataFrame({"user_id": df["user_id"], "session_id": sid, "es": es})
+            .groupby("session_id", as_index=False)
+            .agg(user_id=("user_id", "first"), n_events=("es", "size"),
+                 start_epoch=("es", "min"))
+        )
+        out["start_epoch"] = (out["start_epoch"] // 10**6).astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_epoch"]]
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+        .to_pandas()
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS es,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, es,
+         CASE WHEN prev IS NULL OR es - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM t
+), s AS (
+  SELECT user_id, es,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY es
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST(MIN(es) // 1000000 AS BIGINT) AS start_epoch
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graph ops over driver data (k-hop on the order graph)
+# ---------------------------------------------------------------------------
+
+
+def j5_khop_parts(sf_dir: str, custkey: int = 1):
+    """J5: 2-hop frontier expansion customer → orders → parts; each hop is
+    a broadcast semi-join (the frontier is the small side)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    hop1 = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_custkey"], custkey)), batch_format="pyarrow"
+    ).to_pandas()
+    frontier = pa.array(sorted(set(hop1["o_orderkey"])))
+    lineitem = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    return (
+        lineitem.map_batches(
+            lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=frontier)),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Min("l_orderkey", alias_name="_m"))
+        .drop_columns(["_m"])
+        .sort("l_partkey")
+        .to_pandas()
+        .rename(columns={"l_partkey": "p_partkey"})
+    )
+
+
+J5_SQL = """
+SELECT DISTINCT l_partkey AS p_partkey
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey = 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG over driver documents: span-encode + mention detection
+# ---------------------------------------------------------------------------
+
+MENTION_GAZETTEER = {"customer": "Entity", "window": "Entity",
+                     "stream": "Entity", "vector": "Entity"}
+
+
+def _documents_as_docs(sf_dir: str):
+    """documents table → span-doc Dataset (doc_id 'policy_text:NNNNNN', one
+    clause span per text) — the driver-data path through the span codec."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        from ..schema import DOCS_SCHEMA
+
+        ids, span_lists = [], []
+        for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(f"policy_text:{i:06d}")
+            span_lists.append(
+                [{"kind": "clause", "text": text, "media_ref": "", "offset": 0}]
+            )
+        return pa.Table.from_pydict({"doc_id": ids, "spans": span_lists}, schema=DOCS_SCHEMA)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def kg_mentions_count(sf_dir: str):
+    """Span-encode driver documents, run the MentionDetector actor pool
+    with a fixed gazetteer, count mentions per doc (0-mention docs kept)."""
+    from ..stages.text import detect_mentions
+
+    docs = _documents_as_docs(sf_dir)
+    mentions = detect_mentions(docs, MENTION_GAZETTEER, concurrency=2, batch_size=256)
+    counts = (
+        mentions.groupby("doc_id").aggregate(Count(alias_name="n_mentions")).to_pandas()
+    )
+    counts["doc_id"] = counts["doc_id"].str.split(":").str[1].astype("int64")
+    all_ids = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = all_ids.merge(counts, on="doc_id", how="left").fillna({"n_mentions": 0})
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+KG_MENTIONS_SQL = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'customer', ''))) / 8
+          + (length(text) - length(replace(text, 'window', ''))) / 6
+          + (length(text) - length(replace(text, 'stream', ''))) / 6
+          + (length(text) - length(replace(text, 'vector', ''))) / 6 AS BIGINT)
+         AS n_mentions
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup + text analysis + similarity search
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    from ..stages.dedupe import exact_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id").to_pandas()
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY lower(text) ORDER BY 1
+"""
+
+
+def text_fingerprint(sf_dir: str):
+    from ..stages.textstats import fingerprint_kernel
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_kernel, batch_format="pandas").sort("doc_id").to_pandas()
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_tokens(sf_dir: str):
+    from ..stages.textstats import tokens_kernel
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(tokens_kernel, batch_format="pandas").sort("doc_id").to_pandas()
+
+
+TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(sf_dir: str):
+    from ..stages.textstats import quality_kernel
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(quality_kernel, batch_format="pandas").sort("doc_id").to_pandas()
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nospace,
+       CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> length(x)), 'max') AS BIGINT) AS max_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_langid(sf_dir: str):
+    """Rows-only (stopword-profile voting is not SQL-expressible)."""
+    from ..stages.textstats import langid_kernel
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(langid_kernel, batch_format="pandas").sort("doc_id").to_pandas()
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs the vec_id=0 query vector (broadcast
+    query, per-batch matmul + local top-k, tiny global reduce)."""
+    from ..stages.embed import brute_force_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    out = brute_force_topk(ds, q[None, :], k=k).to_pandas()
+    return out[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
+
+
+ANN_SQL = """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(
+    CAST(embedding AS DOUBLE[]),
+    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+) DESC, vec_id
+LIMIT 10
+"""
+
+
+def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH-bucket
+    variant is the scale path — stages/embed.py)."""
+    from ..stages.embed import cosine_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = cosine_pairs(ds, threshold)
+    return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
+
+
+EMB_PAIRS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+ORDER BY 1, 2
+"""
+
+
+def dedup_minhash(sf_dir: str):
+    """Rows-only: MinHash+LSH near-dup clusters (verified in pytest against
+    exact n-gram Jaccard at small scale)."""
+    from ..stages.dedupe import minhash_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    """Rows-only: SimHash Hamming-≤3 candidate pairs."""
+    from ..stages.dedupe import simhash_candidates
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = simhash_candidates(ds)
+    return pd.DataFrame(pairs, columns=["a", "b"])
+
+
+def kg_fixture_triples(sf_dir: str):
+    """Rows-only: the flagship KG pipeline end-to-end over the deterministic
+    fixture corpus (independent of sf_dir; the sf tables carry no span
+    docs).  Gated to P/R = 1.0 vs the oracle in pytest."""
+    from ..fixtures import generate_corpus
+    from ..pipelines.kg import build_triples
+    from ..sources.readers import from_arrow_docs
+
+    docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
+    return build_triples(docs).sort(["subj", "pred", "obj"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Registry consumed by __ray_entry__
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # name: (ray_fn, oracle_sql | None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "j2_segment_revenue": (j2_segment_revenue, J2_SQL),
+    "j3_top_customers": (j3_top_customers, J3_SQL),
+    "g1_customer_priorities": (g1_customer_priorities, G1_SQL),
+    "g2_doc_stats_by_lang": (g2_doc_stats_by_lang, G2_SQL),
+    "d2_distinct_flag_status": (d2_distinct_flag_status, D2_SQL),
+    "t2_top_orders": (t2_top_orders, T2_SQL),
+    "m7_filter_contains": (m7_filter_contains, M7_SQL),
+    "m8_reindex": (m8_reindex, M8_SQL),
+    "f2_dirty_cast": (f2_dirty_cast, F2_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "j5_khop_parts": (j5_khop_parts, J5_SQL),
+    "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_tokens": (text_tokens, TOKENS_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "text_langid": (text_langid, None),
+    "ann_topk": (ann_topk, ANN_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "kg_fixture_triples": (kg_fixture_triples, None),
+}

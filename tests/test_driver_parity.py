@@ -1,0 +1,97 @@
+"""Mimic the driver's correctness gate: run every queries() entry at
+sf0.001 and compare against its oracle_sql() via DuckDB — row count, schema
+(sorted column names) and an order-insensitive value hash."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _to_pandas(result):
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()  # ray Dataset
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode("utf-8"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def _sql_checked():
+    from knowledge_graph_construction_ray.query.relational import QUERIES
+
+    return [n for n, (_f, sql) in QUERIES.items() if sql is not None]
+
+
+def _rows_only():
+    from knowledge_graph_construction_ray.query.relational import QUERIES
+
+    return [n for n, (_f, sql) in QUERIES.items() if sql is None]
+
+
+@pytest.mark.parametrize("name", _sql_checked())
+def test_query_matches_duckdb_oracle(name, con, contract):
+    qs, sqls = contract
+    got = _to_pandas(qs[name](SF_DIR)).reset_index(drop=True)
+    exp = con.execute(sqls[name]).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: cols {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    assert _value_hash(got) == _value_hash(exp), f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name", _rows_only())
+def test_rows_only_query_runs(name, contract):
+    qs, _ = contract
+    got = _to_pandas(qs[name](SF_DIR))
+    assert len(got) >= 0 and len(got.columns) >= 1
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    result = e.entry()
+    df = _to_pandas(result)
+    assert len(df) > 0
+    assert sorted(df.columns) == ["obj", "pred", "subj"]
