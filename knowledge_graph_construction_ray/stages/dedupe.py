@@ -68,11 +68,13 @@ def exact_dedup_kernel(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def exact_dedup(docs_ds):
-    """Keep-first (min doc_id) per lower(text) group → Dataset[doc_id]."""
-    partial = docs_ds.map_batches(exact_dedup_kernel, batch_format="pandas")
-    from ray.data.aggregate import Min
+    """Keep-first (min doc_id) per lower(text) group → Dataset[doc_id].
+    Combiner inside the batch, vectorized bucketed reduce (one group per
+    distinct text → high cardinality, so per-group dispatch is avoided)."""
+    from ..functions.groupby import bucketed_agg
 
-    kept = partial.groupby("key").aggregate(Min("doc_id", alias_name="doc_id"))
+    partial = docs_ds.map_batches(exact_dedup_kernel, batch_format="pandas")
+    kept = bucketed_agg(partial, ["key"], {"doc_id": ("doc_id", "min")})
     return kept.select_columns(["doc_id"])
 
 
@@ -114,28 +116,45 @@ def minhash_bands_kernel(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket group → candidate pairs (a < b)."""
+    """A coarse hash bucket of band rows → candidate pairs (a < b).
+    Only multi-member (band_id, band_hash) groups are visited in Python;
+    singleton bands (the overwhelming majority) are dropped vectorized."""
+    dup = df.duplicated(subset=["band_id", "band_hash"], keep=False)
+    df = df[dup]
     out_a, out_b = [], []
     for _, g in df.groupby(["band_id", "band_hash"], sort=False):
         ids = sorted(set(g["doc_id"]))
-        if len(ids) > 1:
-            for i in range(len(ids) - 1):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+        for i in range(len(ids) - 1):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
     return pd.DataFrame({"a": out_a, "b": out_b})
 
 
-def minhash_candidate_pairs(docs_ds):
-    """docs → deduped candidate pair Dataset[a, b] via the band shuffle."""
-    bands = docs_ds.map_batches(minhash_bands_kernel, batch_format="pandas")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    from ray.data.aggregate import Count
+def minhash_candidate_pairs(docs_ds, num_buckets: int = 64):
+    """docs → deduped candidate pair Dataset[a, b] via the band shuffle.
+    The shuffle key is a coarse hash bucket over (band_id, band_hash) —
+    one vectorized reduce per bucket, not one Python dispatch per band."""
+    from ..functions.groupby import bucketed_agg
 
-    # distinct pairs (a pair can fire in several bands)
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    bands = docs_ds.map_batches(minhash_bands_kernel, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["band_hash"], index=False).to_numpy()
+        df["_bucket"] = (h * 31 + df["band_id"].to_numpy()) % num_buckets
+        return df
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: _bucket_pairs(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    # distinct pairs (a pair can fire in several bands / buckets)
+    return bucketed_agg(pairs, ["a", "b"], {"n_bands": ("a", "size")})
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: dict, threshold: float) -> pd.DataFrame:
