@@ -57,7 +57,9 @@ def build_graph(
     if canonicalize:
         from ..stages.link import canonicalize_elements
 
-        merged = canonicalize_elements(merged)
+        merged = canonicalize_elements(
+            merged, num_buckets=num_buckets, salted=salted
+        )
     # the deduped graph is the final result set — pin it once so the nodes
     # and edges consumers don't re-run the extract+shuffle lineage twice
     merged = merged.materialize()

@@ -85,15 +85,18 @@ def insurance_by_disease(nodes, edges, disease_name: str) -> pd.DataFrame:
             ["src_label", "src_name", "rel", "dst_label", "dst_name"],
         )["src_name"]
     )
-    rows = _filter_batches(
-        nodes,
-        lambda t: t.filter(
-            pc.and_(
-                pc.equal(t["label"], "Insurance"),
-                pc.is_in(t["name"], value_set=pa.array(sorted(ins_names) or [""])),
-            )
+    rows = _to_pandas(
+        _filter_batches(
+            nodes,
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["label"], "Insurance"),
+                    pc.is_in(t["name"], value_set=pa.array(sorted(ins_names) or [""])),
+                )
+            ),
         ),
-    ).to_pandas()
+        ["label", "name", "props"],
+    )
     props = rows["props"].map(json.loads)
     return pd.DataFrame(
         {
@@ -123,15 +126,18 @@ def elderly_insurance(nodes, edges, age: int, limit: int = 5) -> pd.DataFrame:
             ["src_label", "src_name", "rel", "dst_label", "dst_name"],
         )["src_name"]
     )
-    rows = _filter_batches(
-        nodes,
-        lambda t: t.filter(
-            pc.and_(
-                pc.equal(t["label"], "Insurance"),
-                pc.is_in(t["name"], value_set=pa.array(sorted(names) or [""])),
-            )
+    rows = _to_pandas(
+        _filter_batches(
+            nodes,
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["label"], "Insurance"),
+                    pc.is_in(t["name"], value_set=pa.array(sorted(names) or [""])),
+                )
+            ),
         ),
-    ).to_pandas().sort_values("name").head(limit)
+        ["label", "name", "props"],
+    ).sort_values("name").head(limit)
     props = rows["props"].map(json.loads)
     return pd.DataFrame(
         {"ins_name": list(rows["name"]), "age_limit": list(props.map(lambda p: p.get("age_limit")))}
@@ -193,7 +199,7 @@ def nursing_home_search(nodes, *, city: str | None = None,
     def kernel(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["label"], "NursingHome"))
 
-    rows = _filter_batches(nodes, kernel).to_pandas()
+    rows = _to_pandas(_filter_batches(nodes, kernel), ["label", "name", "props"])
     props = rows["props"].map(json.loads)
     df = pd.DataFrame(
         {

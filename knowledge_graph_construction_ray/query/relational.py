@@ -625,6 +625,154 @@ def kg_fixture_triples(sf_dir: str):
     return build_triples(docs).sort(["subj", "pred", "obj"]).to_pandas()
 
 
+def m1_part_projection(sf_dir: str):
+    """M1-style projection: filter + column select + computed upper()."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size", "p_retailprice"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["p_size"], 20))
+        return pa.Table.from_arrays(
+            [t["p_partkey"], pc.utf8_upper(t["p_brand"]), t["p_retailprice"]],
+            names=["p_partkey", "brand", "p_retailprice"],
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort("p_partkey").to_pandas()
+
+
+M1_SQL = """
+SELECT p_partkey, upper(p_brand) AS brand, p_retailprice
+FROM part WHERE p_size > 20 ORDER BY p_partkey
+"""
+
+
+def f5_truncate_names(sf_dir: str):
+    """F5: [:k] truncation (pc.utf8_slice_codeunits ≙ substr)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return (
+        ds.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["c_custkey"], pc.utf8_slice_codeunits(t["c_name"], 0, 8)],
+                names=["c_custkey", "name_prefix"],
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("c_custkey")
+        .to_pandas()
+    )
+
+
+F5_SQL = """
+SELECT c_custkey, substr(c_name, 1, 8) AS name_prefix FROM customer ORDER BY c_custkey
+"""
+
+
+def f8_concat_cards(sf_dir: str):
+    """F8: element-wise string join / card building."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        card = pc.binary_join_element_wise(
+            t["p_name"], " [", t["p_brand"], "]", ""
+        )
+        return pa.Table.from_arrays([t["p_partkey"], card], names=["p_partkey", "card"])
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort("p_partkey").to_pandas()
+
+
+F8_SQL = """
+SELECT p_partkey, p_name || ' [' || p_brand || ']' AS card FROM part ORDER BY p_partkey
+"""
+
+
+def agg_value_stats(sf_dir: str):
+    """Min/max/count per key via the bucketed vectorized reduce (exact
+    float min/max — no summation-order sensitivity)."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return (
+        bucketed_agg(
+            ds,
+            ["event_type"],
+            {
+                "min_value": ("value", "min"),
+                "max_value": ("value", "max"),
+                "n": ("value", "size"),
+            },
+        )
+        .sort("event_type")
+        .to_pandas()
+    )
+
+
+AGG_STATS_SQL = """
+SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def t1_seeded_sample(sf_dir: str):
+    """Rows-only: T1 — keyword filter + SEEDED random_shuffle + limit 20
+    (the reference's ORDER BY rand() LIMIT 20 made deterministic).  Not
+    SQL-checkable (engine RNG differs); determinism asserted in pytest."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return (
+        ds.map_batches(
+            lambda t: t.filter(pc.match_substring(t["p_name"], "a")),
+            batch_format="pyarrow",
+        )
+        .random_shuffle(seed=42)
+        .limit(20)
+        .to_pandas()
+    )
+
+
+def kg_label_counts(sf_dir: str):
+    """Rows-only: G2 label counts over the flagship KG (fixture corpus)."""
+    from ..fixtures import generate_corpus
+    from ..pipelines.kg import build_graph
+    from ..query import ops
+    from ..sources.readers import from_arrow_docs
+
+    nodes, _ = build_graph(from_arrow_docs(generate_corpus(), override_num_blocks=8))
+    return ops.label_counts(nodes)
+
+
+def media_features(sf_dir: str):
+    """Rows-only: multimodal plumbing — media spans → decode (deterministic
+    fake) → pooled features via the actor pool."""
+    import ray.data as rd2
+
+    from ..fixtures import generate_corpus
+    from ..stages.media import (
+        extract_image_features,
+        fake_image_decoder,
+        media_table_from_docs,
+    )
+
+    media = media_table_from_docs(generate_corpus())
+    return extract_image_features(
+        rd2.from_arrow(media), decoder=fake_image_decoder
+    ).to_pandas().drop(columns=["feature"]).sort_values("media_ref")
+
+
+def ivf_topk_demo(sf_dir: str):
+    """Rows-only: IVF approximate ANN (centroid train → assign → probe)."""
+    from ..stages.embed import ivf_assign, ivf_topk, train_centroids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    cents = train_centroids(ds, n_centroids=8)
+    assigned = ivf_assign(ds, cents).materialize()
+    out = ivf_topk(assigned, cents, q, k=10, nprobe=4).to_pandas()
+    return out[["vec_id"]].astype({"vec_id": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -655,4 +803,12 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "kg_fixture_triples": (kg_fixture_triples, None),
+    "m1_part_projection": (m1_part_projection, M1_SQL),
+    "f5_truncate_names": (f5_truncate_names, F5_SQL),
+    "f8_concat_cards": (f8_concat_cards, F8_SQL),
+    "agg_value_stats": (agg_value_stats, AGG_STATS_SQL),
+    "t1_seeded_sample": (t1_seeded_sample, None),
+    "kg_label_counts": (kg_label_counts, None),
+    "media_features": (media_features, None),
+    "ivf_topk_demo": (ivf_topk_demo, None),
 }

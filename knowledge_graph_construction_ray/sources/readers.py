@@ -105,6 +105,44 @@ def read_text_docs(path: str, **kwargs: Any) -> "rd.Dataset":
     return rd.read_text(path, **kwargs)
 
 
+def read_json_tolerant(path: str) -> "rd.Dataset":
+    """S4 pipeline: whole-file-JSON-else-per-line with bad-line skip, as a
+    Dataset (read_binary_files → per-file tolerant parse; the reference
+    does this single-process in filter_disease.py:19-45)."""
+    import pyarrow as pa
+
+    files = rd.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        rows: list[str] = []
+        for payload in batch.column("bytes").to_pylist():
+            for rec in read_json_tolerant_lines(
+                payload.decode("utf-8", errors="replace").splitlines()
+            ):
+                rows.append(_json.dumps(rec, ensure_ascii=False))
+        return pa.Table.from_pydict({"record_json": rows})
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def append_csv(df, path: str, encoding: str = "utf-8-sig") -> None:
+    """S9: CSV append sink — header only when the file doesn't exist yet
+    (spider_nursing_home.py:118-135 semantics; small driver-side frames)."""
+    import os
+
+    df.to_csv(
+        path, mode="a", header=not os.path.exists(path), index=False,
+        encoding=encoding,
+    )
+
+
+def write_json_records(ds: "rd.Dataset", path: str, **kwargs: Any) -> None:
+    """S10: JSON sink (directory of part files — resumable layout)."""
+    ds.write_json(path, **kwargs)
+
+
 def from_arrow_docs(table: pa.Table, override_num_blocks: int | None = None) -> "rd.Dataset":
     """In-memory docs table → Dataset (tests / bench)."""
     if override_num_blocks:

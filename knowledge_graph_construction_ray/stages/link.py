@@ -180,16 +180,23 @@ def _remap_batch(mapping: dict[tuple[str, str], str]):
     return remap
 
 
-def canonicalize_elements(merged_elements, *, num_buckets: int = 64):
+def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
+                          salted: bool = False):
     """D5: cluster surface variants, remap nodes + both edge endpoints, then
-    re-run the merge fold to collapse renamed duplicates exactly."""
+    re-run the merge fold to collapse renamed duplicates exactly.
+
+    ``salted=True`` runs the post-remap fold as the two-stage salted
+    reduction — canonicalization concentrates rows onto head entities (every
+    variant of a hot name lands on ONE key), which is exactly where salting
+    pays (north_star's salted canonicalization shuffle).  Correct because
+    the fold is commutative (per-key lineage tags)."""
     mapping = build_canonical_map(merged_elements)
     if not mapping:
         return merged_elements
     remapped = merged_elements.map_batches(
         _remap_batch(mapping), batch_format="pandas"
     )
-    return merge_elements(remapped, num_buckets=num_buckets)
+    return merge_elements(remapped, num_buckets=num_buckets, salted=salted)
 
 
 # ---------------------------------------------------------------------------

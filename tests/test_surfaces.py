@@ -1,0 +1,162 @@
+"""Extension surfaces: extractor protocol, intent parsing, context
+formatters, ontology registry, tolerant reader, sinks, seeded sample."""
+
+import pandas as pd
+import pytest
+
+
+def test_extractor_protocol_conformance():
+    from knowledge_graph_construction_ray.stages.extractor_api import (
+        DeterministicExtractor,
+        ExtractorProtocol,
+    )
+
+    ex = DeterministicExtractor({"病症001": "Disease", "保00号": "Insurance"})
+    assert isinstance(ex, ExtractorProtocol)
+    ents = ex.extract_entities("保00号对病症001提供保障。")
+    assert ("保00号", "Insurance", 0) in ents
+    assert ("病症001", "Disease", 5) in ents
+    assert ex.extract_entities_batch(["病症001", "无"]) == [
+        [("病症001", "Disease", 0)], []
+    ]
+    triples = ex.extract_triples_from_text("保00号对病症001提供保障。")
+    assert triples[0]["relation"] == "COVERS"
+    # ontology validation drops out-of-schema edges: none here are invalid
+    assert all(t["type"] == "Insurance" for t in triples)
+
+
+def test_extractor_from_records_matches_oracle_rules():
+    from knowledge_graph_construction_ray.stages.extractor_api import (
+        DeterministicExtractor,
+    )
+
+    ex = DeterministicExtractor()
+    triples = ex.extract_triples_from_records(
+        [{"产品名称": "保X", "承保年龄": "60周岁以上", "产品描述": "保高血压"}],
+        "insurance",
+    )
+    assert ("Insurance:保X", "TARGETS_POPULATION", "Population:老年人") in triples
+    assert ("Insurance:保X", "COVERS_DISEASE", "Disease:高血压") in triples
+    with pytest.raises(ValueError):
+        ex.extract_triples_from_records([], "bogus")
+
+
+def test_intent_parser_deterministic_and_llm_paths():
+    from knowledge_graph_construction_ray.query.understanding import (
+        is_retro_question,
+        parse_intent,
+        rewrite_query,
+    )
+
+    p = parse_intent(
+        "我65岁，想找5000元以内的养老院",
+        entity_gazetteer={"病症001": "Disease"},
+    )
+    assert p["intent"] == "nursing_home_search"
+    assert p["age"] == 65 and p["price_max"] == 5000
+    assert p["raw_query"].startswith("我65岁")
+
+    p2 = parse_intent("病症001用什么药", entity_gazetteer={"病症001": "Disease"})
+    assert p2["intent"] == "disease_query" and p2["disease"] == ["病症001"]
+
+    # M11: LLM fence-clean + parse + fallback
+    ok = parse_intent("", llm_response='```json\n{"age": 70}\n```')
+    assert ok == {"age": 70, "intent": "general_qa"}
+    assert parse_intent("", llm_response="not json{") == {"intent": "general_qa"}
+
+    # F7 retro gate + A3 rewriter fallback
+    assert is_retro_question("上面的保险哪个好")
+    assert not is_retro_question("推荐保险")
+    assert rewrite_query("原句", [("u", "a")] * 9) == "原句"
+    assert rewrite_query("原句", None, llm_response="```改写句```") == "改写句"
+
+
+def test_context_formatters_reference_semantics():
+    from knowledge_graph_construction_ray.query.context import (
+        EMPTY_CONTEXT,
+        format_context,
+        format_disease_info,
+        format_nursing_cards,
+        format_product_cards,
+    )
+
+    prof = {
+        "name": "病症X",
+        "props": {"intro": "简介文字"},
+        "symptoms": [f"s{i}" for i in range(8)],
+        "complications": [],
+        "drugs": ["d1"],
+    }
+    card = format_disease_info(prof)
+    assert "简介: 简介文字" in card
+    assert "s4" in card and "s5" not in card  # [:5] truncation
+    assert "并发症" not in card  # empty list → no line
+
+    homes = pd.DataFrame(
+        [{"name": "院A", "price": "3000", "address": "路1", "services": "x" * 150,
+          "beds": "80", "nature": None}]
+    )
+    nh = format_nursing_cards(homes, city="城北市", price_max=5000)
+    assert "x" * 100 + "..." in nh and "性质" not in nh
+
+    empty_nh = format_nursing_cards(pd.DataFrame(), city="C", price_max=1)
+    assert "未找到" in empty_nh
+
+    prods = pd.DataFrame(
+        [{"name": "保A", "category": "医疗险", "age_limit": "18-60", "desc": "y" * 80}]
+    )
+    pc_str = format_product_cards(prods, "保A")
+    assert "y" * 50 + "..." in pc_str
+
+    assert format_context([]) == EMPTY_CONTEXT
+    assert format_context(["a", "", "b"]) == "a\nb"
+
+
+def test_ontology_registry_accessors():
+    from knowledge_graph_construction_ray.schema import RECORD_ONTOLOGY, TEXT_ONTOLOGY
+
+    assert "Disease" in RECORD_ONTOLOGY.get_entity_types()
+    assert RECORD_ONTOLOGY.validate_edge("Disease", "HAS_SYMPTOM", "Symptom")
+    assert not RECORD_ONTOLOGY.validate_edge("Drug", "HAS_SYMPTOM", "Symptom")
+    assert TEXT_ONTOLOGY.get_relationship_types() == [
+        "ALLOWS_AGE", "COVERS", "EXCLUDES", "REFUSES_DISEASE"
+    ]
+    assert RECORD_ONTOLOGY.get_entity_props("Population") == ("name",)
+
+
+def test_tolerant_json_reader_pipeline(ray_session, tmp_path):
+    import json
+
+    from knowledge_graph_construction_ray.sources.readers import read_json_tolerant
+
+    good = tmp_path / "a.jsonl"
+    good.write_text('{"x": 1}\nBROKEN LINE\n{"x": 2}\n', encoding="utf-8")
+    whole = tmp_path / "b.json"
+    whole.write_text('[{"x": 3}, {"x": 4}]', encoding="utf-8")
+    out = read_json_tolerant(str(tmp_path)).to_pandas()
+    xs = sorted(json.loads(r)["x"] for r in out["record_json"])
+    assert xs == [1, 2, 3, 4]  # bad line skipped, both file shapes parsed
+
+
+def test_append_csv_sink(tmp_path):
+    from knowledge_graph_construction_ray.sources.readers import append_csv
+
+    p = tmp_path / "out.csv"
+    append_csv(pd.DataFrame({"a": [1]}), str(p))
+    append_csv(pd.DataFrame({"a": [2]}), str(p))
+    back = pd.read_csv(p)
+    assert list(back["a"]) == [1, 2]  # header written exactly once
+
+
+def test_seeded_sample_and_new_queries(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        kg_label_counts,
+        t1_seeded_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = t1_seeded_sample(sf)
+    b = t1_seeded_sample(sf)
+    assert list(a["p_partkey"]) == list(b["p_partkey"]) and len(a) == 20
+    counts = kg_label_counts(sf)
+    assert counts.loc[counts["label"] == "NursingHome", "n_nodes"].iloc[0] == 47
