@@ -80,6 +80,11 @@ def _process_partition(ckpt_dir: str):
         for _, row in batch.iterrows():
             pid, path, fp = row["pid"], row["path"], json.loads(row["fp"])
             t0 = time.perf_counter()
+            # chaos/test hook: slow each partition down so kill tests can
+            # interrupt a run between per-partition commits
+            slowdown = float(os.environ.get("KG_EXTRACT_SLOWDOWN", "0"))
+            if slowdown:
+                time.sleep(slowdown)
             table = pq.read_table(path)
             elements = extract_elements(table)
             # local combiner before the shuffle-phase write
