@@ -170,6 +170,10 @@ class GraphOracle:
     def build_from_docs(self, docs: Iterable[dict[str, Any]]) -> "GraphOracle":
         """Process a span-doc corpus in reference order: kinds in SRC_RANK
         order, docs within a kind in doc_id order."""
+        docs = list(docs)
+        unknown = {doc_kind(d["doc_id"]) for d in docs} - set(SRC_RANK)
+        if unknown:
+            raise ValueError(f"unknown doc kind(s): {sorted(unknown)}")
         ordered = sorted(
             docs, key=lambda d: (SRC_RANK[doc_kind(d["doc_id"])], d["doc_id"])
         )

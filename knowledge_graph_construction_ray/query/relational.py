@@ -625,6 +625,30 @@ def kg_fixture_triples(sf_dir: str):
     return build_triples(docs).sort(["subj", "pred", "obj"]).to_pandas()
 
 
+def j4_native_hash_join(sf_dir: str):
+    """J: Ray Data's native hash-partitioned ``Dataset.join`` (both sides
+    shuffled on the key — the large⋈large path, vs the broadcast path of
+    j2/j3 for small dimension sides)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=8)
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.less(t["c_custkey"], 200)), batch_format="pyarrow"
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"], blocks=2)
+    joined = cust.join(
+        nation, join_type="inner", num_partitions=8,
+        on=("c_nationkey",), right_on=("n_nationkey",),
+    )
+    return (
+        joined.select_columns(["c_custkey", "n_name"]).sort("c_custkey").to_pandas()
+    )
+
+
+J4_SQL = """
+SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey < 200 ORDER BY c_custkey
+"""
+
+
 def m1_part_projection(sf_dir: str):
     """M1-style projection: filter + column select + computed upper()."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size", "p_retailprice"])
@@ -803,6 +827,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
     "kg_fixture_triples": (kg_fixture_triples, None),
+    "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
     "m1_part_projection": (m1_part_projection, M1_SQL),
     "f5_truncate_names": (f5_truncate_names, F5_SQL),
     "f8_concat_cards": (f8_concat_cards, F8_SQL),

@@ -122,8 +122,15 @@ def _tagged_props(
     )
 
 
-def extract_elements(batch: pa.Table) -> pa.Table:
-    """The M1-M6 kernel: one docs batch → one elements batch."""
+def extract_elements(batch: pa.Table, strict: bool = True) -> pa.Table:
+    """The M1-M6 kernel: one docs batch → one elements batch.
+
+    ``strict=True`` (default) fails fast on malformed docs whose identity
+    span (``name``/``名称``/``产品名称``) is missing — the reference would
+    silently drop the whole 1000-record Cypher batch on such rows
+    (neo4j_loader.py:278-282); silent data loss is incompatible with the
+    P/R gate, so we surface it.  ``strict=False`` emits null-name rows for
+    inspection pipelines."""
     batch = batch.combine_chunks()
     doc_ids = batch.column("doc_id")
     if isinstance(doc_ids, pa.ChunkedArray):
@@ -136,6 +143,7 @@ def extract_elements(batch: pa.Table) -> pa.Table:
     kind_np = pc.list_element(split, 0).to_numpy(zero_copy_only=False)
     seq_np = pc.cast(pc.list_element(split, 1), pa.int64()).to_numpy()
 
+    doc_np = doc_ids.to_numpy(zero_copy_only=False)
     parent = pc.list_parent_indices(spans).to_numpy()
     flat = spans.flatten()
     flat_kind = flat.field("kind").to_numpy(zero_copy_only=False)
@@ -150,13 +158,13 @@ def extract_elements(batch: pa.Table) -> pa.Table:
         rank = SRC_RANK[kind]
 
         if kind == "disease":
-            _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank)
+            _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np)
         elif kind == "medicine":
-            _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank)
+            _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np)
         elif kind == "nursing_home":
             _extract_nursing(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank)
         elif kind == "insurance":
-            _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank)
+            _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np)
         elif kind == "policy_text":
             _extract_policy(out, span_in, flat_kind, flat_text, parent, seq_np, rank)
         else:
@@ -188,7 +196,18 @@ def _list_edges(
         out.edge("Disease", src, rel, dst_label, dst, rank, int(seq))
 
 
-def _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank):
+def _check_names(strict: bool, names, sel, doc_np) -> None:
+    """Fail fast on identity-less records (see extract_elements docstring);
+    nursing homes are exempt — blank 名称 rows are silently dropped by the
+    reference itself (neo4j_loader.py:193-195)."""
+    if not strict:
+        return
+    bad = [str(doc_np[i]) for i in sel if names[i] is None]
+    if bad:
+        raise ValueError(f"docs missing identity span: {bad[:10]}")
+
+
+def _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np):
     sel = np.nonzero(is_doc)[0]
     if not len(sel):
         return
@@ -197,6 +216,7 @@ def _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np,
         for k in DISEASE.prop_kinds + ("cure_dept",)
     }
     names = scat["name"]
+    _check_names(strict, names, sel, doc_np)
     for i in sel:
         seq = int(seq_np[i])
         out.node(
@@ -214,7 +234,7 @@ def _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np,
     _list_edges(out, "neopathy", "HAS_COMPLICATION", "Disease", names, span_in, flat_kind, flat_text, parent, seq_np, rank)
 
 
-def _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank):
+def _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np):
     sel = np.nonzero(is_doc)[0]
     if not len(sel):
         return
@@ -222,6 +242,7 @@ def _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np
         k: _scatter(ndocs, span_in, flat_kind, flat_text, parent, k)
         for k in MEDICINE.prop_kinds
     }
+    _check_names(strict, scat["name"], sel, doc_np)
     for i in sel:
         seq = int(seq_np[i])
         out.node(
@@ -251,7 +272,7 @@ def _extract_nursing(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np,
         out.node("NursingHome", name.strip(), _tagged_props(out_keys, values, rank, seq), rank, seq)
 
 
-def _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank):
+def _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np):
     sel = np.nonzero(is_doc)[0]
     if not len(sel):
         return
@@ -259,6 +280,7 @@ def _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_n
         k: _scatter(ndocs, span_in, flat_kind, flat_text, parent, k)
         for k in INSURANCE.prop_kinds
     }
+    _check_names(strict, scat["产品名称"], sel, doc_np)
     out_keys = tuple(INSURANCE.prop_rename[k] for k in INSURANCE.prop_kinds)
     for i in sel:
         name = scat["产品名称"][i]
