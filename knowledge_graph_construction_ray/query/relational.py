@@ -386,6 +386,40 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_sliding(sf_dir: str):
+    """Sliding window: per event, count of the same user's events in the
+    preceding hour (inclusive).  Partition by key, sort by time within the
+    group, two-pointer sweep — the map_groups sliding-window pattern."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        es = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        lo = np.searchsorted(es, es - 3_600_000_000, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "n_last_hour": (np.arange(len(es)) - lo + 1).astype("int64"),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(window, batch_format="pandas")
+        .sort("event_id")
+        .to_pandas()
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph ops over driver data (k-hop on the order graph)
 # ---------------------------------------------------------------------------
@@ -815,6 +849,7 @@ QUERIES: dict[str, tuple] = {
     "f2_dirty_cast": (f2_dirty_cast, F2_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "j5_khop_parts": (j5_khop_parts, J5_SQL),
     "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

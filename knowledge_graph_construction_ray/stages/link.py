@@ -111,9 +111,17 @@ def _group_pairs(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_canonical_map(merged_elements) -> dict[tuple[str, str], str]:
+def build_canonical_map(
+    merged_elements,
+    alias_map: dict[str, str] | None = None,
+) -> dict[tuple[str, str], str]:
     """Distributed candidate gen + groupby, then driver-side union-find over
-    the (sparse) pair set → {(label, variant_name): canonical_name}."""
+    the (sparse) pair set → {(label, variant_name): canonical_name}.
+
+    ``alias_map`` is the explicit normalization dictionary the reference
+    plans (e.g. 原发性高血压→高血压, Documents/2.13优化方向.md:38): variant →
+    canonical surface pairs, applied to every label whose graph contains
+    the variant (broadcast seed pairs for the union-find)."""
     pairs = (
         merged_elements.map_batches(_candidates_batch, batch_format="pyarrow")
         .groupby(["label", "key"])
@@ -126,6 +134,21 @@ def build_canonical_map(merged_elements) -> dict[tuple[str, str], str]:
             uf.union((label, canon), (label, variant))
             members.add((label, canon))
             members.add((label, variant))
+    if alias_map:
+        # seed explicit alias pairs for labels where the variant exists
+        present: dict[str, set[str]] = {}
+        for batch in merged_elements.iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            nodes = batch[batch["kind"] == "node"]
+            wanted = nodes["name"].isin(set(alias_map) | set(alias_map.values()))
+            for label, name in zip(nodes["label"][wanted], nodes["name"][wanted]):
+                present.setdefault(name, set()).add(label)
+        for variant, canon in alias_map.items():
+            for label in present.get(variant, set()):
+                uf.union((label, canon), (label, variant))
+                members.add((label, canon))
+                members.add((label, variant))
     mapping: dict[tuple[str, str], str] = {}
     for rep, cluster in uf.clusters().items():
         # cluster representative: own-normal-form name, shortest, lexicographic
@@ -181,7 +204,8 @@ def _remap_batch(mapping: dict[tuple[str, str], str]):
 
 
 def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
-                          salted: bool = False):
+                          salted: bool = False,
+                          alias_map: dict[str, str] | None = None):
     """D5: cluster surface variants, remap nodes + both edge endpoints, then
     re-run the merge fold to collapse renamed duplicates exactly.
 
@@ -190,7 +214,7 @@ def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
     variant of a hot name lands on ONE key), which is exactly where salting
     pays (north_star's salted canonicalization shuffle).  Correct because
     the fold is commutative (per-key lineage tags)."""
-    mapping = build_canonical_map(merged_elements)
+    mapping = build_canonical_map(merged_elements, alias_map=alias_map)
     if not mapping:
         return merged_elements
     remapped = merged_elements.map_batches(

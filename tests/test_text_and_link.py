@@ -105,3 +105,29 @@ def test_canonicalization_merges_surface_variants(ray_session, fixture_corpus, o
     pred = triples_set(edges_to_triples(edges))
     p, r = precision_recall(pred, oracle_graph.triples())
     assert p >= 0.95 and r >= 0.95
+
+
+def test_alias_map_canonicalization(ray_session, fixture_corpus):
+    """Explicit alias dictionary (the reference's planned 原发性X→X map)
+    seeds the union-find; transitivity with surface-variant rules holds."""
+    from knowledge_graph_construction_ray.merge import merge_elements
+    from knowledge_graph_construction_ray.pipelines.kg import extract
+    from knowledge_graph_construction_ray.stages.link import canonicalize_elements
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    merged = merge_elements(extract(docs)).materialize()
+    canon = canonicalize_elements(
+        merged, alias_map={"病症902": "病症000"}
+    ).materialize()
+    df = canon.to_pandas()
+    names = set(df[df["kind"] == "node"]["name"])
+    assert "病症902" not in names and "病症000" in names
+    # the alias variant's edges were remapped too
+    edges = df[df["kind"] == "edge"]
+    assert not (edges["dst_name"] == "病症902").any()
+    # alias for a variant NOT in the graph is a no-op
+    canon2 = canonicalize_elements(merged, alias_map={"不存在的名字": "病症000"})
+    n_before = int((merged.to_pandas()["kind"] == "node").sum())
+    n_after = int((canon2.to_pandas()["kind"] == "node").sum())
+    # only the suffix-variant merge (恶性肿瘤-重度) applies, as without alias_map
+    assert n_after == n_before - 1
