@@ -191,13 +191,27 @@ def cluster_pairs(pairs: "list[tuple]") -> dict:
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.5):
     """Full near-dup pipeline → pandas DataFrame (doc_id, cluster_rep) for
-    every doc that belongs to a near-dup cluster."""
+    every doc that belongs to a near-dup cluster.
+
+    Only CANDIDATE docs' texts ever reach the driver for the exact-Jaccard
+    verification (broadcast id-set semi-join) — the candidate set is sparse
+    by LSH construction, while the corpus is not."""
     cand = minhash_candidate_pairs(docs_ds).to_pandas()
-    texts = {}
-    for b in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=65536, batch_format="pandas"
-    ):
-        texts.update(zip(b["doc_id"], b["text"]))
+    if cand.empty:  # empty Ray results drop their schema
+        return pd.DataFrame(columns=["doc_id", "cluster_rep"])
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+    texts: dict = {}
+    if cand_ids:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        id_set = pa.array(cand_ids)
+        hits = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=id_set)),
+            batch_format="pyarrow",
+        )
+        for b in hits.iter_batches(batch_size=65536, batch_format="pandas"):
+            texts.update(zip(b["doc_id"], b["text"]))
     verified = verify_pairs_jaccard(cand, texts, threshold)
     mapping = cluster_pairs(list(zip(verified["a"], verified["b"])))
     return pd.DataFrame(
@@ -232,25 +246,67 @@ def simhash_kernel(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def simhash_candidates(docs_ds, max_hamming: int = 3):
-    """SimHash near-dup candidates via the block-permutation trick: group on
-    each 16-bit block; docs within Hamming ≤ 3 of each other must collide
-    in at least one of the 4 blocks (pigeonhole)."""
-    sh = docs_ds.map_batches(simhash_kernel, batch_format="pandas")
+def _simhash_band_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Explode each signature into 4 (blk, block_val, doc_id, simhash)
+    rows for the distributed block-collision shuffle."""
     frames = []
-    sh_df = sh.to_pandas()  # signatures table: 1 row/doc, small relative to text
     for blk in range(4):
-        g = sh_df.groupby(f"block{blk}")
-        for _, grp in g:
-            if len(grp) > 1:
-                ids = sorted(set(grp["doc_id"]))
-                hashes = dict(zip(grp["doc_id"], grp["simhash"]))
-                for i in range(len(ids) - 1):
-                    for j in range(i + 1, len(ids)):
-                        d = int(hashes[ids[i]]) ^ int(hashes[ids[j]])
-                        if bin(d).count("1") <= max_hamming:
-                            frames.append((ids[i], ids[j]))
-    return sorted(set(frames))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "blk": blk,
+                    "block_val": df[f"block{blk}"],
+                    "doc_id": df["doc_id"],
+                    "simhash": df["simhash"],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
+    """SimHash near-dup candidates via the block-permutation trick: docs
+    within Hamming ≤ 3 must share at least one of the 4 16-bit blocks
+    (pigeonhole).  The block collision check is a distributed shuffle on a
+    coarse hash bucket of (blk, block_val) — only multi-member collision
+    groups are visited in Python; only the (sparse) verified pairs reach
+    the driver."""
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df.duplicated(subset=["blk", "block_val"], keep=False)
+        df = df[dup]
+        out_a, out_b = [], []
+        for _, g in df.groupby(["blk", "block_val"], sort=False):
+            ids = sorted(set(zip(g["doc_id"], g["simhash"])))
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    d = int(ids[i][1]) ^ int(ids[j][1])
+                    if bin(d).count("1") <= max_hamming:
+                        out_a.append(ids[i][0])
+                        out_b.append(ids[j][0])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    sh = docs_ds.map_batches(simhash_kernel, batch_format="pandas")
+    bands = sh.map_batches(_simhash_band_rows, batch_format="pandas")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["block_val"], index=False).to_numpy()
+        df["_bucket"] = (h * 31 + df["blk"].to_numpy()) % num_buckets
+        return df
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if pairs.empty:  # empty Ray results drop their schema
+        return []
+    return sorted(set(zip(pairs["a"], pairs["b"])))
 
 
 # ---------------------------------------------------------------------------
