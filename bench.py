@@ -86,6 +86,30 @@ def bench_kg(num_cpus: int) -> dict:
     }
 
 
+def bench_mentions(num_cpus: int) -> dict:
+    """Actor-pool text stage at scale: gazetteer mention detection over the
+    whole bench corpus (broadcast dict, compiled-once alternation, pool
+    sized to the node)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.fixtures import (
+        disease_records,
+        insurance_records,
+    )
+    from knowledge_graph_construction_ray.stages.text import detect_mentions
+
+    gaz = {r["name"]: "Disease" for r in disease_records()}
+    gaz.update({r["产品名称"]: "Insurance" for r in insurance_records()})
+    docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=max(16, num_cpus * 2))
+    t0 = time.perf_counter()
+    n = detect_mentions(
+        docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=512
+    ).count()
+    wall = time.perf_counter() - t0
+    return {"mentions": int(n), "sec": round(wall, 3),
+            "docs_per_sec": round(_ensure_corpus() / wall, 1)}
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "j2_segment_revenue",
@@ -138,7 +162,9 @@ def run_once() -> dict:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     kg = bench_kg(NUM_CPUS)
+    mentions = bench_mentions(NUM_CPUS)
     queries = bench_queries()
+    queries["kg_mention_detection"] = mentions["sec"]
     result = {
         "metric": "kg_build_wall_sec (docs->extract->merge->materialize, "
         f"x{KG_REPLICATE} fixture corpus)",
@@ -148,6 +174,7 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "kg": kg,
+        "mentions": mentions,
     }
     ray.shutdown()
     return result
