@@ -1,0 +1,104 @@
+"""CLI entry point — the `ray job submit` surface of the engine.
+
+Mirrors the reference's script entry points (``python -m
+src.kg_construction.neo4j_loader`` and ``python
+src/kg_construction/text_graph_builder.py``) as one resumable command:
+
+    python -m knowledge_graph_construction_ray build \
+        --input /data/docs_parts --work /data/kg_work [--canonicalize] [--salted]
+    python -m knowledge_graph_construction_ray metrics --work /data/kg_work
+    python -m knowledge_graph_construction_ray triples --work /data/kg_work --out /data/triples
+
+``build`` is the checkpointed runner: per-partition commits, lineage,
+metrics; re-running after a kill resumes without reprocessing completed
+partitions.  This module owns a Ray session ONLY when none exists (driver
+contract: under `ray job submit` or the test harness the session already
+exists and is left untouched).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> bool:
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    return True
+
+
+def cmd_build(args: argparse.Namespace) -> dict:
+    from .state.checkpoint import run_checkpointed
+
+    return run_checkpointed(
+        args.input,
+        args.work,
+        canonicalize=args.canonicalize,
+        salted=args.salted,
+        num_buckets=args.num_buckets,
+    )
+
+
+def cmd_metrics(args: argparse.Namespace) -> list:
+    from .state.checkpoint import read_metrics
+
+    return read_metrics(args.work)
+
+
+def cmd_triples(args: argparse.Namespace) -> dict:
+    import ray.data as rd
+
+    from .materialize import edges_to_triples
+
+    edges = rd.read_parquet(f"{args.work}/graph/edges")
+    triples = edges_to_triples(edges)
+    triples.write_parquet(args.out)
+    return {"out": args.out, "triples": triples.count()}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="knowledge_graph_construction_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="checkpointed KG build (resumable)")
+    b.add_argument("--input", required=True, help="directory of docs parquet partitions")
+    b.add_argument("--work", required=True, help="work dir (ckpt/ + graph/)")
+    b.add_argument("--canonicalize", action="store_true")
+    b.add_argument("--salted", action="store_true")
+    b.add_argument("--num-buckets", type=int, default=64)
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("metrics", help="print per-partition metrics")
+    m.add_argument("--work", required=True)
+    m.set_defaults(fn=cmd_metrics)
+
+    t = sub.add_parser("triples", help="export (subj, pred, obj) triples")
+    t.add_argument("--work", required=True)
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=cmd_triples)
+
+    args = parser.parse_args(argv)
+    owned = args.command != "metrics" and _ensure_ray()
+    try:
+        print(json.dumps(args.fn(args), ensure_ascii=False))
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
