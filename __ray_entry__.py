@@ -17,16 +17,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline: build the knowledge graph (extract → upsert/dedup
-    shuffle → canonicalize → sorted materialization) over the deterministic
-    span-doc corpus plus a mention-detection pass over the sf0.001 driver
-    documents; returns the canonical (subj, pred, obj) triples Dataset."""
+    """Flagship pipeline over sf0.001: the driver documents table is
+    span-encoded into the doc-table contract and unioned with the
+    deterministic fixture corpus (which carries the record kinds the
+    TPC-H-ish tables don't), then the full KG build runs — extract →
+    upsert/dedup shuffle → canonicalization → sorted materialization —
+    returning the canonical (subj, pred, obj) triples Dataset."""
     from knowledge_graph_construction_ray.fixtures import generate_corpus
     from knowledge_graph_construction_ray.pipelines.kg import build_triples
+    from knowledge_graph_construction_ray.query.relational import _documents_as_docs
     from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
 
-    docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
-    return build_triples(docs, canonicalize=True)
+    fixture = from_arrow_docs(generate_corpus(), override_num_blocks=8)
+    driver_docs = _documents_as_docs("/root/testdata/sf0.001", id_offset=500_000)
+    return build_triples(fixture.union(driver_docs), canonicalize=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -467,9 +467,10 @@ MENTION_GAZETTEER = {"customer": "Entity", "window": "Entity",
                      "stream": "Entity", "vector": "Entity"}
 
 
-def _documents_as_docs(sf_dir: str):
+def _documents_as_docs(sf_dir: str, id_offset: int = 0):
     """documents table → span-doc Dataset (doc_id 'policy_text:NNNNNN', one
-    clause span per text) — the driver-data path through the span codec."""
+    clause span per text) — the driver-data path through the span codec.
+    ``id_offset`` keeps doc ids disjoint when unioned with other corpora."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def encode(t: pa.Table) -> pa.Table:
@@ -477,7 +478,7 @@ def _documents_as_docs(sf_dir: str):
 
         ids, span_lists = [], []
         for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ids.append(f"policy_text:{i:06d}")
+            ids.append(f"policy_text:{i + id_offset:06d}")
             span_lists.append(
                 [{"kind": "clause", "text": text, "media_ref": "", "offset": 0}]
             )
