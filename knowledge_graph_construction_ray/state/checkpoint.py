@@ -87,8 +87,11 @@ def _process_partition(ckpt_dir: str):
                 time.sleep(slowdown)
             table = pq.read_table(path)
             elements = extract_elements(table)
+            raw = elements.to_pandas()
+            # hot keys BEFORE the combiner fold — the actual skew signal
+            hot_raw = raw["merge_key"].value_counts().head(5)
             # local combiner before the shuffle-phase write
-            folded = fold_frame(elements.to_pandas())
+            folded = fold_frame(raw)
             edir = Path(ckpt_dir) / "elements"
             edir.mkdir(parents=True, exist_ok=True)
             tmp = edir / f".part-{pid}.tmp.parquet"
@@ -104,7 +107,7 @@ def _process_partition(ckpt_dir: str):
             os.replace(tmp, final)  # atomic data commit
             wall = time.perf_counter() - t0
             doc_ids = table.column("doc_id").to_pylist()
-            hot = folded["merge_key"].value_counts().head(5)
+            hot = hot_raw
             lineage = {
                 "pid": pid,
                 "input": fp,
