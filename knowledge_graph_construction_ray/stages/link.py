@@ -85,11 +85,15 @@ def _candidates_batch(batch: pa.Table) -> pa.Table:
 
 
 def _group_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """One (label, key) surface-form group → (canonical, variant) pairs.
+    """A bucket of surface-form rows → (canonical, variant) pairs.
 
-    A group links only if it contains a *self* member (a node whose own
-    normal form is the key); the canonical is the self member closest to the
-    key (exact match preferred, then shortest, then lexicographic)."""
+    A (label, key) group links only if it contains a *self* member (a node
+    whose own normal form is the key); the canonical is the self member
+    closest to the key (exact match preferred, then shortest, then
+    lexicographic).  Singleton groups — the overwhelming majority — are
+    dropped vectorized before the per-group Python loop."""
+    dup = df.duplicated(subset=["label", "key"], keep=False)
+    df = df[dup]
     out_label, out_canon, out_variant = [], [], []
     for (label, key), g in df.groupby(["label", "key"], sort=False):
         names = list(dict.fromkeys(g["name"]))
@@ -122,10 +126,24 @@ def build_canonical_map(
     plans (e.g. 原发性高血压→高血压, Documents/2.13优化方向.md:38): variant →
     canonical surface pairs, applied to every label whose graph contains
     the variant (broadcast seed pairs for the union-find)."""
+    # shuffle on a COARSE hash bucket of (label, key): one vectorized
+    # reduce per bucket instead of one Python dispatch per surface form
+    # (at graph scale the surface-form groupby has ~|nodes| groups)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
+        hl = pd.util.hash_pandas_object(df["label"], index=False).to_numpy()
+        df["_bucket"] = (h * 31 + hl) % 64
+        return df
+
     pairs = (
         merged_elements.map_batches(_candidates_batch, batch_format="pyarrow")
-        .groupby(["label", "key"])
-        .map_groups(_group_pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: _group_pairs(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
     )
     uf = UnionFind()
     members: set[tuple[str, str]] = set()
