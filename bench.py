@@ -31,7 +31,20 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 KG_REPLICATE = int(os.environ.get("KG_BENCH_REPLICATE", "1000"))
-KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}.parquet"
+
+
+def _corpus_version() -> str:
+    """Cache key includes the fixture-generator source hash so a cached
+    /tmp corpus from an older code revision can never be silently reused."""
+    import hashlib
+
+    import knowledge_graph_construction_ray.fixtures as fx
+
+    with open(fx.__file__, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:10]
+
+
+KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}_{_corpus_version()}.parquet"
 KG_OUT = "/tmp/kg_bench_out"
 
 

@@ -386,6 +386,63 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table pipeline — broadcast semi-join on the
+    customer segment, native hash join orders⋈lineitem, revenue aggregate
+    per order, global top-10.  One composed pipeline, two join styles."""
+    import ray
+
+    from ..functions.groupby import bucketed_agg
+
+    cust = pd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(building)
+
+    def orders_filter(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        keys = _cache.get("k")
+        if keys is None:
+            keys = _cache["k"] = ray.get(keys_ref)
+        return df[df["o_custkey"].isin(keys)][["o_orderkey"]]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_filter, batch_format="pandas"
+    )
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df[["l_orderkey", "revenue"]]
+
+    joined = lineitem.map_batches(revenue, batch_format="pandas").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = bucketed_agg(joined, ["l_orderkey"], {"revenue": ("revenue", "sum")})
+    out = (
+        agg.sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+        .rename(columns={"l_orderkey": "o_orderkey"})
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out[["o_orderkey", "revenue"]]
+
+
+Q3_SQL = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def events_sliding(sf_dir: str):
     """Sliding window: per event, count of the same user's events in the
     preceding hour (inclusive).  Partition by key, sort by time within the
@@ -864,6 +921,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, None),
     "kg_fixture_triples": (kg_fixture_triples, None),
     "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "m1_part_projection": (m1_part_projection, M1_SQL),
     "f5_truncate_names": (f5_truncate_names, F5_SQL),
     "f8_concat_cards": (f8_concat_cards, F8_SQL),
