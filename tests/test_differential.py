@@ -1,0 +1,109 @@
+"""Differential fuzzing: seeded random corpora (all record kinds, random
+missing fields, duplicate names, random rule-keyword hits, interleaved
+media) run through BOTH the Ray pipeline and the single-process oracle —
+outputs must be identical.  Catches semantics drift the fixed fixture
+corpus can't."""
+
+import json
+import random
+
+import pyarrow as pa
+import pytest
+
+from knowledge_graph_construction_ray.schema import DOCS_SCHEMA, make_doc_id
+from knowledge_graph_construction_ray.spanenc import encode_record
+
+
+def random_corpus(seed: int) -> pa.Table:
+    rng = random.Random(seed)
+    doc_ids, span_lists = [], []
+
+    def emit(kind, idx, rec, key=""):
+        doc_ids.append(make_doc_id(kind, idx))
+        span_lists.append(encode_record(kind, rec, doc_key=key or str(idx)))
+
+    disease_names = [f"随症{rng.randrange(12):02d}" for _ in range(rng.randrange(4, 14))]
+    for i, name in enumerate(disease_names):
+        rec = {"name": name}
+        for f in ("icd_code", "intro", "get_prob", "easy_get", "get_way",
+                  "cause", "prevent", "nursing", "treat_detail"):
+            if rng.random() < 0.7:
+                rec[f] = f"{f}值{rng.randrange(100)}"
+        if rng.random() < 0.3:
+            rec["cure_dept"] = rng.choice(["  ", "", f"随科{rng.randrange(3)}"])
+        for lf, pool in (("symptom", "随兆"), ("drug", "随药"), ("neopathy", "随症")):
+            if rng.random() < 0.8:
+                rec[lf] = [f"{pool}{rng.randrange(12):02d}" for _ in range(rng.randrange(1, 4))]
+        emit("disease", i, rec)
+
+    for i in range(rng.randrange(3, 10)):
+        rec = {"name": f"随药{rng.randrange(12):02d}"}
+        for f in ("category_code", "subcategory_name", "dosage", "reimbursement_category",
+                  "sheet", "category_name"):
+            if rng.random() < 0.6:
+                rec[f] = f"{f}{rng.randrange(50)}"
+        emit("medicine", i, rec)
+
+    for i in range(rng.randrange(2, 8)):
+        rec = {
+            "名称": rng.choice(["   ", f"随院{rng.randrange(9):02d}", f" 随院{rng.randrange(9):02d} "]),
+            "城市": f"随城{rng.randrange(3)}",
+            "价格(元/月)": rng.choice(["3000", "价格面议"]),
+        }
+        if rng.random() < 0.5:
+            rec["地址"] = f"路{rng.randrange(99)}号"
+        emit("nursing_home", i, rec)
+
+    for i in range(rng.randrange(2, 8)):
+        rec = {
+            "产品名称": f"随保{rng.randrange(9):02d}号",
+            "承保年龄": rng.choice(["18-55周岁", "出生满30天-60周岁", "面向老年群体", "0-160周岁"]),
+        }
+        if rng.random() < 0.8:
+            rec["产品描述"] = "".join(
+                rng.sample(["平稳保障。", "涵盖高血压。", "糖尿病可保。", "癌症可赔。",
+                            "恶性肿瘤覆盖。", "意外保障。"], k=rng.randrange(1, 4))
+            )
+        emit("insurance", i, rec)
+
+    for j in range(rng.randrange(1, 5)):
+        ins = f"随保{rng.randrange(9):02d}号"
+        clauses = []
+        for _ in range(rng.randrange(1, 6)):
+            clauses.append(rng.choice([
+                f"{ins}对随症{rng.randrange(12):02d}提供保障。",
+                f"{ins}的投保年龄为{rng.randrange(70)}-{70 + rng.randrange(20)}周岁。",
+                f"{ins}不承保既往症{rng.randrange(3)}。",
+                f"{ins}拒保随症{rng.randrange(12):02d}。",
+                "本条款内容仅供参考。",
+            ]))
+        emit("policy_text", j, {"title": f"随条款{j}", "clauses": clauses})
+
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": span_lists}, schema=DOCS_SCHEMA
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23, 42, 99])
+def test_pipeline_equals_oracle_on_random_corpus(ray_session, seed):
+    from knowledge_graph_construction_ray.oracle import GraphOracle
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+
+    corpus = random_corpus(seed)
+    oracle = GraphOracle().build_from_docs(corpus.to_pylist())
+    nodes, edges = build_graph(
+        from_arrow_docs(corpus, override_num_blocks=4),
+        salted=bool(seed % 2),  # alternate fold strategies
+    )
+    ndf = nodes.to_pandas()
+    expected = oracle.nodes_table().to_pandas()
+    assert list(ndf["label"]) == list(expected["label"]), f"seed={seed}"
+    assert list(ndf["name"]) == list(expected["name"]), f"seed={seed}"
+    for got, exp in zip(ndf["props"], expected["props"]):
+        assert json.loads(got) == json.loads(exp), f"seed={seed}"
+    got_edges = {
+        (r.src_label, r.src_name, r.rel, r.dst_label, r.dst_name)
+        for r in edges.to_pandas().itertuples()
+    }
+    assert got_edges == set(oracle.edges), f"seed={seed}"
