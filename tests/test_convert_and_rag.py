@@ -1,0 +1,104 @@
+"""Migration converters (raw reference-shaped inputs → docs table) and the
+retrieval orchestrator."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_converters_reference_shapes_to_graph(ray_session):
+    from knowledge_graph_construction_ray.sources.convert import (
+        build_docs_table,
+        diseases_json_to_records,
+        insurance_json_to_records,
+        medicines_json_to_records,
+        nursing_csv_to_records,
+        policy_text_to_records,
+    )
+
+    diseases = diseases_json_to_records(
+        '[{"name": "迁症01", "symptom": ["迁兆01"], "cure_dept": "迁科"}]\n'
+    )
+    medicines = medicines_json_to_records(
+        {
+            "西药部分": {"categories": [], "medicines": [{"name": "迁药01", "dosage": "1片"}]},
+            "协议西药": {"medicines": [{"name": "迁药01", "category_code": "X9"}]},
+        }
+    )
+    assert [m["sheet"] for m in medicines] == ["西药部分", "协议西药"]
+    nursing = nursing_csv_to_records(
+        "﻿城市,名称,性质,床位,价格(元/月),特色服务,地址\n"
+        "迁城,迁院01,民办,80,4000,护理,路1号\n"
+        "迁城,   ,民办,10,100,无,路2号\n"
+    )
+    insurance = insurance_json_to_records(
+        '[{"产品名称": "迁保01号", "承保年龄": "60周岁以上", "产品描述": "保高血压"}]'
+    )
+    policy = policy_text_to_records("迁条款\n迁保01号对迁症01提供保障。\n\n本条款仅供参考。\n")
+
+    docs = build_docs_table(
+        diseases=diseases, medicines=medicines, nursing_homes=nursing,
+        insurances=insurance, policy_texts=policy,
+    )
+    assert docs.num_rows == 1 + 2 + 2 + 1 + 1
+
+    # the converted corpus flows through the unchanged pipeline
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+
+    nodes, edges = build_graph(from_arrow_docs(docs))
+    ndf, edf = nodes.to_pandas(), edges.to_pandas()
+    by_label = ndf.groupby("label")["name"].apply(set).to_dict()
+    # duplicate medicine across sheets upserted into ONE Drug node
+    assert by_label["Drug"] == {"迁药01"}
+    # blank-name nursing row dropped
+    assert by_label["NursingHome"] == {"迁院01"}
+    triples = {
+        (r.src_label, r.src_name, r.rel, r.dst_label, r.dst_name)
+        for r in edf.itertuples()
+    }
+    assert ("Insurance", "迁保01号", "TARGETS_POPULATION", "Population", "老年人") in triples
+    assert ("Insurance", "迁保01号", "COVERS_DISEASE", "Disease", "高血压") in triples
+    assert ("Insurance", "迁保01号", "COVERS", "Disease", "迁症01") in triples  # from policy text
+    assert ("Disease", "迁症01", "BELONGS_TO_DEPT", "Department", "迁科") in triples
+
+
+def test_empty_converter_inputs():
+    from knowledge_graph_construction_ray.sources.convert import (
+        build_docs_table,
+        policy_text_to_records,
+    )
+
+    assert build_docs_table().num_rows == 0
+    assert policy_text_to_records("   \n  \n") == []
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session, fixture_corpus):
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+
+    nodes, edges = build_graph(from_arrow_docs(fixture_corpus, override_num_blocks=8))
+    return nodes.materialize(), edges.materialize()
+
+
+def test_retrieve_orchestration(graph):
+    from knowledge_graph_construction_ray.query.rag import retrieve
+    from knowledge_graph_construction_ray.query.understanding import parse_intent
+
+    nodes, edges = graph
+    q = parse_intent("我65岁，有恶性肿瘤，预算16000元找养老院",
+                     entity_gazetteer={"恶性肿瘤": "Disease"})
+    ctx = retrieve(q, nodes, edges)
+    assert "【推荐保险】针对 恶性肿瘤" in ctx  # J2 recs
+    assert "【适老保险】" in ctx  # J3 (age 65 + 3 targeting products)
+    assert "【养老机构推荐】" in ctx  # F1/F2 cards
+
+    # empty-result fallback
+    from knowledge_graph_construction_ray.query.rag import EMPTY_CONTEXT
+
+    ctx2 = retrieve(parse_intent("讲个笑话"), nodes, edges)
+    assert ctx2 == EMPTY_CONTEXT
+
+    # F7 logic lock: retro-question gets no fresh context
+    ctx3 = retrieve(parse_intent("上面的保险哪个好"), nodes, edges)
+    assert ctx3 == ""
