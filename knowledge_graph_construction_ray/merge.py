@@ -49,11 +49,20 @@ except ImportError:  # pragma: no cover
 DEFAULT_NUM_BUCKETS = 64
 
 
+def _tag_order(tag: list) -> tuple:
+    """Total order over property tags: lineage first, then the value itself
+    as a deterministic tie-break.  Real extraction never produces two tags
+    with equal (rank, seq) but different values (one props row per key per
+    doc), but the fold must be commutative under ANY input — found by the
+    hypothesis split-commutativity property."""
+    return (tag[0], tag[1], tag[2] is not None, "" if tag[2] is None else str(tag[2]))
+
+
 def _merge_tagged(acc: dict, nxt: dict) -> dict:
-    """Per-key max-by-(rank, seq) merge of tagged property maps."""
+    """Per-key max-by-total-order merge of tagged property maps."""
     for key, tag in nxt.items():
         cur = acc.get(key)
-        if cur is None or (tag[0], tag[1]) >= (cur[0], cur[1]):
+        if cur is None or _tag_order(tag) >= _tag_order(cur):
             acc[key] = tag
     return acc
 
