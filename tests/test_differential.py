@@ -107,3 +107,47 @@ def test_pipeline_equals_oracle_on_random_corpus(ray_session, seed):
         for r in edges.to_pandas().itertuples()
     }
     assert got_edges == set(oracle.edges), f"seed={seed}"
+
+
+def test_canonicalize_idempotent(ray_session, fixture_corpus):
+    """canonicalize(canonicalize(x)) == canonicalize(x): remapping reaches a
+    fixpoint (no canonical name itself maps onward)."""
+    from knowledge_graph_construction_ray.merge import merge_elements
+    from knowledge_graph_construction_ray.pipelines.kg import extract
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+    from knowledge_graph_construction_ray.stages.link import (
+        build_canonical_map,
+        canonicalize_elements,
+    )
+
+    merged = merge_elements(
+        extract(from_arrow_docs(fixture_corpus, override_num_blocks=4))
+    ).materialize()
+    once = canonicalize_elements(merged).materialize()
+    # fixpoint: a second pass finds nothing to merge
+    assert build_canonical_map(once) == {}
+    twice = canonicalize_elements(once)
+    a = once.to_pandas().sort_values("merge_key").reset_index(drop=True)
+    b = twice.to_pandas().sort_values("merge_key").reset_index(drop=True)
+    assert list(a["merge_key"]) == list(b["merge_key"])
+
+
+def test_single_kind_corpora(ray_session):
+    """A corpus containing only ONE record kind flows through the full
+    pipeline (no cross-kind assumptions)."""
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+    from knowledge_graph_construction_ray.spanenc import encode_docs_table
+
+    meds = encode_docs_table(
+        "medicine",
+        [{"name": f"独药{i}", "dosage": "1片"} for i in range(5)]
+        + [{"name": "独药0"}],  # null-deletion on the duplicate
+    )
+    nodes, edges = build_graph(from_arrow_docs(meds))
+    ndf = nodes.to_pandas()
+    assert len(ndf) == 5 and edges.count() == 0
+    import json
+
+    dup = json.loads(ndf[ndf["name"] == "独药0"]["props"].iloc[0])
+    assert "dosage" not in dup  # later null deleted it
