@@ -102,3 +102,17 @@ def test_retrieve_orchestration(graph):
     # F7 logic lock: retro-question gets no fresh context
     ctx3 = retrieve(parse_intent("上面的保险哪个好"), nodes, edges)
     assert ctx3 == ""
+
+
+def test_retrieve_insurance_intent_branch(graph):
+    from knowledge_graph_construction_ray.query.rag import retrieve
+
+    nodes, edges = graph
+    q = {"intent": "insurance_query", "raw_query": "推荐个保险", "disease": []}
+    ctx = retrieve(q, nodes, edges, generic_keywords=["号"])
+    assert "【保险产品库】" in ctx and "【产品】" in ctx
+    # reference keyword lists hit nothing on the synthetic corpus → falls
+    # through to the empty-context fallback
+    from knowledge_graph_construction_ray.query.rag import EMPTY_CONTEXT
+
+    assert retrieve(q, nodes, edges) == EMPTY_CONTEXT
