@@ -84,7 +84,7 @@ def random_corpus(seed: int) -> pa.Table:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 11, 23, 42, 99])
+@pytest.mark.parametrize("seed", [3, 7, 11, 23, 42, 57, 73, 99, 123, 201])
 def test_pipeline_equals_oracle_on_random_corpus(ray_session, seed):
     from knowledge_graph_construction_ray.oracle import GraphOracle
     from knowledge_graph_construction_ray.pipelines.kg import build_graph
