@@ -20,6 +20,18 @@ from typing import Mapping
 import pandas as pd
 
 
+def hash_bucket(df: pd.DataFrame, cols: list[str], num_buckets: int):
+    """Coarse shuffle bucket over one or more key columns — the single
+    definition of the bucketing used by the merge fold, the LSH band
+    shuffle, the SimHash block shuffle and the canonicalization candidate
+    shuffle (vectorized, process-independent)."""
+    h = None
+    for c in cols:
+        hc = pd.util.hash_pandas_object(df[c], index=False).to_numpy()
+        h = hc if h is None else (h * 31 + hc)
+    return h % num_buckets
+
+
 def _agg_frame(df: pd.DataFrame, keys: list[str], spec: Mapping[str, tuple[str, str]]) -> pd.DataFrame:
     return df.groupby(keys, as_index=False, sort=False).agg(
         **{out: (col, how) for out, (col, how) in spec.items()}
@@ -46,11 +58,7 @@ def bucketed_agg(
 
     def combiner(df: pd.DataFrame) -> pd.DataFrame:
         part = _agg_frame(df, keys, spec)
-        h = None
-        for k in keys:  # vectorized per-column hash, element-wise combined
-            hk = pd.util.hash_pandas_object(part[k], index=False).to_numpy()
-            h = hk if h is None else (h * 31 + hk)
-        part["_bucket"] = h % num_buckets
+        part["_bucket"] = hash_bucket(part, keys, num_buckets)
         return part
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:

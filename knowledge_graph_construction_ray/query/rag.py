@@ -67,7 +67,7 @@ def retrieve(parsed_query: dict, nodes, edges, *, seed: int = 42,
         if part:
             parts.append(part)
 
-    if intent == "nursing_home_search" or city or price_max:
+    if intent == "nursing_home_search" or city or price_max is not None:
         homes = ops.nursing_home_search(nodes, city=city, price_max=price_max)
         parts.append(format_nursing_cards(homes, city=city, price_max=price_max))
 

@@ -52,7 +52,7 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     inter = len(a & b)
-    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+    return inter / (len(a) + len(b) - inter)
 
 
 # ---------------------------------------------------------------------------
@@ -140,9 +140,10 @@ def minhash_candidate_pairs(docs_ds, num_buckets: int = 64):
     bands = docs_ds.map_batches(minhash_bands_kernel, batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.groupby import hash_bucket
+
         df = df.copy()
-        h = pd.util.hash_pandas_object(df["band_hash"], index=False).to_numpy()
-        df["_bucket"] = (h * 31 + df["band_id"].to_numpy()) % num_buckets
+        df["_bucket"] = hash_bucket(df, ["band_hash", "band_id"], num_buckets)
         return df
 
     pairs = (
@@ -290,9 +291,10 @@ def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
     bands = sh.map_batches(_simhash_band_rows, batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.groupby import hash_bucket
+
         df = df.copy()
-        h = pd.util.hash_pandas_object(df["block_val"], index=False).to_numpy()
-        df["_bucket"] = (h * 31 + df["blk"].to_numpy()) % num_buckets
+        df["_bucket"] = hash_bucket(df, ["block_val", "blk"], num_buckets)
         return df
 
     pairs = (

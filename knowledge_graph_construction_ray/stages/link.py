@@ -130,10 +130,10 @@ def build_canonical_map(
     # reduce per bucket instead of one Python dispatch per surface form
     # (at graph scale the surface-form groupby has ~|nodes| groups)
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.groupby import hash_bucket
+
         df = df.copy()
-        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
-        hl = pd.util.hash_pandas_object(df["label"], index=False).to_numpy()
-        df["_bucket"] = (h * 31 + hl) % 64
+        df["_bucket"] = hash_bucket(df, ["key", "label"], 64)
         return df
 
     pairs = (

@@ -230,7 +230,9 @@ def merge_from_checkpoint(
     if canonicalize:
         from ..stages.link import canonicalize_elements
 
-        merged = canonicalize_elements(merged)
+        merged = canonicalize_elements(
+            merged, num_buckets=num_buckets, salted=salted
+        )
     merged = merged.materialize()
     counts = (
         merged.map_batches(
