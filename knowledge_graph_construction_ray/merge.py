@@ -67,19 +67,6 @@ def _merge_tagged(acc: dict, nxt: dict) -> dict:
     return acc
 
 
-def fold_duplicate_rows(df: pd.DataFrame) -> pd.DataFrame:
-    """Fold a frame of element rows that ALL share one merge_key."""
-    first = df.iloc[0]
-    if first["kind"] == "edge":
-        return df.iloc[[0]]
-    acc: dict = {}
-    for props in df["props"]:
-        acc = _merge_tagged(acc, json.loads(props))
-    row = df.iloc[[0]].copy()
-    row["props"] = json.dumps(acc, ensure_ascii=False)
-    return row
-
-
 def _fold_real_dup_groups(real_dups: pd.DataFrame) -> pd.DataFrame:
     """Fold ALL duplicate-key groups of property-bearing node rows in one
     pass: group boundaries found on the (already key-sorted) numpy key

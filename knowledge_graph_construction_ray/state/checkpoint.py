@@ -50,7 +50,13 @@ STAGE_VERSION = 1  # bump to invalidate prior checkpoints on semantic change
 def _fingerprint(path: str) -> dict[str, Any]:
     st = os.stat(path)
     meta = pq.read_metadata(path)
-    return {"path": str(path), "bytes": st.st_size, "rows": meta.num_rows}
+    # mtime guards against same-size same-rowcount content rewrites
+    return {
+        "path": str(path),
+        "bytes": st.st_size,
+        "rows": meta.num_rows,
+        "mtime_ns": st.st_mtime_ns,
+    }
 
 
 def _lineage_path(ckpt_dir: str, pid: str) -> Path:
@@ -158,11 +164,32 @@ def list_partitions(input_dir: str) -> list[dict[str, Any]]:
     ]
 
 
+def _prune_orphans(ckpt_dir: str, live_pids: set[str]) -> int:
+    """Remove checkpoint state for partitions no longer present in the
+    input directory — otherwise their elements would feed the merge forever
+    (the pruned lineage changes the manifest hash, invalidating the merge
+    marker)."""
+    pruned = 0
+    lineage_dir = Path(ckpt_dir) / "_lineage"
+    if not lineage_dir.exists():
+        return 0
+    for p in lineage_dir.glob("part-*.json"):
+        pid = p.stem.replace("part-", "", 1)
+        if pid not in live_pids:
+            p.unlink(missing_ok=True)
+            (Path(ckpt_dir) / "elements" / f"part-{pid}.parquet").unlink(missing_ok=True)
+            (Path(ckpt_dir) / "_metrics" / f"part-{pid}.json").unlink(missing_ok=True)
+            pruned += 1
+    return pruned
+
+
 def extract_to_checkpoint(input_dir: str, ckpt_dir: str) -> dict[str, Any]:
-    """Phase A.  Returns {'total': n, 'processed': k, 'skipped': n-k}."""
+    """Phase A.  Returns {'total': n, 'processed': k, 'skipped': n-k,
+    'pruned': orphans removed}."""
     import ray.data as rd
 
     parts = list_partitions(input_dir)
+    pruned = _prune_orphans(ckpt_dir, {p["pid"] for p in parts})
     pending = [
         p for p in parts
         if not lineage_valid(ckpt_dir, p["pid"], json.loads(p["fp"]))
@@ -183,6 +210,7 @@ def extract_to_checkpoint(input_dir: str, ckpt_dir: str) -> dict[str, Any]:
         "total": len(parts),
         "processed": len(pending),
         "skipped": len(parts) - len(pending),
+        "pruned": pruned,
     }
 
 
@@ -196,7 +224,11 @@ def merge_from_checkpoint(
 ) -> dict[str, Any]:
     """Phase B: committed elements → merge shuffle → sorted nodes/edges
     parquet under ``out_dir``.  Idempotent; guarded by a done-marker that
-    records which partitions fed it (stale marker → recompute)."""
+    records which partitions fed it AND the merge options used (a stale
+    marker — changed partitions or changed options — forces a clean
+    recompute into emptied output dirs)."""
+    import shutil
+
     import ray.data as rd
 
     from ..materialize import finalize_edges, finalize_nodes
@@ -204,15 +236,20 @@ def merge_from_checkpoint(
     lineage_dir = Path(ckpt_dir) / "_lineage"
     lineage_files = sorted(lineage_dir.glob("part-*.json"))
     pids = [p.stem.replace("part-", "", 1) for p in lineage_files]
-    # the marker must key on WHAT was merged, not just which partitions: a
-    # re-extracted partition (stale input) changes its lineage record and
-    # therefore this digest
+    # the marker must key on WHAT was merged: a re-extracted partition
+    # changes its lineage record and therefore this digest, and different
+    # merge options produce a different graph from the same elements
     import hashlib
 
     digest = hashlib.sha256()
     for p in lineage_files:
         digest.update(p.read_bytes())
     manifest_hash = digest.hexdigest()
+    options = {
+        "canonicalize": canonicalize,
+        "salted": salted,
+        "num_buckets": num_buckets,
+    }
     marker = Path(out_dir) / "_SUCCESS.json"
     if marker.exists():
         try:
@@ -220,10 +257,18 @@ def merge_from_checkpoint(
             if (
                 done.get("manifest_hash") == manifest_hash
                 and done.get("stage_version") == STAGE_VERSION
+                and done.get("options") == options
             ):
                 return {**done, "skipped": True}
         except json.JSONDecodeError:
             pass
+    # clean recompute: Ray's write_parquet appends uniquely-named part
+    # files, so stale outputs must be removed first (and the stale marker,
+    # so a kill mid-rewrite can't leave a valid-looking marker over mixed
+    # outputs)
+    marker.unlink(missing_ok=True)
+    shutil.rmtree(os.path.join(out_dir, "nodes"), ignore_errors=True)
+    shutil.rmtree(os.path.join(out_dir, "edges"), ignore_errors=True)
     files = [str(Path(ckpt_dir) / "elements" / f"part-{pid}.parquet") for pid in pids]
     elements = rd.read_parquet(files)
     merged = merge_elements(elements, num_buckets=num_buckets, salted=salted)
@@ -250,6 +295,7 @@ def merge_from_checkpoint(
         "pids": pids,
         "manifest_hash": manifest_hash,
         "stage_version": STAGE_VERSION,
+        "options": options,
         "nodes": int(counts["n"]),
         "edges": int(counts["e"]),
     }

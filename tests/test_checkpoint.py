@@ -33,7 +33,7 @@ def _graph_tables(out_dir):
 def test_checkpointed_run_matches_oracle(ray_session, workdirs, oracle_graph):
     input_dir, work = workdirs
     report = run_checkpointed(input_dir, work)
-    assert report["extract"] == {"total": 6, "processed": 6, "skipped": 0}
+    assert report["extract"] == {"total": 6, "processed": 6, "skipped": 0, "pruned": 0}
     assert report["merge"]["skipped"] is False
     nodes, edges = _graph_tables(report["out_dir"])
     expected_nodes = oracle_graph.nodes_table().to_pandas()
@@ -61,7 +61,7 @@ def test_resume_skips_completed_partitions(ray_session, workdirs):
         if p.stem.replace("part-", "") not in victims
     }
     resumed = extract_to_checkpoint(input_dir, ckpt)
-    assert resumed == {"total": 6, "processed": 2, "skipped": 4}
+    assert resumed == {"total": 6, "processed": 2, "skipped": 4, "pruned": 0}
     for name, mtime in committed.items():
         assert (Path(ckpt) / "elements" / name).stat().st_mtime_ns == mtime
 
@@ -93,3 +93,62 @@ def test_per_partition_metrics_emitted(ray_session, workdirs):
     assert m["nodes_out"] + m["edges_out"] == m["elements_out"]
     assert 1 <= len(m["hot_keys"]) <= 5
     assert m["doc_id_range"][0] <= m["doc_id_range"][1]
+
+
+def test_merge_options_invalidate_marker(ray_session, workdirs):
+    """Re-running with different merge options must NOT return the cached
+    graph (the marker keys on options, not just partitions)."""
+    input_dir, work = workdirs
+    first = run_checkpointed(input_dir, work)
+    assert first["merge"]["skipped"] is False
+    again = run_checkpointed(input_dir, work, canonicalize=True, salted=True)
+    assert again["merge"]["skipped"] is False
+    assert again["merge"]["nodes"] == first["merge"]["nodes"] - 1  # variant merged
+    # same options again → cached
+    third = run_checkpointed(input_dir, work, canonicalize=True, salted=True)
+    assert third["merge"]["skipped"] is True
+
+
+def test_recompute_replaces_stale_outputs(ray_session, workdirs):
+    """A recompute must not append beside the previous run's part files."""
+    input_dir, work = workdirs
+    first = run_checkpointed(input_dir, work)
+    n1, _ = _graph_tables(first["out_dir"])
+    # force a recompute with identical data (different options)
+    second = run_checkpointed(input_dir, work, salted=True)
+    n2, e2 = _graph_tables(second["out_dir"])
+    assert len(n2) == len(n1)  # no duplicated rows from stale part files
+    assert len(e2) == second["merge"]["edges"]
+
+
+def test_removed_input_partition_is_pruned(ray_session, workdirs):
+    """Deleting an input partition removes its data from the graph on the
+    next run (orphan lineage/elements are pruned, marker invalidated)."""
+    input_dir, work = workdirs
+    first = run_checkpointed(input_dir, work)
+    victim = Path(input_dir) / "docs-00002.parquet"
+    victim.unlink()
+    second = run_checkpointed(input_dir, work)
+    assert second["extract"]["pruned"] == 1
+    assert second["extract"]["total"] == 5
+    assert second["merge"]["skipped"] is False
+    assert second["merge"]["nodes"] < first["merge"]["nodes"]
+    ckpt = Path(work) / "ckpt"
+    assert not (ckpt / "elements" / "part-docs-00002.parquet").exists()
+    assert not (ckpt / "_lineage" / "part-docs-00002.json").exists()
+
+
+def test_same_size_content_rewrite_invalidates(ray_session, workdirs):
+    """Overwriting an input partition with same-size different content
+    (mtime changes) forces reprocessing."""
+    import shutil
+    import time
+
+    input_dir, work = workdirs
+    run_checkpointed(input_dir, work)
+    src = Path(input_dir) / "docs-00000.parquet"
+    payload = src.read_bytes()
+    time.sleep(0.01)
+    src.write_bytes(payload)  # identical bytes, new mtime
+    again = extract_to_checkpoint(input_dir, str(Path(work) / "ckpt"))
+    assert again["processed"] == 1
