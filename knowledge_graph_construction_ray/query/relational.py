@@ -453,10 +453,14 @@ def events_sliding(sf_dir: str):
         df = df.sort_values(["ts", "event_id"])
         es = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         lo = np.searchsorted(es, es - 3_600_000_000, side="left")
+        # hi includes all PEER rows sharing the current timestamp — SQL's
+        # RANGE ... CURRENT ROW frame counts peers, a positional arange
+        # would not (divergence on duplicate (user, ts) pairs)
+        hi = np.searchsorted(es, es, side="right")
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(),
-                "n_last_hour": (np.arange(len(es)) - lo + 1).astype("int64"),
+                "n_last_hour": (hi - lo).astype("int64"),
             }
         )
 

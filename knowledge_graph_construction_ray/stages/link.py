@@ -167,12 +167,20 @@ def build_canonical_map(
                 uf.union((label, canon), (label, variant))
                 members.add((label, canon))
                 members.add((label, variant))
+    # explicit alias targets outrank the heuristic representative choice —
+    # otherwise alias_map={"心梗": "心肌梗死"} would invert (the shorter
+    # VARIANT would win the (len, lex) tie-break and absorb the canonical)
+    preferred = set((alias_map or {}).values())
     mapping: dict[tuple[str, str], str] = {}
     for rep, cluster in uf.clusters().items():
-        # cluster representative: own-normal-form name, shortest, lexicographic
         canonical = min(
             cluster,
-            key=lambda ln: (normalize_surface(ln[1]) != ln[1], len(ln[1]), ln[1]),
+            key=lambda ln: (
+                ln[1] not in preferred,
+                normalize_surface(ln[1]) != ln[1],
+                len(ln[1]),
+                ln[1],
+            ),
         )[1]
         for label, name in cluster:
             if name != canonical:
@@ -232,6 +240,10 @@ def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
     variant of a hot name lands on ONE key), which is exactly where salting
     pays (north_star's salted canonicalization shuffle).  Correct because
     the fold is commutative (per-key lineage tags)."""
+    # pin the input once: it is consumed up to three times (candidate
+    # pipeline, alias presence scan, remap) and would otherwise re-execute
+    # its full upstream extract+merge lineage on every pass
+    merged_elements = merged_elements.materialize()
     mapping = build_canonical_map(merged_elements, alias_map=alias_map)
     if not mapping:
         return merged_elements

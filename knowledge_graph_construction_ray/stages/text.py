@@ -135,7 +135,16 @@ class LLMTripleExtractor:
                 triples = json.loads(strip_markdown_fences(raw))
             except (json.JSONDecodeError, TypeError):
                 triples = []  # empty-result fallback (text_graph_builder.py:66-69)
+            if not isinstance(triples, list):
+                triples = []
             for t in triples:
+                # malformed items are skipped per triple, mirroring the
+                # reference's per-triple try/except (text_graph_builder.py:
+                # 89-91) — one bad item must not sink the whole batch task
+                if not isinstance(t, dict) or not (
+                    {"head", "relation", "tail", "tail_type"} <= t.keys()
+                ):
+                    continue
                 cols["doc_id"].append(doc_id)
                 cols["span_idx"].append(span_idx)
                 cols["offset"].append(offset)

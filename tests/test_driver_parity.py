@@ -95,3 +95,41 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(result)
     assert len(df) > 0
     assert sorted(df.columns) == ["obj", "pred", "subj"]
+
+
+def test_sliding_window_counts_timestamp_peers(ray_session):
+    """SQL RANGE frames count peer rows with the same ts; the Ray kernel
+    must too (two events, same user, same timestamp → both count 2)."""
+    import pandas as pd
+
+    from knowledge_graph_construction_ray.query.relational import events_sliding
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [10, 11, 12],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 02:00:00"]
+            ),
+        }
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        """
+        SELECT event_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS n_last_hour
+        FROM events ORDER BY event_id
+        """
+    ).df()
+    # run the Ray implementation over a parquet file of the crafted frame
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got2 = events_sliding(d).reset_index(drop=True)
+    assert list(got2["n_last_hour"]) == list(exp["n_last_hour"]) == [2, 2, 1]

@@ -131,3 +131,48 @@ def test_alias_map_canonicalization(ray_session, fixture_corpus):
     n_after = int((canon2.to_pandas()["kind"] == "node").sum())
     # only the suffix-variant merge (恶性肿瘤-重度) applies, as without alias_map
     assert n_after == n_before - 1
+
+
+def test_alias_map_direction_preserved(ray_session, fixture_corpus):
+    """alias_map is variant → canonical; a LONGER canonical must still win
+    the representative choice (direction must never invert)."""
+    from knowledge_graph_construction_ray.merge import merge_elements
+    from knowledge_graph_construction_ray.pipelines.kg import extract
+    from knowledge_graph_construction_ray.stages.link import canonicalize_elements
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=4)
+    merged = merge_elements(extract(docs)).materialize()
+    # canonical 病症000 is LONGER than variant 高血压? use names from the
+    # graph: map the short stub 高血压 onto the longer 病症000
+    canon = canonicalize_elements(merged, alias_map={"高血压": "病症000"})
+    names = set(canon.to_pandas().query("kind=='node'")["name"])
+    assert "高血压" not in names and "病症000" in names
+
+
+def test_llm_extractor_tolerates_malformed_shapes(ray_session):
+    from knowledge_graph_construction_ray.stages.text import LLMTripleExtractor
+
+    responses = iter([
+        '{"head": "甲", "relation": "COVERS", "tail": "乙", "tail_type": "Disease"}',  # dict not list
+        '[{"head": "甲"}, 42, {"head": "丙", "relation": "COVERS", "tail": "丁", "tail_type": "Disease"}]',
+    ])
+
+    class FlakyClient:
+        def generate(self, prompt):
+            return next(responses)
+
+    ex = LLMTripleExtractor(client_factory=FlakyClient)
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": ["policy_text:000001", "policy_text:000002"],
+            "spans": [
+                [{"kind": "clause", "text": "文一", "media_ref": "", "offset": 0}],
+                [{"kind": "clause", "text": "文二", "media_ref": "", "offset": 0}],
+            ],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    out = ex(batch).to_pylist()
+    # dict-shaped response → dropped; malformed list items skipped, the one
+    # well-formed triple survives
+    assert [t["head"] for t in out] == ["丙"]
