@@ -34,14 +34,20 @@ KG_REPLICATE = int(os.environ.get("KG_BENCH_REPLICATE", "1000"))
 
 
 def _corpus_version() -> str:
-    """Cache key includes the fixture-generator source hash so a cached
-    /tmp corpus from an older code revision can never be silently reused."""
+    """Cache key hashes every source the corpus bytes depend on (generator
+    + span codec + schemas) so a cached /tmp corpus from an older code
+    revision can never be silently reused."""
     import hashlib
 
     import knowledge_graph_construction_ray.fixtures as fx
+    import knowledge_graph_construction_ray.schema as sc
+    import knowledge_graph_construction_ray.spanenc as se
 
-    with open(fx.__file__, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()[:10]
+    h = hashlib.sha256()
+    for mod in (fx, se, sc):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
 
 
 KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}_{_corpus_version()}.parquet"
@@ -175,9 +181,15 @@ def run_once() -> dict:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     kg = bench_kg(NUM_CPUS)
-    mentions = bench_mentions(NUM_CPUS)
-    queries = bench_queries()
-    queries["kg_mention_detection"] = mentions["sec"]
+    if os.environ.get("KG_BENCH_ONLY"):
+        # scaling children: only the headline matters; skip the query
+        # suite + mention bench whose results would be discarded
+        mentions = {"sec": None}
+        queries = {}
+    else:
+        mentions = bench_mentions(NUM_CPUS)
+        queries = bench_queries()
+        queries["kg_mention_detection"] = mentions["sec"]
     result = {
         "metric": "kg_build_wall_sec (docs->extract->merge->materialize, "
         f"x{KG_REPLICATE} fixture corpus)",
@@ -197,7 +209,7 @@ def run_scaling() -> dict:
     """Same input, two fresh processes at 8 and 32 CPUs."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), KG_BENCH_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

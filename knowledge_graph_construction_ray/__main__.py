@@ -62,9 +62,11 @@ def cmd_triples(args: argparse.Namespace) -> dict:
     from .materialize import edges_to_triples
 
     edges = rd.read_parquet(f"{args.work}/graph/edges")
-    triples = edges_to_triples(edges)
-    triples.write_parquet(args.out)
-    return {"out": args.out, "triples": triples.count()}
+    edges_to_triples(edges).write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = sum(f.metadata.num_rows for f in pads.dataset(args.out).get_fragments())
+    return {"out": args.out, "triples": n}
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -35,7 +35,9 @@ def keyword_filter_kernel(col: str, keywords: Iterable[str]):
         for kw in kws:
             m = s.str.contains(kw, regex=False)
             mask = m if mask is None else (mask | m)
-        return df[mask if mask is not None else []]
+        if mask is None:  # empty keyword list → keep nothing (zero ROWS,
+            return df.iloc[0:0]  # not the zero-COLUMN frame df[[]] gives)
+        return df[mask]
 
     return kernel
 

@@ -171,6 +171,8 @@ def product_search(nodes, raw_query: str, *, seed: int = 42,
             for kw in keywords:
                 m = pc.match_substring(t["name"], kw)
                 mask = m if mask is None else pc.or_(mask, m)
+            if mask is None:  # empty keyword list → no matches
+                return t.slice(0, 0)
             return t.filter(mask)
 
         hits = (
@@ -244,6 +246,8 @@ def khop_subgraph(edges, entities: list[str], hops: int = 2,
     seen_edges: list[tuple] = []
     seen_keys: set[tuple] = set()
     for _ in range(hops):
+        if not frontier:
+            break  # nothing matched — pa.array([]) would be null-typed
         fr = sorted(frontier)
         hop = _to_pandas(
             edges.map_batches(
