@@ -69,3 +69,50 @@ def bucketed_agg(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
+    """Per-key grouped transform with ONE Python dispatch per coarse hash
+    bucket instead of one per key — the shared discipline behind the merge
+    fold, LSH band shuffle, SimHash block shuffle, canonicalization
+    candidate shuffle, sessionization and sliding windows.
+
+    ``kernel(df)`` receives one bucket (all rows of every key hashing to
+    that bucket, key columns intact, no ``_bucket`` column) and must do its
+    own *vectorized* per-key work (pandas groupby / sort + shift) — the
+    contract is that the kernel never dispatches per key in Python either.
+    Co-location guarantee: all rows of a key land in exactly one bucket.
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = hash_bucket(df, keys, num_buckets)
+        return df
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def local_topk(ds, by: list[str], k: int, *, descending: list[bool]) -> pd.DataFrame:
+    """Global top-k WITHOUT an all-to-all sort: each batch emits its local
+    top-k (the global top-k under a total order is contained in the union
+    of per-block top-ks), then the tiny union (k × blocks rows) is reduced
+    on the driver.  ``by``/``descending`` must define a total order
+    (include a tie-break key) for determinism."""
+    ascending = [not d for d in descending]
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    small = ds.map_batches(combiner, batch_format="pandas").to_pandas()
+    return (
+        small.sort_values(by, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

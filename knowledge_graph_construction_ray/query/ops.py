@@ -198,29 +198,37 @@ def nursing_home_search(nodes, *, city: str | None = None,
     dirty values (价格面议) → null → filtered out (graph_retriever.py:182-213);
     LIMIT with deterministic name order."""
 
-    def kernel(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["label"], "NursingHome"))
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # label partition + props parse + city/price predicates all run in
+        # the WORKER — only matching rows (≤ label partition, usually ≪)
+        # ever reach the driver (ADVICE r1: the label partition is
+        # unbounded in general, so the filters must ride along)
+        df = df[df["label"] == "NursingHome"]
+        props = df["props"].map(json.loads)
+        out = pd.DataFrame(
+            {
+                "name": df["name"],
+                "price": props.map(lambda p: p.get("price")),
+                "address": props.map(lambda p: p.get("address")),
+                "services": props.map(lambda p: p.get("services")),
+                "beds": props.map(lambda p: p.get("beds")),
+                "nature": props.map(lambda p: p.get("nature")),
+            }
+        )
+        if city:
+            out = out[
+                out["address"].fillna("").str.contains(city, regex=False)
+                | out["name"].str.contains(city, regex=False)
+            ]
+        if price_max is not None:
+            price_int = pd.to_numeric(out["price"], errors="coerce")  # 价格面议 → NaN
+            out = out[price_int.notna() & (price_int <= price_max)]
+        return out
 
-    rows = _to_pandas(_filter_batches(nodes, kernel), ["label", "name", "props"])
-    props = rows["props"].map(json.loads)
-    df = pd.DataFrame(
-        {
-            "name": rows["name"],
-            "price": props.map(lambda p: p.get("price")),
-            "address": props.map(lambda p: p.get("address")),
-            "services": props.map(lambda p: p.get("services")),
-            "beds": props.map(lambda p: p.get("beds")),
-            "nature": props.map(lambda p: p.get("nature")),
-        }
+    df = _to_pandas(
+        nodes.map_batches(kernel, batch_format="pandas"),
+        ["name", "price", "address", "services", "beds", "nature"],
     )
-    if city:
-        df = df[
-            df["address"].fillna("").str.contains(city, regex=False)
-            | df["name"].str.contains(city, regex=False)
-        ]
-    if price_max is not None:
-        price_int = pd.to_numeric(df["price"], errors="coerce")  # 价格面议 → NaN
-        df = df[price_int.notna() & (price_int <= price_max)]
     return df.sort_values("name").head(limit).reset_index(drop=True)
 
 

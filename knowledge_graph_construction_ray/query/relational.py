@@ -142,13 +142,13 @@ def j3_top_customers(sf_dir: str):
         df["n_name"] = df["c_nationkey"].map(nmap)
         return df[["c_custkey", "c_name", "n_name", "c_acctbal"]]
 
-    return (
-        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
-        .map_batches(attach, batch_format="pandas")
-        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
-    )
+    from ..functions.groupby import local_topk
+
+    ds = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    ).map_batches(attach, batch_format="pandas")
+    # top-10 via per-block combiner — no all-to-all sort for a LIMIT 10
+    return local_topk(ds, ["c_acctbal", "c_custkey"], 10, descending=[True, False])
 
 
 J3_SQL = """
@@ -162,20 +162,35 @@ def g1_customer_priorities(sf_dir: str):
     """G1: grouped collect-DISTINCT (the reference's collect(DISTINCT …),
     graph_retriever.py:52-54) — list rendered as a sorted joined string so
     both engines hash identically."""
+    from ..functions.groupby import bucketed_groups
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t["o_custkey"], 100)), batch_format="pyarrow"
     )
+    # combiner: per-batch distinct shrinks the shuffle to ≤ (distinct pairs
+    # per block) rows; the reduce is one Python dispatch per coarse bucket
+    # (not per customer — safe at unbounded key cardinality)
+    distinct = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "c_custkey": [df["o_custkey"].iloc[0]],
-                "priorities": [",".join(sorted(set(df["o_orderpriority"])))],
-            }
+    def collect_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates()
+            .sort_values(["o_custkey", "o_orderpriority"])
+            .groupby("o_custkey", as_index=False)["o_orderpriority"]
+            .agg(",".join)
+        )
+        return out.rename(
+            columns={"o_custkey": "c_custkey", "o_orderpriority": "priorities"}
         )
 
-    return ds.groupby("o_custkey").map_groups(collect, batch_format="pandas").sort("c_custkey").to_pandas()
+    return (
+        bucketed_groups(distinct, ["o_custkey"], collect_bucket)
+        .sort("c_custkey")
+        .to_pandas()
+    )
 
 
 G1_SQL = """
@@ -223,12 +238,12 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2
 
 
 def t2_top_orders(sf_dir: str):
-    return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
-    )
+    """T2: global top-10 via the per-block combiner (each block ships only
+    its local top-10; no all-to-all sort)."""
+    from ..functions.groupby import local_topk
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return local_topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
 
 
 T2_SQL = """
@@ -338,28 +353,34 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def events_sessions(sf_dir: str, gap_s: int = 1800):
-    """Sessionization: partition by key, sort by time within the group, cut
-    on gaps > 30 min (ordering assumption: per-user event times are what
-    they are in the table; groupby supplies per-key locality)."""
+    """Sessionization: co-locate each user's events via the coarse-bucket
+    shuffle (ONE Python dispatch per bucket, not per user — safe at
+    millions of users), then cut sessions on gaps > 30 min with a fully
+    vectorized sort + shift + cumsum kernel over the whole bucket."""
+    from ..functions.groupby import bucketed_groups
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
         es = df["ts"].astype("datetime64[us]").astype("int64")  # microseconds
-        new = (es.diff().fillna(gap_s * 10**6 + 1) > gap_s * 10**6).astype("int64")
-        sid = new.cumsum()
+        user = df["user_id"]
+        # a session starts at every user boundary or >gap jump — vectorized
+        # across ALL users in the bucket (diff across a boundary is bogus
+        # but the user-change mask overrides it)
+        new = user.ne(user.shift()) | (es.diff() > gap_s * 10**6)
+        sid_global = new.cumsum()
+        sid = sid_global - sid_global.groupby(user).transform("min") + 1
         out = (
-            pd.DataFrame({"user_id": df["user_id"], "session_id": sid, "es": es})
-            .groupby("session_id", as_index=False)
-            .agg(user_id=("user_id", "first"), n_events=("es", "size"),
-                 start_epoch=("es", "min"))
+            pd.DataFrame({"user_id": user, "session_id": sid.astype("int64"), "es": es})
+            .groupby(["user_id", "session_id"], as_index=False)
+            .agg(n_events=("es", "size"), start_epoch=("es", "min"))
         )
         out["start_epoch"] = (out["start_epoch"] // 10**6).astype("int64")
         return out[["user_id", "session_id", "n_events", "start_epoch"]]
 
     return (
-        ds.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
+        bucketed_groups(ds, ["user_id"], sessionize_bucket)
         .sort(["user_id", "session_id"])
         .to_pandas()
     )
@@ -445,28 +466,35 @@ LIMIT 10
 
 def events_sliding(sf_dir: str):
     """Sliding window: per event, count of the same user's events in the
-    preceding hour (inclusive).  Partition by key, sort by time within the
-    group, two-pointer sweep — the map_groups sliding-window pattern."""
+    preceding hour (inclusive).  Co-location via the coarse-bucket shuffle
+    (one Python dispatch per bucket); inside a bucket the kernel walks
+    user SEGMENTS of the sorted array with two numpy searchsorted calls
+    each — no pandas per-group machinery, no per-key Ray dispatch."""
+    from ..functions.groupby import bucketed_groups
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    def window_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
         es = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        lo = np.searchsorted(es, es - 3_600_000_000, side="left")
-        # hi includes all PEER rows sharing the current timestamp — SQL's
-        # RANGE ... CURRENT ROW frame counts peers, a positional arange
-        # would not (divergence on duplicate (user, ts) pairs)
-        hi = np.searchsorted(es, es, side="right")
+        codes = pd.factorize(df["user_id"], sort=False)[0]  # sorted → contiguous
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)] if len(starts) else starts
+        n = np.empty(len(codes), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = es[s:e]
+            lo = np.searchsorted(seg, seg - 3_600_000_000, side="left")
+            # hi includes all PEER rows sharing the current timestamp —
+            # SQL's RANGE ... CURRENT ROW frame counts peers, a positional
+            # arange would not (divergence on duplicate (user, ts) pairs)
+            hi = np.searchsorted(seg, seg, side="right")
+            n[s:e] = hi - lo
         return pd.DataFrame(
-            {
-                "event_id": df["event_id"].to_numpy(),
-                "n_last_hour": (hi - lo).astype("int64"),
-            }
+            {"event_id": df["event_id"].to_numpy(), "n_last_hour": n}
         )
 
     return (
-        ds.groupby("user_id")
-        .map_groups(window, batch_format="pandas")
+        bucketed_groups(ds, ["user_id"], window_bucket)
         .sort("event_id")
         .to_pandas()
     )
