@@ -905,8 +905,11 @@ def media_features(sf_dir: str):
 
 
 def ivf_topk_demo(sf_dir: str):
-    """Rows-only: IVF approximate ANN (centroid train → assign → probe)."""
-    from ..stages.embed import ivf_assign, ivf_topk, train_centroids
+    """Rows-only: IVF approximate ANN over the bucket-PARTITIONED on-disk
+    index — centroids from a distributed sample, assignments written one
+    directory per bucket, probe reads only the nprobe nearest buckets
+    (file-level I/O pruning)."""
+    from ..stages.embed import build_ivf_index, ivf_search_index
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
     q = None
@@ -915,9 +918,11 @@ def ivf_topk_demo(sf_dir: str):
         if len(hit):
             q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
             break
-    cents = train_centroids(ds, n_centroids=8)
-    assigned = ivf_assign(ds, cents).materialize()
-    out = ivf_topk(assigned, cents, q, k=10, nprobe=4).to_pandas()
+    import zlib
+
+    index_dir = f"/tmp/kg_ivf_index_{zlib.crc32(sf_dir.encode()):08x}"
+    build_ivf_index(ds, index_dir, n_centroids=8)
+    out = ivf_search_index(index_dir, q, k=10, nprobe=4).to_pandas()
     return out[["vec_id"]].astype({"vec_id": "int64"})
 
 

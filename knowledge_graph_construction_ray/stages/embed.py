@@ -74,13 +74,39 @@ def brute_force_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(embeddings_ds, n_centroids: int = 16, iters: int = 5,
-                    sample_limit: int = 4096, vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic mini k-means on a bounded head sample (seeded — no
-    wall-clock, no RNG: initial centroids are the first n distinct rows)."""
+def sample_vectors(embeddings_ds, target_n: int = 65536,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Deterministic DISTRIBUTED sample of ~``target_n`` rows: every block
+    keeps the rows whose hashed id falls under target_n/total — unbiased
+    across the whole table (a ``limit(n)`` head sample sees only the first
+    file and trains centroids on whatever sorted prefix lives there).
+    Returned sorted by id for run-to-run determinism."""
+    total = embeddings_ds.count()
+    take = embeddings_ds.select_columns([id_col, vec_col])
+    if total > target_n:
+        cutoff = np.uint64(int((target_n / total) * (1 << 64)))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+            return df[h.astype(np.uint64) < cutoff]
+
+        take = take.map_batches(pick, batch_format="pandas")
+    return take.to_pandas().sort_values(id_col).reset_index(drop=True)
+
+
+def train_centroids(embeddings_ds, n_centroids: int | None = 16, iters: int = 5,
+                    sample_limit: int = 65536, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic mini k-means over a distributed hash-sample (no
+    wall-clock, no RNG: initial centroids are the first n rows of the
+    id-sorted sample).  ``n_centroids=None`` sizes the codebook to
+    ~sqrt(n) — the standard IVF rule of thumb."""
+    if n_centroids is None:
+        n_centroids = max(16, int(np.sqrt(max(embeddings_ds.count(), 1))))
     sample = _matrix(
-        embeddings_ds.limit(sample_limit).to_pandas()[vec_col]
+        sample_vectors(embeddings_ds, sample_limit, id_col=id_col, vec_col=vec_col)[vec_col]
     )
+    n_centroids = min(n_centroids, len(sample))
     cents = sample[:n_centroids].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)
@@ -120,7 +146,9 @@ def ivf_assign(embeddings_ds, centroids: np.ndarray,
 def ivf_topk(assigned_ds, centroids: np.ndarray, query_vec: np.ndarray,
              k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Approximate top-k probing only the ``nprobe`` nearest buckets."""
+    """Approximate top-k probing only the ``nprobe`` nearest buckets of an
+    in-memory assigned Dataset (row filter — no I/O pruning; prefer the
+    partitioned on-disk index via build_ivf_index / ivf_search_index)."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(centroids @ q))
@@ -128,6 +156,58 @@ def ivf_topk(assigned_ds, centroids: np.ndarray, query_vec: np.ndarray,
     probed = assigned_ds.filter(
         expr=f"ivf_bucket in {sorted(probe)}"
     )
+    return brute_force_topk(probed, q[None, :], k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivf_index(embeddings_ds, index_dir: str, *,
+                    n_centroids: int | None = None, iters: int = 5,
+                    sample_limit: int = 65536,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Materialize an IVF index as bucket-PARTITIONED parquet: train
+    centroids on a distributed sample, assign every vector in one
+    vectorized pass, and write one directory per ``ivf_bucket`` so a probe
+    only READS nprobe/ncentroids of the files (I/O pruning, not a row
+    filter over everything).  Centroids persist next to the data; rebuild
+    is a clean overwrite.  Returns the centroid matrix."""
+    import os
+    import shutil
+
+    cents = train_centroids(
+        embeddings_ds, n_centroids=n_centroids, iters=iters,
+        sample_limit=sample_limit, vec_col=vec_col, id_col=id_col,
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    assigned = ivf_assign(embeddings_ds, cents, id_col=id_col, vec_col=vec_col)
+    assigned.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), cents)
+    return cents
+
+
+def ivf_search_index(index_dir: str, query_vec: np.ndarray, *,
+                     k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Query a partitioned IVF index: rank centroids, read ONLY the
+    ``nprobe`` nearest bucket directories, brute-force within them.
+    Probe cost scales with nprobe/ncentroids of the data touched."""
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ q))
+    import glob
+
+    files: list[str] = []
+    for b in order[:nprobe]:
+        d = os.path.join(index_dir, f"ivf_bucket={int(b)}")
+        if os.path.isdir(d):  # empty buckets have no directory
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not files:
+        return rd.from_items([])
+    probed = rd.read_parquet(files)
     return brute_force_topk(probed, q[None, :], k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -164,11 +244,119 @@ def lsh_bucket_kernel(n_planes: int = 16, vec_col: str = "embedding"):
     return kernel
 
 
+def lsh_candidate_pairs(embeddings_ds, *, n_tables: int = 12, n_planes: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        num_buckets: int = 64):
+    """Distributed embedding near-dup candidates: ``n_tables`` independent
+    hyperplane sign-hashes of ``n_planes`` bits each (banding — one table's
+    collision suffices), shuffled on a coarse hash bucket of (table,
+    bucket_key), pair-expanded by a C-speed self-merge, deduped in the
+    shuffle.  Returns Dataset[a, b] with a < b."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+    from .dedupe import _group_pairs
+
+    def keys_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        m = _matrix(df[vec_col])
+        planes = _hyperplanes(m.shape[1], n_tables * n_planes)
+        bits = (m @ planes.T) > 0  # (batch, tables*planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        frames = []
+        for t in range(n_tables):
+            sl = bits[:, t * n_planes : (t + 1) * n_planes]
+            key = (sl * weights).sum(axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {"table_id": t, "bucket_key": key, "doc_id": df[id_col]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    rows = embeddings_ds.map_batches(keys_kernel, batch_format="pandas")
+    pairs = bucketed_groups(
+        rows,
+        ["bucket_key", "table_id"],
+        lambda g: _group_pairs(g, ["table_id", "bucket_key"]),
+        num_buckets=num_buckets,
+    )
+    return bucketed_agg(pairs, ["a", "b"], {"_n": ("a", "size")}).drop_columns(["_n"])
+
+
+def verify_cosine_pairs(pairs_ds, embeddings_ds, threshold: float, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        num_partitions: int | None = None):
+    """Attach both vectors to every candidate pair (two shuffle joins) and
+    verify exact cosine inside ``map_batches`` → Dataset[a, b, cosine] of
+    pairs ≥ threshold.  Nothing but verified pairs leaves the workers.
+
+    Vectors ride through the join as fixed-width float64 BYTES — Arrow's
+    hash join rejects list-typed non-key payload columns."""
+    from .dedupe import attach_pair_payloads
+
+    def to_binary(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "vecbin": [
+                    np.asarray(v, dtype=np.float64).tobytes() for v in df[vec_col]
+                ],
+            }
+        )
+
+    payload = embeddings_ds.map_batches(to_binary, batch_format="pandas")
+    with_vecs = attach_pair_payloads(
+        pairs_ds, payload, id_col=id_col, payload_col="vecbin",
+        num_partitions=num_partitions,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": df["a"], "b": df["b"], "cosine": np.zeros(0)})
+        ma = _matrix([np.frombuffer(b, dtype=np.float64) for b in df["vecbin_a"]])
+        mb = _matrix([np.frombuffer(b, dtype=np.float64) for b in df["vecbin_b"]])
+        cos = (ma * mb).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep],
+                "b": df["b"].to_numpy()[keep],
+                "cosine": np.round(cos[keep], 6),
+            }
+        )
+
+    return with_vecs.map_batches(verify, batch_format="pandas")
+
+
+def cosine_pairs_lsh(embeddings_ds, threshold: float, *,
+                     n_tables: int = 12, n_planes: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """The scale path for embedding near-dup: LSH-table candidates →
+    distributed exact-cosine verify → (sorted) verified pair frame.
+    Approximate by construction: recall is the banding probability
+    1-(1-p^planes)^tables with p = 1 - θ/π — size tables/planes to the
+    threshold (defaults target cos ≳ 0.9)."""
+    cand = lsh_candidate_pairs(
+        embeddings_ds, n_tables=n_tables, n_planes=n_planes,
+        id_col=id_col, vec_col=vec_col,
+    )
+    out = verify_cosine_pairs(
+        cand, embeddings_ds, threshold, id_col=id_col, vec_col=vec_col
+    ).to_pandas()
+    if out.empty:  # empty Ray results drop their schema
+        return pd.DataFrame(columns=["a", "b", "cosine"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def cosine_pairs(embeddings_ds, threshold: float,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
-    """Exact all-pairs cosine ≥ threshold (a < b).  The matrix is broadcast
-    whole — the small-side baseline; use LSH buckets + per-bucket verify
-    when the table outgrows one worker's memory."""
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 max_exact: int = 20_000) -> pd.DataFrame:
+    """All-pairs cosine ≥ threshold (a < b).  Dispatches on input size:
+    ≤ ``max_exact`` rows → exact driver matmul (the test oracle); larger →
+    the distributed LSH bucket → verify pipeline (``cosine_pairs_lsh``),
+    which is approximate per its banding recall."""
+    if embeddings_ds.count() > max_exact:
+        return cosine_pairs_lsh(
+            embeddings_ds, threshold, id_col=id_col, vec_col=vec_col
+        )
     df = embeddings_ds.select_columns([id_col, vec_col]).to_pandas()
     ids = df[id_col].to_numpy()
     order = np.argsort(ids)

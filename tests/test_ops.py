@@ -222,3 +222,83 @@ def test_curation_pipeline(ray_session, fixture_corpus):
     assert len(out) == 24
     assert list(out["id"]) == list(range(1, 25))
     assert all(("中" in e) or ("老" in e) for e in out["easy_get"])
+
+
+def test_cosine_lsh_superset_of_exact_at_high_threshold(ray_session):
+    """The LSH bucket → distributed verify path must find every exact pair
+    at a threshold its banding recall covers (near-identical vectors)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    # 3 well-separated base directions, 4 near-copies each (cos ≥ ~0.999)
+    rng = np.random.RandomState(7)
+    rows = []
+    for c in range(3):
+        base = rng.randn(32)
+        base /= np.linalg.norm(base)
+        for r in range(4):
+            v = base + 0.01 * rng.randn(32)
+            rows.append({"vec_id": c * 10 + r, "embedding": v.tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+    exact = cosine_pairs(ds, 0.98)
+    approx = cosine_pairs_lsh(ds, 0.98)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    approx_set = set(zip(approx["a"], approx["b"]))
+    assert exact_set  # the fixture does produce near-dup pairs
+    assert approx_set >= exact_set
+    # verify stage is exact → no false positives either
+    assert approx_set == exact_set
+
+
+def test_ivf_partitioned_index_prunes_and_recalls(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.limit(1).to_pandas()["embedding"].iloc[0], dtype=np.float64)
+    exact = set(brute_force_topk(ds, q[None, :], k=10).to_pandas()["vec_id"])
+
+    index_dir = str(tmp_path / "ivf")
+    cents = build_ivf_index(ds, index_dir, n_centroids=8)
+    # one directory per non-empty bucket + persisted centroids
+    buckets = [d for d in os.listdir(index_dir) if d.startswith("ivf_bucket=")]
+    assert 1 < len(buckets) <= 8
+    assert os.path.exists(os.path.join(index_dir, "_centroids.npy"))
+
+    # exhaustive probe == exact
+    full = set(ivf_search_index(index_dir, q, k=10, nprobe=8).to_pandas()["vec_id"])
+    assert full == exact
+    # pruned probe reads a strict subset of bucket dirs yet keeps recall
+    some = set(ivf_search_index(index_dir, q, k=10, nprobe=3).to_pandas()["vec_id"])
+    assert len(some & exact) >= 5
+
+
+def test_train_centroids_samples_beyond_head(ray_session):
+    """The distributed sample must draw from the whole id range, not the
+    first file/block (head bias trains centroids on a sorted prefix)."""
+    from knowledge_graph_construction_ray.stages.embed import sample_vectors
+    import ray.data as rd
+
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [np.eye(4)[i % 4].tolist() for i in range(n)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    sample = sample_vectors(ds, target_n=500)
+    ids = sample["vec_id"].to_numpy()
+    assert 200 <= len(ids) <= 1000  # hash cut lands near the target
+    assert ids.max() > n * 0.8 and ids.min() < n * 0.2  # spans the range
