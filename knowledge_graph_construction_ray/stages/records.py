@@ -18,6 +18,7 @@ regex triple extraction for policy text.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 import numpy as np
@@ -47,46 +48,107 @@ def edge_merge_key(sl: str, sn: str, rel: str, dl: str, dn: str) -> str:
 
 
 class _Out:
-    """Column accumulator for the unified elements batch."""
+    """Column accumulator for the unified elements batch.
+
+    Emission is BATCHED: callers hand over whole arrays per doc-kind and
+    each of the 12 columns grows by one ``list.extend`` — the per-element
+    ``append`` fan-out was the dominant UDF cost of the headline pipeline
+    (round-1 profile: ~37% of kernel time in node()/edge() appends)."""
 
     def __init__(self) -> None:
         self.cols: dict[str, list[Any]] = {name: [] for name in ELEMENTS_SCHEMA.names}
 
-    def node(self, label: str, name: str, props: str, rank: int, seq: int) -> None:
+    def nodes(self, label: str, names, props, rank: int, seqs) -> None:
+        n = len(names)
+        if not n:
+            return
         c = self.cols
-        c["kind"].append("node")
-        c["label"].append(label)
-        c["name"].append(name)
-        c["props"].append(props)
-        c["src_label"].append(None)
-        c["src_name"].append(None)
-        c["rel"].append(None)
-        c["dst_label"].append(None)
-        c["dst_name"].append(None)
-        c["src_rank"].append(rank)
-        c["seq"].append(seq)
-        c["merge_key"].append(node_merge_key(label, name))
+        c["kind"].extend(["node"] * n)
+        c["label"].extend([label] * n)
+        c["name"].extend(names)
+        c["props"].extend(props)
+        none = [None] * n
+        c["src_label"].extend(none)
+        c["src_name"].extend(none)
+        c["rel"].extend(none)
+        c["dst_label"].extend(none)
+        c["dst_name"].extend(none)
+        c["src_rank"].extend([rank] * n)
+        c["seq"].extend(seqs)
+        c["merge_key"].extend([f"N{SEP}{label}{SEP}{nm}" for nm in names])
 
-    def edge(
-        self, sl: str, sn: str, rel: str, dl: str, dn: str, rank: int, seq: int
-    ) -> None:
+    def nodes_multilabel(self, labels, names, props, rank: int, seqs) -> None:
+        n = len(names)
+        if not n:
+            return
         c = self.cols
-        c["kind"].append("edge")
-        c["label"].append(None)
-        c["name"].append(None)
-        c["props"].append(None)
-        c["src_label"].append(sl)
-        c["src_name"].append(sn)
-        c["rel"].append(rel)
-        c["dst_label"].append(dl)
-        c["dst_name"].append(dn)
-        c["src_rank"].append(rank)
-        c["seq"].append(seq)
-        c["merge_key"].append(edge_merge_key(sl, sn, rel, dl, dn))
-        # edge endpoints are MERGE-created stubs (outer-join-with-create,
-        # neo4j_loader.py:126-147) — emit a bare node row for the dst; the
-        # src stub is emitted by callers that have no props row for it.
-        self.node(dl, dn, "{}", rank, seq)
+        c["kind"].extend(["node"] * n)
+        c["label"].extend(labels)
+        c["name"].extend(names)
+        c["props"].extend(props)
+        none = [None] * n
+        c["src_label"].extend(none)
+        c["src_name"].extend(none)
+        c["rel"].extend(none)
+        c["dst_label"].extend(none)
+        c["dst_name"].extend(none)
+        c["src_rank"].extend([rank] * n)
+        c["seq"].extend(seqs)
+        c["merge_key"].extend(
+            [f"N{SEP}{l}{SEP}{nm}" for l, nm in zip(labels, names)]
+        )
+
+    def edges(self, sl: str, sns, rel: str, dl: str, dns, rank: int, seqs) -> None:
+        """Edge rows + the dst MERGE-created stub nodes (outer-join-with-
+        create, neo4j_loader.py:126-147); src stubs are emitted by callers
+        that have no props row for them."""
+        n = len(sns)
+        if not n:
+            return
+        c = self.cols
+        c["kind"].extend(["edge"] * n)
+        none = [None] * n
+        c["label"].extend(none)
+        c["name"].extend(none)
+        c["props"].extend(none)
+        c["src_label"].extend([sl] * n)
+        c["src_name"].extend(sns)
+        c["rel"].extend([rel] * n)
+        c["dst_label"].extend([dl] * n)
+        c["dst_name"].extend(dns)
+        c["src_rank"].extend([rank] * n)
+        c["seq"].extend(seqs)
+        c["merge_key"].extend(
+            [f"E{SEP}{sl}{SEP}{s}{SEP}{rel}{SEP}{dl}{SEP}{d}" for s, d in zip(sns, dns)]
+        )
+        self.nodes(dl, dns, ["{}"] * n, rank, seqs)
+
+    def edges_multi(self, sls, sns, rels, dls, dns, rank: int, seqs) -> None:
+        """Fully array-typed edge emit (policy-text triples: every field
+        varies per row) + dst stub nodes."""
+        n = len(sns)
+        if not n:
+            return
+        c = self.cols
+        c["kind"].extend(["edge"] * n)
+        none = [None] * n
+        c["label"].extend(none)
+        c["name"].extend(none)
+        c["props"].extend(none)
+        c["src_label"].extend(sls)
+        c["src_name"].extend(sns)
+        c["rel"].extend(rels)
+        c["dst_label"].extend(dls)
+        c["dst_name"].extend(dns)
+        c["src_rank"].extend([rank] * n)
+        c["seq"].extend(seqs)
+        c["merge_key"].extend(
+            [
+                f"E{SEP}{a}{SEP}{b}{SEP}{r}{SEP}{x}{SEP}{y}"
+                for a, b, r, x, y in zip(sls, sns, rels, dls, dns)
+            ]
+        )
+        self.nodes_multilabel(dls, dns, ["{}"] * n, rank, seqs)
 
     def table(self) -> pa.Table:
         return pa.Table.from_pydict(self.cols, schema=ELEMENTS_SCHEMA)
@@ -120,6 +182,41 @@ def _tagged_props(
         {k: [rank, seq, v] for k, v in zip(keys, values)},
         ensure_ascii=False,
     )
+
+
+_NEEDS_JSON_ESC = re.compile(r'[\x00-\x1f"\\]')
+
+
+def _enc_json_str(v) -> str:
+    """Byte-identical to ``json.dumps(v, ensure_ascii=False)`` for str/None
+    — the fast path skips the encoder entirely when no escaping is needed
+    (the overwhelming majority of span texts)."""
+    if v is None:
+        return "null"
+    if _NEEDS_JSON_ESC.search(v) is None:
+        return f'"{v}"'
+    return json.dumps(v, ensure_ascii=False)
+
+
+def _tagged_props_batch(
+    keys: tuple[str, ...],
+    value_cols: list,
+    rank: int,
+    seqs,
+) -> list[str]:
+    """Vectorized ``_tagged_props`` over a doc batch: ``value_cols`` is one
+    doc-aligned array per key.  Output strings are byte-identical to the
+    per-doc ``json.dumps`` (same separators, same escaping) — asserted by
+    the fast-encoder parity pytest."""
+    encs = [[_enc_json_str(v) for v in col] for col in value_cols]
+    return [
+        "{"
+        + ", ".join(
+            f'"{k}": [{rank}, {s}, {e[i]}]' for k, e in zip(keys, encs)
+        )
+        + "}"
+        for i, s in enumerate(seqs)
+    ]
 
 
 def extract_elements(batch: pa.Table, strict: bool = True) -> pa.Table:
@@ -187,13 +284,15 @@ def _list_edges(
     rank: int,
 ) -> None:
     """One edge per element of a list field (FOREACH semantics,
-    neo4j_loader.py:126-147) — fully vectorized selection."""
+    neo4j_loader.py:126-147) — vectorized selection, one batched emit."""
     m = span_in & (flat_kind == span_kind)
     if not m.any():
         return
     p = parent[m]
-    for src, dst, seq in zip(names[p], flat_text[m], seq_np[p]):
-        out.edge("Disease", src, rel, dst_label, dst, rank, int(seq))
+    out.edges(
+        "Disease", names[p].tolist(), rel, dst_label, flat_text[m].tolist(),
+        rank, seq_np[p].tolist(),
+    )
 
 
 def _check_names(strict: bool, names, sel, doc_np) -> None:
@@ -217,18 +316,18 @@ def _extract_disease(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np,
     }
     names = scat["name"]
     _check_names(strict, names, sel, doc_np)
-    for i in sel:
-        seq = int(seq_np[i])
-        out.node(
-            "Disease",
-            names[i],
-            _tagged_props(DISEASE.prop_kinds, [scat[k][i] for k in DISEASE.prop_kinds], rank, seq),
-            rank,
-            seq,
+    seqs_sel = seq_np[sel].tolist()
+    props = _tagged_props_batch(
+        DISEASE.prop_kinds, [scat[k][sel] for k in DISEASE.prop_kinds], rank, seqs_sel
+    )
+    out.nodes("Disease", names[sel].tolist(), props, rank, seqs_sel)
+    dept = scat["cure_dept"][sel]
+    dmask = np.array([bool(d and d.strip()) for d in dept], dtype=bool)
+    if dmask.any():
+        out.edges(
+            "Disease", names[sel][dmask].tolist(), "BELONGS_TO_DEPT", "Department",
+            [d.strip() for d in dept[dmask]], rank, seq_np[sel][dmask].tolist(),
         )
-        dept = (scat["cure_dept"][i] or "").strip()
-        if dept:
-            out.edge("Disease", names[i], "BELONGS_TO_DEPT", "Department", dept, rank, seq)
     _list_edges(out, "symptom", "HAS_SYMPTOM", "Symptom", names, span_in, flat_kind, flat_text, parent, seq_np, rank)
     _list_edges(out, "drug", "TREATED_BY", "Drug", names, span_in, flat_kind, flat_text, parent, seq_np, rank)
     _list_edges(out, "neopathy", "HAS_COMPLICATION", "Disease", names, span_in, flat_kind, flat_text, parent, seq_np, rank)
@@ -243,15 +342,11 @@ def _extract_medicine(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np
         for k in MEDICINE.prop_kinds
     }
     _check_names(strict, scat["name"], sel, doc_np)
-    for i in sel:
-        seq = int(seq_np[i])
-        out.node(
-            "Drug",
-            scat["name"][i],
-            _tagged_props(MEDICINE.prop_kinds, [scat[k][i] for k in MEDICINE.prop_kinds], rank, seq),
-            rank,
-            seq,
-        )
+    seqs_sel = seq_np[sel].tolist()
+    props = _tagged_props_batch(
+        MEDICINE.prop_kinds, [scat[k][sel] for k in MEDICINE.prop_kinds], rank, seqs_sel
+    )
+    out.nodes("Drug", scat["name"][sel].tolist(), props, rank, seqs_sel)
 
 
 def _extract_nursing(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank):
@@ -263,13 +358,15 @@ def _extract_nursing(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np,
         for k in NURSING_HOME.prop_kinds
     }
     out_keys = tuple(NURSING_HOME.prop_rename[k] for k in NURSING_HOME.prop_kinds)
-    for i in sel:
-        name = scat["名称"][i]
-        if not name or not name.strip():  # blank-name rows dropped (M3)
-            continue
-        seq = int(seq_np[i])
-        values = [name.strip()] + [scat[k][i] for k in NURSING_HOME.prop_kinds[1:]]
-        out.node("NursingHome", name.strip(), _tagged_props(out_keys, values, rank, seq), rank, seq)
+    raw = scat["名称"]
+    keep = [i for i in sel if raw[i] and raw[i].strip()]  # blank-name rows dropped (M3)
+    if not keep:
+        return
+    names_k = [raw[i].strip() for i in keep]
+    seqs_k = seq_np[keep].tolist()
+    value_cols = [names_k] + [scat[k][keep] for k in NURSING_HOME.prop_kinds[1:]]
+    props = _tagged_props_batch(out_keys, value_cols, rank, seqs_k)
+    out.nodes("NursingHome", names_k, props, rank, seqs_k)
 
 
 def _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_np, ndocs, rank, strict, doc_np):
@@ -282,24 +379,29 @@ def _extract_insurance(out, is_doc, span_in, flat_kind, flat_text, parent, seq_n
     }
     _check_names(strict, scat["产品名称"], sel, doc_np)
     out_keys = tuple(INSURANCE.prop_rename[k] for k in INSURANCE.prop_kinds)
-    for i in sel:
-        name = scat["产品名称"][i]
-        seq = int(seq_np[i])
-        desc = scat["产品描述"][i]
-        desc = "" if desc is None else desc  # description defaults "" (M4)
-        values = [scat[k][i] for k in INSURANCE.prop_kinds[:-1]] + [desc]
-        out.node("Insurance", name, _tagged_props(out_keys, values, rank, seq), rank, seq)
-        # M5 rule edges (neo4j_loader.py:249-266); CONTAINS-on-null is falsy;
-        # the '60' quirk (matches 160/360周岁) is reference behavior.
-        age = scat["承保年龄"][i]
-        if age and ("老年" in age or "60" in age):
-            out.edge("Insurance", name, "TARGETS_POPULATION", "Population", "老年人", rank, seq)
-        if "高血压" in desc:
-            out.edge("Insurance", name, "COVERS_DISEASE", "Disease", "高血压", rank, seq)
-        if "糖尿病" in desc:
-            out.edge("Insurance", name, "COVERS_DISEASE", "Disease", "糖尿病", rank, seq)
-        if "癌症" in desc or "恶性肿瘤" in desc:
-            out.edge("Insurance", name, "COVERS_DISEASE", "Disease", "恶性肿瘤", rank, seq)
+    names_sel = scat["产品名称"][sel]
+    seqs_arr = seq_np[sel]
+    desc = ["" if d is None else d for d in scat["产品描述"][sel]]  # defaults "" (M4)
+    value_cols = [scat[k][sel] for k in INSURANCE.prop_kinds[:-1]] + [desc]
+    props = _tagged_props_batch(out_keys, value_cols, rank, seqs_arr.tolist())
+    out.nodes("Insurance", names_sel.tolist(), props, rank, seqs_arr.tolist())
+    # M5 rule edges (neo4j_loader.py:249-266); CONTAINS-on-null is falsy;
+    # the '60' quirk (matches 160/360周岁) is reference behavior.
+    age = scat["承保年龄"][sel]
+    elder = np.array([bool(a and ("老年" in a or "60" in a)) for a in age], dtype=bool)
+    if elder.any():
+        out.edges(
+            "Insurance", names_sel[elder].tolist(), "TARGETS_POPULATION",
+            "Population", ["老年人"] * int(elder.sum()), rank, seqs_arr[elder].tolist(),
+        )
+    for kws, dis in ((("高血压",), "高血压"), (("糖尿病",), "糖尿病"),
+                     (("癌症", "恶性肿瘤"), "恶性肿瘤")):
+        mask = np.array([any(kw in d for kw in kws) for d in desc], dtype=bool)
+        if mask.any():
+            out.edges(
+                "Insurance", names_sel[mask].tolist(), "COVERS_DISEASE",
+                "Disease", [dis] * int(mask.sum()), rank, seqs_arr[mask].tolist(),
+            )
 
 
 def _extract_policy(out, span_in, flat_kind, flat_text, parent, seq_np, rank):
@@ -309,11 +411,17 @@ def _extract_policy(out, span_in, flat_kind, flat_text, parent, seq_np, rank):
     if not m.any():
         return
     p = parent[m]
+    types, heads, rels, tail_types, tails, seqs = [], [], [], [], [], []
     for text, seq in zip(flat_text[m], seq_np[p]):
+        s = int(seq)
         for t in clause_triples(text):
-            # head has no props row of its own → emit its stub too
-            out.node(t["type"], t["head"], "{}", rank, int(seq))
-            out.edge(
-                t["type"], t["head"], t["relation"], t["tail_type"], t["tail"],
-                rank, int(seq),
-            )
+            types.append(t["type"])
+            heads.append(t["head"])
+            rels.append(t["relation"])
+            tail_types.append(t["tail_type"])
+            tails.append(t["tail"])
+            seqs.append(s)
+    # heads have no props row of their own → emit their stubs too (the
+    # tail stubs come from edges_multi)
+    out.nodes_multilabel(types, heads, ["{}"] * len(heads), rank, seqs)
+    out.edges_multi(types, heads, rels, tail_types, tails, rank, seqs)

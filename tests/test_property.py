@@ -114,3 +114,23 @@ def test_fold_commutative_under_arbitrary_splits(df, nsplits):
         pd.concat([fold_frame(p) for p in parts], ignore_index=True)
     )
     assert _final_props(refolded) == whole
+
+
+def test_tagged_props_batch_matches_json_dumps():
+    """The fast batched props encoder must be byte-identical to the per-doc
+    json.dumps representation, including escaping edge cases."""
+    from knowledge_graph_construction_ray.stages.records import (
+        _tagged_props,
+        _tagged_props_batch,
+    )
+
+    keys = ("a", "b", "c")
+    cols = [
+        ["plain", 'quo"te', None],
+        ["换行\n文本", "", "tab\tval"],
+        [None, "中文 text", "back\\slash\x01ctl"],
+    ]
+    seqs = [3, 7, 11]
+    batch = _tagged_props_batch(keys, cols, 2, seqs)
+    for i, s in enumerate(seqs):
+        assert batch[i] == _tagged_props(keys, [c[i] for c in cols], 2, s)
