@@ -34,12 +34,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from knowledge_graph_construction_ray.golden import write_goldens
     from knowledge_graph_construction_ray.query.relational import QUERIES
 
+    write_goldens()  # golden-parquet oracles must exist before either side runs
     return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from knowledge_graph_construction_ray.golden import write_goldens
     from knowledge_graph_construction_ray.query.relational import QUERIES
 
+    write_goldens()
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

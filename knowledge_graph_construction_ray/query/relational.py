@@ -720,16 +720,24 @@ ORDER BY 1, 2
 
 
 def dedup_minhash(sf_dir: str):
-    """Rows-only: MinHash+LSH near-dup clusters (verified in pytest against
-    exact n-gram Jaccard at small scale)."""
+    """MinHash+LSH near-dup clusters.  Oracle: golden parquet from the
+    sequential single-process reimplementation (golden.py) — the driver
+    cross-checks the DISTRIBUTED band shuffle + join verify against it."""
     from ..stages.dedupe import minhash_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup(ds, threshold=0.5)
 
 
+DEDUP_MINHASH_SQL = """
+SELECT doc_id, cluster_rep
+FROM read_parquet('/tmp/kg_oracle_golden/dedup_minhash_sf001.parquet')
+ORDER BY doc_id
+"""
+
+
 def dedup_simhash(sf_dir: str):
-    """Rows-only: SimHash Hamming-≤3 candidate pairs."""
+    """SimHash Hamming-≤3 candidate pairs (golden-parquet oracle)."""
     from ..stages.dedupe import simhash_candidates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -737,16 +745,31 @@ def dedup_simhash(sf_dir: str):
     return pd.DataFrame(pairs, columns=["a", "b"])
 
 
+DEDUP_SIMHASH_SQL = """
+SELECT a, b
+FROM read_parquet('/tmp/kg_oracle_golden/dedup_simhash_sf001.parquet')
+ORDER BY a, b
+"""
+
+
 def kg_fixture_triples(sf_dir: str):
-    """Rows-only: the flagship KG pipeline end-to-end over the deterministic
-    fixture corpus (independent of sf_dir; the sf tables carry no span
-    docs).  Gated to P/R = 1.0 vs the oracle in pytest."""
+    """The flagship KG pipeline end-to-end over the deterministic fixture
+    corpus (independent of sf_dir; the sf tables carry no span docs).
+    Oracle: golden parquet from oracle.py — the independent pure-Python
+    reference implementation behind the P/R = 1.0 gate."""
     from ..fixtures import generate_corpus
     from ..pipelines.kg import build_triples
     from ..sources.readers import from_arrow_docs
 
     docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
     return build_triples(docs).sort(["subj", "pred", "obj"]).to_pandas()
+
+
+KG_FIXTURE_TRIPLES_SQL = """
+SELECT subj, pred, obj
+FROM read_parquet('/tmp/kg_oracle_golden/fixture_triples.parquet')
+ORDER BY subj, pred, obj
+"""
 
 
 def j4_native_hash_join(sf_dir: str):
@@ -876,7 +899,8 @@ def t1_seeded_sample(sf_dir: str):
 
 
 def kg_label_counts(sf_dir: str):
-    """Rows-only: G2 label counts over the flagship KG (fixture corpus)."""
+    """G2 label counts over the flagship KG (fixture corpus); golden-parquet
+    oracle derived from oracle.py's independent node set."""
     from ..fixtures import generate_corpus
     from ..pipelines.kg import build_graph
     from ..query import ops
@@ -886,9 +910,17 @@ def kg_label_counts(sf_dir: str):
     return ops.label_counts(nodes)
 
 
+KG_LABEL_COUNTS_SQL = """
+SELECT label, n_nodes
+FROM read_parquet('/tmp/kg_oracle_golden/label_counts.parquet')
+ORDER BY label
+"""
+
+
 def media_features(sf_dir: str):
-    """Rows-only: multimodal plumbing — media spans → decode (deterministic
-    fake) → pooled features via the actor pool."""
+    """Multimodal plumbing — media spans → decode (deterministic fake) →
+    pooled features via the actor pool.  Oracle: golden parquet from the
+    sequential decoder application (golden.py)."""
     import ray.data as rd2
 
     from ..fixtures import generate_corpus
@@ -899,9 +931,20 @@ def media_features(sf_dir: str):
     )
 
     media = media_table_from_docs(generate_corpus())
-    return extract_image_features(
-        rd2.from_arrow(media), decoder=fake_image_decoder
-    ).to_pandas().drop(columns=["feature"]).sort_values("media_ref")
+    return (
+        extract_image_features(rd2.from_arrow(media), decoder=fake_image_decoder)
+        .to_pandas()
+        .drop(columns=["feature"])
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+
+
+MEDIA_FEATURES_SQL = """
+SELECT media_ref, width, height
+FROM read_parquet('/tmp/kg_oracle_golden/media_features.parquet')
+ORDER BY media_ref
+"""
 
 
 def ivf_topk_demo(sf_dir: str):
@@ -954,9 +997,9 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (text_langid, None),
     "ann_topk": (ann_topk, ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
-    "dedup_minhash": (dedup_minhash, None),
-    "dedup_simhash": (dedup_simhash, None),
-    "kg_fixture_triples": (kg_fixture_triples, None),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "kg_fixture_triples": (kg_fixture_triples, KG_FIXTURE_TRIPLES_SQL),
     "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "m1_part_projection": (m1_part_projection, M1_SQL),
@@ -964,7 +1007,7 @@ QUERIES: dict[str, tuple] = {
     "f8_concat_cards": (f8_concat_cards, F8_SQL),
     "agg_value_stats": (agg_value_stats, AGG_STATS_SQL),
     "t1_seeded_sample": (t1_seeded_sample, None),
-    "kg_label_counts": (kg_label_counts, None),
-    "media_features": (media_features, None),
+    "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
+    "media_features": (media_features, MEDIA_FEATURES_SQL),
     "ivf_topk_demo": (ivf_topk_demo, None),
 }

@@ -54,7 +54,13 @@ def con():
 def contract(ray_session):
     import __ray_entry__ as e
 
-    return e.queries(), e.oracle_sql()
+    qs, sql = e.queries(), e.oracle_sql()
+    # golden-parquet oracles track the comparison scale (the real driver
+    # compares at sf0.01; this test runs at sf0.001)
+    from knowledge_graph_construction_ray.golden import write_goldens
+
+    write_goldens(SF_DIR, force=True)
+    return qs, sql
 
 
 def _sql_checked():
