@@ -114,23 +114,28 @@ class LLMTripleExtractor:
     deterministic fake.
     """
 
-    def __init__(self, client_factory=None):
+    def __init__(self, client_factory=None, prompt_template: str | None = None):
         if client_factory is None:
             raise NotImplementedError(
                 "no LLM endpoint in this environment; inject client_factory "
                 "returning an object with .generate(prompt) -> str (JSON "
-                "triple list, possibly fenced)"
+                "triple list, possibly fenced); a recorded-response "
+                "ReplayLLMClient (stages/llm_replay.py) replays offline"
             )
         self.client = client_factory()
+        self.prompt_template = prompt_template
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
 
         from ..functions.ie_patterns import strip_markdown_fences
+        from ..functions.prompts import build_extraction_prompt
 
         cols: dict[str, list[Any]] = {n: [] for n in EXTRACTED_TRIPLES_SCHEMA.names}
         for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
-            raw = self.client.generate(text)
+            raw = self.client.generate(
+                build_extraction_prompt(text, self.prompt_template)
+            )
             try:
                 triples = json.loads(strip_markdown_fences(raw))
             except (json.JSONDecodeError, TypeError):

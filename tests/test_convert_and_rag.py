@@ -116,3 +116,78 @@ def test_retrieve_insurance_intent_branch(graph):
     from knowledge_graph_construction_ray.query.rag import EMPTY_CONTEXT
 
     assert retrieve(q, nodes, edges) == EMPTY_CONTEXT
+
+
+def test_pipeline_wired_purely_from_config(ray_session, tmp_path):
+    """SURVEY §2.10 row 3: YAML config → named inputs → reader factory →
+    span-doc Dataset → unchanged KG pipeline.  Exercises both the explicit
+    `sources:` layout and the reference-compatible `data_sources:` groups
+    (config.yaml:10-17 semantics: medical routes by filename, senior_care
+    is the nursing CSV)."""
+    d = tmp_path
+    (d / "Diseases").mkdir(); (d / "Drugs").mkdir()
+    (d / "NursingHomes").mkdir(); (d / "Insurance").mkdir()
+    (d / "Diseases/diseases.json").write_text(
+        '[{"name": "配症01", "symptom": ["配兆01"], "cure_dept": "配科"}]',
+        encoding="utf-8",
+    )
+    (d / "Drugs/medicine.json").write_text(
+        '{"西药部分": {"medicines": [{"name": "配药01", "dosage": "1片"}]}}',
+        encoding="utf-8",
+    )
+    (d / "NursingHomes/nursing_homes.csv").write_text(
+        "﻿城市,名称,性质,床位,价格(元/月),特色服务,地址\n"
+        "配城,配院01,民办,80,4000,护理,路1号\n",
+        encoding="utf-8",
+    )
+    (d / "Insurance/insurance_info.json").write_text(
+        '[{"产品名称": "配保01号", "承保年龄": "60周岁以上", "产品描述": "保高血压"}]',
+        encoding="utf-8",
+    )
+    (d / "policy.txt").write_text(
+        "配条款\n配保01号对配症01提供保障。\n", encoding="utf-8"
+    )
+    (d / "config.yaml").write_text(
+        "data_sources:\n"
+        "  medical:\n"
+        "    - Diseases/diseases.json\n"
+        "    - Drugs/medicine.json\n"
+        "  insurance:\n"
+        "    - Insurance/insurance_info.json\n"
+        "  senior_care:\n"
+        "    - NursingHomes/nursing_homes.csv\n"
+        "sources:\n"
+        "  - {kind: policy_text, path: policy.txt}\n",
+        encoding="utf-8",
+    )
+
+    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.sources.config import (
+        dataset_from_config,
+        load_pipeline_config,
+        resolve_sources,
+    )
+
+    cfg = load_pipeline_config(str(d / "config.yaml"))
+    kinds = [k for k, _p in resolve_sources(cfg, str(d))]
+    assert sorted(kinds) == [
+        "disease", "insurance", "medicine", "nursing_home", "policy_text"
+    ]
+
+    docs = dataset_from_config(str(d / "config.yaml"), override_num_blocks=2)
+    nodes, edges = build_graph(docs)
+    ndf, edf = nodes.to_pandas(), edges.to_pandas()
+    by_label = ndf.groupby("label")["name"].apply(set).to_dict()
+    assert by_label["Disease"] >= {"配症01"}
+    assert by_label["Drug"] == {"配药01"}
+    assert by_label["NursingHome"] == {"配院01"}
+    triples = {(r.src_name, r.rel, r.dst_name) for r in edf.itertuples()}
+    assert ("配保01号", "COVERS_DISEASE", "高血压") in triples
+    assert ("配保01号", "COVERS", "配症01") in triples
+
+
+def test_config_unknown_kind_fails_fast():
+    from knowledge_graph_construction_ray.sources.config import resolve_sources
+
+    with pytest.raises(ValueError, match="unknown source kind"):
+        resolve_sources({"sources": [{"kind": "bogus", "path": "x.json"}]})

@@ -176,3 +176,82 @@ def test_llm_extractor_tolerates_malformed_shapes(ray_session):
     # dict-shaped response → dropped; malformed list items skipped, the one
     # well-formed triple survives
     assert [t["head"] for t in out] == ["丙"]
+
+
+def test_llm_replay_client_end_to_end(ray_session):
+    """CORRECTNESS-style replay of the A1/A2 LLM path: recorded responses
+    keyed by rendered-prompt hash drive the real actor-pool extractor."""
+    import functools
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.fixtures import generate_corpus
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+    from knowledge_graph_construction_ray.stages.llm_replay import ReplayLLMClient
+    from knowledge_graph_construction_ray.stages.text import LLMTripleExtractor
+
+    corpus = generate_corpus().to_pylist()
+    policy = [d for d in corpus if d["doc_id"].startswith("policy_text")][:2]
+    docs = from_arrow_docs(
+        pa.Table.from_pylist(policy, schema=DOCS_SCHEMA), override_num_blocks=2
+    )
+    factory = functools.partial(
+        ReplayLLMClient.from_json, "tests/fixtures/llm_recordings.json"
+    )
+    out = (
+        docs.map_batches(
+            LLMTripleExtractor,
+            fn_constructor_kwargs={"client_factory": factory},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    # every recorded span yields exactly one triple with provenance intact
+    assert len(out) == 12
+    assert set(out["doc_id"]) == {"policy_text:000000", "policy_text:000001"}
+    assert set(out["head"]) == {"回放保00", "回放保01"}
+    assert set(out["relation"]) == {"COVERS", "ALLOWS_AGE"}
+    # fenced and bare JSON recordings both parse; the response is a pure
+    # function of the span text ("…提供保障。" spans → COVERS, 2 of 12)
+    assert (out["tail_type"] == "Disease").sum() == 2
+    assert (out["tail_type"] == "AgeRange").sum() == 10
+
+
+def test_llm_replay_strict_miss_raises():
+    from knowledge_graph_construction_ray.stages.llm_replay import (
+        ReplayLLMClient,
+        prompt_key,
+        save_recordings,
+    )
+
+    client = ReplayLLMClient({prompt_key("known"): "[]"})
+    assert client.generate("known") == "[]"
+    with pytest.raises(KeyError):
+        client.generate("never recorded")
+    lenient = ReplayLLMClient({}, strict=False)
+    assert lenient.generate("anything") == "[]"
+    # round-trip through the capture helper
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "rec.json")
+    save_recordings(p, [("prompt A", "resp A")])
+    assert ReplayLLMClient.from_json(p).generate("prompt A") == "resp A"
+
+
+def test_prompt_templates_contract():
+    from knowledge_graph_construction_ray.functions.prompts import (
+        build_extraction_prompt,
+        build_qa_prompt,
+        get_system_prompt,
+    )
+
+    qa = build_qa_prompt("（甲）-[关系]->（乙）", "甲是什么？")
+    assert "（甲）-[关系]->（乙）" in qa and "甲是什么？" in qa
+    assert get_system_prompt().startswith("你是")
+    assert get_system_prompt("自定义角色") == "自定义角色"
+    ex = build_extraction_prompt("某条款文本")
+    assert "某条款文本" in ex and "JSON" in ex
+    # custom template override
+    assert build_extraction_prompt("T", template="X {text} Y") == "X T Y"
