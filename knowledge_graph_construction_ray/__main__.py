@@ -57,11 +57,17 @@ def cmd_metrics(args: argparse.Namespace) -> list:
 
 
 def cmd_triples(args: argparse.Namespace) -> dict:
+    import shutil
+
     import ray.data as rd
 
     from .materialize import edges_to_triples
 
     edges = rd.read_parquet(f"{args.work}/graph/edges")
+    # write_parquet APPENDS uniquely-named files — a rerun into a dirty
+    # --out would duplicate triples and inflate the fragment count; mirror
+    # merge_from_checkpoint's clean-overwrite discipline
+    shutil.rmtree(args.out, ignore_errors=True)
     edges_to_triples(edges).write_parquet(args.out)
     import pyarrow.dataset as pads
 

@@ -255,3 +255,49 @@ def test_prompt_templates_contract():
     assert "某条款文本" in ex and "JSON" in ex
     # custom template override
     assert build_extraction_prompt("T", template="X {text} Y") == "X T Y"
+
+
+def test_aho_corasick_matches_alternation_regex():
+    """Randomized parity: the automaton must reproduce the alternation
+    regex's leftmost-longest non-overlapping matches exactly."""
+    import random
+    import re as _re
+
+    from knowledge_graph_construction_ray.functions.ahocorasick import AhoCorasick
+
+    rng = random.Random(13)
+    alphabet = "abcde"
+    for trial in range(30):
+        names = list(
+            {"".join(rng.choices(alphabet, k=rng.randint(1, 4))) for _ in range(rng.randint(1, 12))}
+        )
+        text = "".join(rng.choices(alphabet, k=200))
+        pat = _re.compile(
+            "|".join(_re.escape(n) for n in sorted(names, key=len, reverse=True))
+        )
+        expect = [(m.start(), m.end()) for m in pat.finditer(text)]
+        got = AhoCorasick(names).find_leftmost_longest(text)
+        assert got == expect, (trial, names, text)
+
+
+def test_mention_detector_large_gazetteer_uses_automaton(ray_session):
+    from knowledge_graph_construction_ray.stages.text import MentionDetector
+
+    # exceed AC_THRESHOLD with filler names; the real ones must still hit
+    gaz = {f"唯{i:04d}词": "Filler" for i in range(300)}
+    gaz["病症000"] = "Disease"
+    gaz["病症0001"] = "Disease"  # longer name sharing a prefix
+    det = MentionDetector(gaz)
+    assert det.automaton is not None and det.pattern is None
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": ["policy_text:000000"],
+            "spans": [[{"kind": "clause", "text": "关于病症0001与唯0007词的条款", "media_ref": "", "offset": 0}]],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    out = det(batch).to_pylist()
+    assert [(r["surface"], r["label"], r["offset"]) for r in out] == [
+        ("病症0001", "Disease", 2),
+        ("唯0007词", "Filler", 9),
+    ]
