@@ -247,23 +247,50 @@ def cluster_pairs(pairs: "list[tuple]") -> dict:
     }
 
 
+def collapse_pairs_to_forest(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch union-find collapse: replace a batch's pair set with a
+    spanning forest of the same connectivity ((root, member) edges, one per
+    non-root member).  Connected components over the UNION of per-batch
+    forests equal components over the full pair set, so the driver's final
+    union-find sees O(docs-in-clusters) edges instead of O(cluster²) —
+    dense near-dup clusters (boilerplate corpora) stop being a driver
+    bottleneck."""
+    from ..state.unionfind import UnionFind
+
+    if df.empty:
+        return pd.DataFrame({"a": df["a"], "b": df["b"]})
+    uf = UnionFind().add_pairs(list(zip(df["a"], df["b"])))
+    out_a, out_b = [], []
+    for _root, members in uf.clusters().items():
+        rep = min(members)
+        for m in members:
+            if m != rep:
+                out_a.append(rep)
+                out_b.append(m)
+    return pd.DataFrame({"a": out_a, "b": out_b})
+
+
 def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None = None):
     """Full near-dup pipeline → pandas DataFrame (doc_id, cluster_rep) for
     every doc that belongs to a near-dup cluster.
 
     End-to-end distributed: band shuffle → candidate pairs → two-pass
     shuffle join attaching both texts → vectorized exact-Jaccard verify in
-    ``map_batches``.  Only VERIFIED pairs (sparse — real near-dup clusters)
-    ever reach the driver, where union-find labels the components; the
-    candidate set never materializes anywhere whole."""
+    ``map_batches`` → per-batch spanning-forest collapse.  Only collapsed
+    (O(cluster members), not O(cluster²)) verified edges ever reach the
+    driver, where union-find labels the components; neither the candidate
+    set nor the dense pair set materializes anywhere whole."""
     cand = minhash_candidate_pairs(docs_ds)
     verified = verify_pairs_distributed(
         cand, docs_ds.select_columns(["doc_id", "text"]), threshold,
         num_partitions=num_partitions,
+    )
+    collapsed = verified.map_batches(
+        lambda df: collapse_pairs_to_forest(df[["a", "b"]]), batch_format="pandas"
     ).to_pandas()
-    if verified.empty:  # empty Ray results drop their schema
+    if collapsed.empty:  # empty Ray results drop their schema
         return pd.DataFrame(columns=["doc_id", "cluster_rep"])
-    mapping = cluster_pairs(list(zip(verified["a"], verified["b"])))
+    mapping = cluster_pairs(list(zip(collapsed["a"], collapsed["b"])))
     return pd.DataFrame(
         sorted(mapping.items()), columns=["doc_id", "cluster_rep"]
     )

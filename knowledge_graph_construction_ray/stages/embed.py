@@ -61,11 +61,18 @@ def brute_force_topk(embeddings_ds, query_vecs: np.ndarray, k: int = 10,
     local = embeddings_ds.map_batches(
         BatchTopK, batch_format="pandas", batch_size=4096, concurrency=2
     )
-    # global reduce: tiny (num_blocks × nq × k rows)
+
+    # global reduce: tiny (num_blocks × nq × k rows).  The top-k selection
+    # MUST happen inside the group kernel — groupby.map_groups does not
+    # preserve any upstream sort order (observed: a pre-sort + head(k)
+    # returned arbitrary rows at ≥16 blocks), so sort-then-head per group.
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+
     return (
-        local.sort(["query_idx", "cosine", id_col], descending=[False, True, False])
-        .groupby("query_idx")
-        .map_groups(lambda g: g.head(k), batch_format="pandas")
+        local.groupby("query_idx")
+        .map_groups(reduce_group, batch_format="pandas")
+        .sort(["query_idx", "cosine", id_col], descending=[False, True, False])
     )
 
 
@@ -98,16 +105,28 @@ def train_centroids(embeddings_ds, n_centroids: int | None = 16, iters: int = 5,
                     sample_limit: int = 65536, vec_col: str = "embedding",
                     id_col: str = "vec_id") -> np.ndarray:
     """Deterministic mini k-means over a distributed hash-sample (no
-    wall-clock, no RNG: initial centroids are the first n rows of the
-    id-sorted sample).  ``n_centroids=None`` sizes the codebook to
-    ~sqrt(n) — the standard IVF rule of thumb."""
+    wall-clock, no RNG).  ``n_centroids=None`` sizes the codebook to
+    ~sqrt(n) — the standard IVF rule of thumb.
+
+    Init is greedy farthest-point (k-center) over the sample — still fully
+    deterministic, but it spreads the codebook across the data's actual
+    modes.  (A first-n-rows init seeds several near-duplicate centroids
+    inside one dense cluster; Lloyd never merges them, so true neighbors
+    split across twin buckets and probe recall collapses — observed on a
+    1024-mode mixture.)"""
     if n_centroids is None:
         n_centroids = max(16, int(np.sqrt(max(embeddings_ds.count(), 1))))
     sample = _matrix(
         sample_vectors(embeddings_ds, sample_limit, id_col=id_col, vec_col=vec_col)[vec_col]
     )
     n_centroids = min(n_centroids, len(sample))
-    cents = sample[:n_centroids].copy()
+    cents = np.empty((n_centroids, sample.shape[1]))
+    cents[0] = sample[0]
+    dist = 1.0 - sample @ cents[0]  # cosine distance to nearest chosen
+    for c in range(1, n_centroids):
+        far = int(np.argmax(dist))
+        cents[c] = sample[far]
+        dist = np.minimum(dist, 1.0 - sample @ cents[c])
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)
         for c in range(n_centroids):

@@ -302,3 +302,25 @@ def test_train_centroids_samples_beyond_head(ray_session):
     ids = sample["vec_id"].to_numpy()
     assert 200 <= len(ids) <= 1000  # hash cut lands near the target
     assert ids.max() > n * 0.8 and ids.min() < n * 0.2  # spans the range
+
+
+def test_brute_force_topk_multiblock_matches_numpy(ray_session):
+    """Regression: groupby.map_groups does NOT preserve upstream sort order
+    — at ≥16 blocks a pre-sort + head(k) reduce returned arbitrary rows.
+    The reduce must sort inside the group kernel."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import brute_force_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20000, 16)
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(20000, dtype=np.int64), "embedding": list(vecs)})
+    ).repartition(16)
+    q = vecs[7]
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ (q / np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))  # cosine desc, id asc
+    truth = order[:10].tolist()
+    got = brute_force_topk(ds, q[None, :], k=10).to_pandas()
+    assert list(got["vec_id"]) == truth
