@@ -57,6 +57,7 @@ def cmd_metrics(args: argparse.Namespace) -> list:
 
 
 def cmd_triples(args: argparse.Namespace) -> dict:
+    import os
     import shutil
 
     import ray.data as rd
@@ -66,8 +67,20 @@ def cmd_triples(args: argparse.Namespace) -> dict:
     edges = rd.read_parquet(f"{args.work}/graph/edges")
     # write_parquet APPENDS uniquely-named files — a rerun into a dirty
     # --out would duplicate triples and inflate the fragment count; mirror
-    # merge_from_checkpoint's clean-overwrite discipline
-    shutil.rmtree(args.out, ignore_errors=True)
+    # merge_from_checkpoint's clean-overwrite discipline.  Only a directory
+    # that holds nothing but parquet fragments (a prior triples export) is
+    # cleared — anything else refuses rather than rm -rf'ing a shared tree.
+    if os.path.isdir(args.out):
+        stray = [e for e in os.listdir(args.out) if not e.endswith(".parquet")]
+        if stray:
+            raise SystemExit(
+                f"--out {args.out} exists and contains non-parquet entries "
+                f"(e.g. {stray[:3]}); refusing to clear it — pass an empty or "
+                f"triples-only directory"
+            )
+        shutil.rmtree(args.out)
+    elif os.path.exists(args.out):
+        raise SystemExit(f"--out {args.out} exists and is not a directory")
     edges_to_triples(edges).write_parquet(args.out)
     import pyarrow.dataset as pads
 

@@ -152,38 +152,50 @@ def media_features_golden() -> pa.Table:
 # Writer
 # ---------------------------------------------------------------------------
 
-_written_for: str | None = None
+def sf_tag(sf_dir: str) -> str:
+    """Scale tag embedded in the sf-dependent golden FILENAMES — goldens
+    for different scales coexist, so a parity pytest at sf0.001 can never
+    clobber the driver's sf0.01 oracles (they are different files)."""
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+_written_for: set[str] = set()
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    # tmp + rename so a concurrent reader never sees a half-written parquet
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
-    """Write every golden parquet (idempotent per process per sf_dir).
-    File NAMES are fixed — the oracle SQL strings are static — and the
-    CONTENT tracks ``sf_dir`` (the driver compares at sf0.01; the parity
-    pytest regenerates at its own scale).  Total cost ~1-2 s — dominated
-    by the 500-doc MinHash signatures."""
-    global _written_for
-    if _written_for == sf_dir and not force:
+    """Write every golden parquet (idempotent per process per sf_dir;
+    atomic per file).  Cost ~1-2 s — dominated by the 500-doc MinHash
+    signatures."""
+    if sf_dir in _written_for and not force:
         return GOLDEN_DIR
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    pq.write_table(
+    tag = sf_tag(sf_dir)
+    _atomic_write(
         pa.Table.from_pandas(minhash_golden(sf_dir), preserve_index=False),
-        os.path.join(GOLDEN_DIR, "dedup_minhash_sf001.parquet"),
+        os.path.join(GOLDEN_DIR, f"dedup_minhash_{tag}.parquet"),
     )
-    pq.write_table(
+    _atomic_write(
         pa.Table.from_pandas(simhash_golden(sf_dir), preserve_index=False),
-        os.path.join(GOLDEN_DIR, "dedup_simhash_sf001.parquet"),
+        os.path.join(GOLDEN_DIR, f"dedup_simhash_{tag}.parquet"),
     )
-    pq.write_table(
+    _atomic_write(
         fixture_triples_golden(),
         os.path.join(GOLDEN_DIR, "fixture_triples.parquet"),
     )
-    pq.write_table(
+    _atomic_write(
         pa.Table.from_pandas(label_counts_golden(), preserve_index=False),
         os.path.join(GOLDEN_DIR, "label_counts.parquet"),
     )
-    pq.write_table(
+    _atomic_write(
         media_features_golden(),
         os.path.join(GOLDEN_DIR, "media_features.parquet"),
     )
-    _written_for = sf_dir
+    _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -731,7 +731,7 @@ def dedup_minhash(sf_dir: str):
 
 DEDUP_MINHASH_SQL = """
 SELECT doc_id, cluster_rep
-FROM read_parquet('/tmp/kg_oracle_golden/dedup_minhash_sf001.parquet')
+FROM read_parquet('/tmp/kg_oracle_golden/dedup_minhash_sf0.01.parquet')
 ORDER BY doc_id
 """
 
@@ -747,7 +747,7 @@ def dedup_simhash(sf_dir: str):
 
 DEDUP_SIMHASH_SQL = """
 SELECT a, b
-FROM read_parquet('/tmp/kg_oracle_golden/dedup_simhash_sf001.parquet')
+FROM read_parquet('/tmp/kg_oracle_golden/dedup_simhash_sf0.01.parquet')
 ORDER BY a, b
 """
 
@@ -961,9 +961,14 @@ def ivf_topk_demo(sf_dir: str):
         if len(hit):
             q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
             break
+    import os
     import zlib
 
-    index_dir = f"/tmp/kg_ivf_index_{zlib.crc32(sf_dir.encode()):08x}"
+    # pid-scoped path: two driver/bench processes on the same sf_dir must
+    # not race build's rmtree against the other's bucket-file glob
+    index_dir = (
+        f"/tmp/kg_ivf_index_{zlib.crc32(sf_dir.encode()):08x}_{os.getpid()}"
+    )
     build_ivf_index(ds, index_dir, n_centroids=8)
     out = ivf_search_index(index_dir, q, k=10, nprobe=4).to_pandas()
     return out[["vec_id"]].astype({"vec_id": "int64"})

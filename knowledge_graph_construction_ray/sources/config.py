@@ -60,6 +60,9 @@ def resolve_sources(cfg: dict, base_path: "str | None" = None) -> list[tuple[str
             raise ValueError(f"unknown source kind: {kind}")
         out.append((kind, resolve(path)))
     groups = cfg.get("data_sources", {})
+    unknown_groups = set(groups) - {"medical", "insurance", "senior_care"}
+    if unknown_groups:  # silent drop would lose whole sources on a typo
+        raise ValueError(f"unknown data_sources group(s): {sorted(unknown_groups)}")
     for path in groups.get("medical", []):
         kind = "medicine" if "medicine" in os.path.basename(path).lower() else "disease"
         out.append((kind, resolve(path)))

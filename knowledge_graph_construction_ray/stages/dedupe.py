@@ -220,8 +220,18 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ga = [word_ngrams(t) for t in df["text_a"]]
-        gb = [word_ngrams(t) for t in df["text_b"]]
+        # pair rows share few distinct texts (a 100-member cluster puts the
+        # same text on ~99 pair rows) — shingle each DISTINCT text once
+        cache: dict[str, set] = {}
+
+        def grams(t: str) -> set:
+            g = cache.get(t)
+            if g is None:
+                g = cache[t] = word_ngrams(t)
+            return g
+
+        ga = [grams(t) for t in df["text_a"]]
+        gb = [grams(t) for t in df["text_b"]]
         jac = np.array([jaccard(x, y) for x, y in zip(ga, gb)])
         keep = jac >= threshold
         return pd.DataFrame(

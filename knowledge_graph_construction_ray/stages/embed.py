@@ -365,14 +365,35 @@ def cosine_pairs_lsh(embeddings_ds, threshold: float, *,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def lsh_recall(threshold: float, n_tables: int = 12, n_planes: int = 8) -> float:
+    """Banding recall of the hyperplane LSH at a cosine threshold:
+    per-plane collision p = 1 - θ/π, recall = 1-(1-p^planes)^tables."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    return float(1.0 - (1.0 - p ** n_planes) ** n_tables)
+
+
 def cosine_pairs(embeddings_ds, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 max_exact: int = 20_000) -> pd.DataFrame:
+                 max_exact: int = 20_000,
+                 min_lsh_recall: float = 0.95) -> pd.DataFrame:
     """All-pairs cosine ≥ threshold (a < b).  Dispatches on input size:
     ≤ ``max_exact`` rows → exact driver matmul (the test oracle); larger →
-    the distributed LSH bucket → verify pipeline (``cosine_pairs_lsh``),
-    which is approximate per its banding recall."""
+    the distributed LSH bucket → verify pipeline (``cosine_pairs_lsh``) —
+    but ONLY when the default banding covers the requested threshold
+    (recall ≥ ``min_lsh_recall``).  A low threshold over a big table is
+    REFUSED rather than silently returning a ~30%-recall result: the
+    caller must size tables/planes explicitly via ``cosine_pairs_lsh``
+    (or raise ``max_exact`` and accept the O(n²) driver matmul)."""
     if embeddings_ds.count() > max_exact:
+        recall = lsh_recall(threshold)
+        if recall < min_lsh_recall:
+            raise ValueError(
+                f"cosine_pairs over >{max_exact} rows would dispatch to the "
+                f"LSH path, whose default banding (12 tables × 8 planes) has "
+                f"recall ≈ {recall:.2f} at threshold {threshold} — below "
+                f"{min_lsh_recall}. Call cosine_pairs_lsh with tables/planes "
+                f"sized for your threshold, or raise max_exact explicitly."
+            )
         return cosine_pairs_lsh(
             embeddings_ds, threshold, id_col=id_col, vec_col=vec_col
         )

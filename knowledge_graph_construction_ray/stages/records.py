@@ -59,23 +59,7 @@ class _Out:
         self.cols: dict[str, list[Any]] = {name: [] for name in ELEMENTS_SCHEMA.names}
 
     def nodes(self, label: str, names, props, rank: int, seqs) -> None:
-        n = len(names)
-        if not n:
-            return
-        c = self.cols
-        c["kind"].extend(["node"] * n)
-        c["label"].extend([label] * n)
-        c["name"].extend(names)
-        c["props"].extend(props)
-        none = [None] * n
-        c["src_label"].extend(none)
-        c["src_name"].extend(none)
-        c["rel"].extend(none)
-        c["dst_label"].extend(none)
-        c["dst_name"].extend(none)
-        c["src_rank"].extend([rank] * n)
-        c["seq"].extend(seqs)
-        c["merge_key"].extend([f"N{SEP}{label}{SEP}{nm}" for nm in names])
+        self.nodes_multilabel([label] * len(names), names, props, rank, seqs)
 
     def nodes_multilabel(self, labels, names, props, rank: int, seqs) -> None:
         n = len(names)
@@ -95,7 +79,7 @@ class _Out:
         c["src_rank"].extend([rank] * n)
         c["seq"].extend(seqs)
         c["merge_key"].extend(
-            [f"N{SEP}{l}{SEP}{nm}" for l, nm in zip(labels, names)]
+            [node_merge_key(l, nm) for l, nm in zip(labels, names)]
         )
 
     def edges(self, sl: str, sns, rel: str, dl: str, dns, rank: int, seqs) -> None:
@@ -103,25 +87,7 @@ class _Out:
         create, neo4j_loader.py:126-147); src stubs are emitted by callers
         that have no props row for them."""
         n = len(sns)
-        if not n:
-            return
-        c = self.cols
-        c["kind"].extend(["edge"] * n)
-        none = [None] * n
-        c["label"].extend(none)
-        c["name"].extend(none)
-        c["props"].extend(none)
-        c["src_label"].extend([sl] * n)
-        c["src_name"].extend(sns)
-        c["rel"].extend([rel] * n)
-        c["dst_label"].extend([dl] * n)
-        c["dst_name"].extend(dns)
-        c["src_rank"].extend([rank] * n)
-        c["seq"].extend(seqs)
-        c["merge_key"].extend(
-            [f"E{SEP}{sl}{SEP}{s}{SEP}{rel}{SEP}{dl}{SEP}{d}" for s, d in zip(sns, dns)]
-        )
-        self.nodes(dl, dns, ["{}"] * n, rank, seqs)
+        self.edges_multi([sl] * n, sns, [rel] * n, [dl] * n, dns, rank, seqs)
 
     def edges_multi(self, sls, sns, rels, dls, dns, rank: int, seqs) -> None:
         """Fully array-typed edge emit (policy-text triples: every field
@@ -144,7 +110,7 @@ class _Out:
         c["seq"].extend(seqs)
         c["merge_key"].extend(
             [
-                f"E{SEP}{a}{SEP}{b}{SEP}{r}{SEP}{x}{SEP}{y}"
+                edge_merge_key(a, b, r, x, y)
                 for a, b, r, x, y in zip(sls, sns, rels, dls, dns)
             ]
         )

@@ -55,11 +55,16 @@ def contract(ray_session):
     import __ray_entry__ as e
 
     qs, sql = e.queries(), e.oracle_sql()
-    # golden-parquet oracles track the comparison scale (the real driver
-    # compares at sf0.01; this test runs at sf0.001)
-    from knowledge_graph_construction_ray.golden import write_goldens
+    # golden-parquet filenames carry the scale tag (the real driver's SQL
+    # reads the sf0.01 goldens; this test runs at sf0.001 → regenerate at
+    # its scale and point the SQL at those files — the sf0.01 goldens are
+    # untouched, so a concurrent driver run cannot be clobbered)
+    from knowledge_graph_construction_ray.golden import sf_tag, write_goldens
 
-    write_goldens(SF_DIR, force=True)
+    write_goldens(SF_DIR)
+    sql = {
+        name: s.replace("sf0.01", sf_tag(SF_DIR)) for name, s in sql.items()
+    }
     return qs, sql
 
 
