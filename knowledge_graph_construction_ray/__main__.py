@@ -64,12 +64,12 @@ def cmd_triples(args: argparse.Namespace) -> dict:
 
     from .materialize import edges_to_triples
 
-    edges = rd.read_parquet(f"{args.work}/graph/edges")
     # write_parquet APPENDS uniquely-named files — a rerun into a dirty
     # --out would duplicate triples and inflate the fragment count; mirror
     # merge_from_checkpoint's clean-overwrite discipline.  Only a directory
     # that holds nothing but parquet fragments (a prior triples export) is
-    # cleared — anything else refuses rather than rm -rf'ing a shared tree.
+    # cleared — anything else refuses (before touching Ray) rather than
+    # rm -rf'ing a shared tree.
     if os.path.isdir(args.out):
         stray = [e for e in os.listdir(args.out) if not e.endswith(".parquet")]
         if stray:
@@ -81,6 +81,7 @@ def cmd_triples(args: argparse.Namespace) -> dict:
         shutil.rmtree(args.out)
     elif os.path.exists(args.out):
         raise SystemExit(f"--out {args.out} exists and is not a directory")
+    edges = rd.read_parquet(f"{args.work}/graph/edges")
     edges_to_triples(edges).write_parquet(args.out)
     import pyarrow.dataset as pads
 

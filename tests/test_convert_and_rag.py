@@ -191,3 +191,26 @@ def test_config_unknown_kind_fails_fast():
 
     with pytest.raises(ValueError, match="unknown source kind"):
         resolve_sources({"sources": [{"kind": "bogus", "path": "x.json"}]})
+
+
+def test_config_unknown_group_fails_fast():
+    # a typo'd data_sources group must not silently drop its sources
+    from knowledge_graph_construction_ray.sources.config import resolve_sources
+
+    with pytest.raises(ValueError, match="unknown data_sources group"):
+        resolve_sources({"data_sources": {"senior_car": ["nh.csv"]}})
+
+
+def test_cmd_triples_refuses_dirty_out(tmp_path):
+    # the clean-overwrite rmtree must never eat a dir holding non-parquet
+    # files — and must refuse BEFORE any Ray read happens (work dir absent)
+    import argparse
+
+    from knowledge_graph_construction_ray.__main__ import cmd_triples
+
+    out = tmp_path / "shared"
+    out.mkdir()
+    (out / "keep.txt").write_text("precious")
+    with pytest.raises(SystemExit, match="refusing to clear"):
+        cmd_triples(argparse.Namespace(work=str(tmp_path / "absent"), out=str(out)))
+    assert (out / "keep.txt").read_text() == "precious"

@@ -254,6 +254,24 @@ def test_cosine_lsh_superset_of_exact_at_high_threshold(ray_session):
     assert approx_set == exact_set
 
 
+def test_cosine_pairs_refuses_low_recall_lsh(ray_session):
+    # above max_exact, a threshold the default banding can't cover must
+    # raise instead of silently returning a low-recall pair set
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import (
+        cosine_pairs,
+        lsh_recall,
+    )
+
+    assert lsh_recall(0.98) >= 0.95  # high thresholds stay on the LSH path
+    assert lsh_recall(0.45) < 0.5  # moderate thresholds are not covered
+    rows = [{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(8)]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="recall"):
+        cosine_pairs(ds, threshold=0.45, max_exact=4)
+
+
 def test_ivf_partitioned_index_prunes_and_recalls(ray_session, tmp_path):
     import os
 
