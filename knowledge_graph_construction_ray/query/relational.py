@@ -509,6 +509,53 @@ FROM events ORDER BY event_id
 """
 
 
+def events_asof_error(sf_dir: str):
+    """As-of join (an operator neither the reference nor Ray Data has
+    natively): for each click event, the latest error event of the same
+    user at or before it — one coarse-bucket shuffle + per-bucket
+    ``merge_asof`` (functions/asof.py); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from ..functions.asof import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def side(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    clicks = _read(sf_dir, "events", cols).map_batches(
+        side("click"), batch_format="pyarrow"
+    )
+    errors = _read(sf_dir, "events", cols).map_batches(
+        side("error"), batch_format="pyarrow"
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        right_cols={"ts": "last_error_ts", "value": "last_error_value"},
+        num_buckets=16,
+    ).to_pandas()
+    out = out[["event_id", "user_id", "ts", "last_error_ts", "last_error_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       e.ts AS last_error_ts, e.value AS last_error_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id AND e.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Graph ops over driver data (k-hop on the order graph)
 # ---------------------------------------------------------------------------
@@ -993,6 +1040,7 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "events_asof_error": (events_asof_error, EVENTS_ASOF_SQL),
     "j5_khop_parts": (j5_khop_parts, J5_SQL),
     "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -254,6 +254,67 @@ def test_cosine_lsh_superset_of_exact_at_high_threshold(ray_session):
     assert approx_set == exact_set
 
 
+def test_asof_join_matches_bruteforce(ray_session):
+    # distributed as-of join ≡ per-row brute force (latest right row with
+    # same key and rt <= t), incl. keys present on only one side
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(300, dtype=np.int64),
+            "k": rng.randint(0, 12, 300).astype(np.int64),
+            "t": rng.randint(0, 1000, 300).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 15, 200).astype(np.int64),
+            "rt": rng.choice(1000, 200, replace=False).astype(np.int64),
+            "rv": rng.randn(200).round(3),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            by="k",
+            left_on="t",
+            right_on="rt",
+            right_cols={"rt": "last_rt", "rv": "last_rv"},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["lid", "k", "t", "last_rt", "last_rv"]
+    assert out["lid"].tolist() == left["lid"].tolist()  # every left row kept
+    for row in out.itertuples():
+        cand = right[(right["k"] == row.k) & (right["rt"] <= row.t)]
+        if len(cand):
+            best = cand.loc[cand["rt"].idxmax()]
+            assert row.last_rt == best["rt"] and row.last_rv == best["rv"], row
+        else:
+            assert pd.isna(row.last_rt) and pd.isna(row.last_rv), row
+    # int dtypes survive the null-union round trip
+    assert str(out["lid"].dtype) == "int64" and str(out["t"].dtype) == "int64"
+
+    # empty right side: all rows kept, payload all-null, schema stable
+    empty = asof_join(
+        rd.from_pandas(left).repartition(2),
+        rd.from_pandas(right[right["k"] < 0]),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        right_cols={"rt": "last_rt", "rv": "last_rv"},
+        num_buckets=4,
+    ).to_pandas()
+    assert len(empty) == len(left) and empty["last_rt"].isna().all()
+
+
 def test_cosine_pairs_refuses_low_recall_lsh(ray_session):
     # above max_exact, a threshold the default banding can't cover must
     # raise instead of silently returning a low-recall pair set
