@@ -509,6 +509,20 @@ FROM events ORDER BY event_id
 """
 
 
+def _events_side(sf_dir: str, kind: str, cols: list[str]):
+    """Column-pruned read of one event_type, filtered worker-side in Arrow
+    (the type column is dropped after the predicate)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], kind)).drop_columns(
+            ["event_type"]
+        )
+
+    return _read(sf_dir, "events", cols + ["event_type"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def events_asof_error(sf_dir: str):
     """As-of join (an operator neither the reference nor Ray Data has
     natively): for each click event, the latest error event of the same
@@ -517,22 +531,9 @@ def events_asof_error(sf_dir: str):
     oracle."""
     from ..functions.asof import asof_join
 
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
-
-    def side(kind: str):
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(
-                ["event_type"]
-            )
-
-        return f
-
-    clicks = _read(sf_dir, "events", cols).map_batches(
-        side("click"), batch_format="pyarrow"
-    )
-    errors = _read(sf_dir, "events", cols).map_batches(
-        side("error"), batch_format="pyarrow"
-    )
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = _events_side(sf_dir, "click", cols)
+    errors = _events_side(sf_dir, "error", cols)
     out = asof_join(
         clicks,
         errors,
@@ -553,6 +554,43 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
   ON c.user_id = e.user_id AND e.ts <= c.ts
 ORDER BY c.event_id
+"""
+
+
+def events_band_views(sf_dir: str):
+    """Band (range) join: every view by the same user in the 12 h before
+    each purchase — the attribution-window join, one (purchase, view) row
+    per pair.  Vectorized per bucket via the double-``merge_asof``
+    ordinal-range trick (functions/asof.py::band_join); the oracle is a
+    plain SQL inequality join."""
+    from ..functions.asof import band_join
+
+    purchases = _events_side(sf_dir, "purchase", ["event_id", "ts", "user_id"])
+    views = _events_side(sf_dir, "view", ["event_id", "ts", "user_id"])
+    out = band_join(
+        purchases,
+        views,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        lower=-pd.Timedelta(hours=12),
+        upper=pd.Timedelta(0),
+        right_cols={"event_id": "view_id", "ts": "view_ts"},
+        num_buckets=16,
+    ).to_pandas()
+    out = out.rename(columns={"event_id": "purchase_id"})
+    out = out[["purchase_id", "user_id", "ts", "view_id", "view_ts"]]
+    return out.sort_values(["purchase_id", "view_id"]).reset_index(drop=True)
+
+
+EVENTS_BAND_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 12 HOUR AND p.ts
+ORDER BY purchase_id, view_id
 """
 
 
@@ -1041,6 +1079,7 @@ QUERIES: dict[str, tuple] = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "events_asof_error": (events_asof_error, EVENTS_ASOF_SQL),
+    "events_band_views": (events_band_views, EVENTS_BAND_SQL),
     "j5_khop_parts": (j5_khop_parts, J5_SQL),
     "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -315,6 +315,56 @@ def test_asof_join_matches_bruteforce(ray_session):
     assert len(empty) == len(left) and empty["last_rt"].isna().all()
 
 
+def test_band_join_matches_bruteforce(ray_session):
+    # distributed band join ≡ per-pair brute force over the window
+    # [t + lower, t + upper], both bounds inclusive
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import band_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(120, dtype=np.int64),
+            "k": rng.randint(0, 8, 120).astype(np.int64),
+            "t": rng.randint(0, 400, 120).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(150, dtype=np.int64),
+            "k": rng.randint(0, 10, 150).astype(np.int64),
+            "rt": rng.randint(0, 400, 150).astype(np.int64),
+        }
+    )
+    out = (
+        band_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            by="k",
+            left_on="t",
+            right_on="rt",
+            lower=-25,
+            upper=10,
+            right_cols={"rid": "rid", "rt": "rt"},
+            num_buckets=4,
+        )
+        .to_pandas()
+    )
+    got = set(zip(out["lid"], out["rid"]))
+    want = {
+        (lrow.lid, rrow.rid)
+        for lrow in left.itertuples()
+        for rrow in right.itertuples()
+        if lrow.k == rrow.k and lrow.t - 25 <= rrow.rt <= lrow.t + 10
+    }
+    assert got == want and len(out) == len(want)
+    # attached columns carry the matched right row's values exactly
+    rt_by_rid = dict(zip(right["rid"], right["rt"]))
+    assert all(rt_by_rid[r] == t for r, t in zip(out["rid"], out["rt"]))
+    assert str(out["lid"].dtype) == "int64" and str(out["rid"].dtype) == "int64"
+
+
 def test_cosine_pairs_refuses_low_recall_lsh(ray_session):
     # above max_exact, a threshold the default banding can't cover must
     # raise instead of silently returning a low-recall pair set
