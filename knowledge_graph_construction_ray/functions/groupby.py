@@ -99,6 +99,42 @@ def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
     )
 
 
+def grouped_topk(
+    ds,
+    group_cols: list[str],
+    by: list[str],
+    k: int,
+    *,
+    ascending: "bool | list[bool]" = True,
+) -> pd.DataFrame:
+    """Per-GROUP top-k without an all-to-all: each block emits its own
+    per-group head (the global per-group top-k is contained in the union
+    of per-block per-group top-ks), then the small union — at most
+    ``blocks × groups × k`` rows — reduces on the driver.
+
+    ``by``/``ascending`` must define a total order within a group
+    (include a tie-break key) for determinism.  Intended for LOW group
+    cardinality (strata: language, source, split); at high cardinality
+    the driver union grows with ``groups`` — use ``bucketed_groups``
+    with a per-bucket head kernel instead.
+    """
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    small = ds.map_batches(combiner, batch_format="pandas").to_pandas()
+    return (
+        small.sort_values(by, ascending=ascending, kind="mergesort")
+        .groupby(group_cols, sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def local_topk(ds, by: list[str], k: int, *, descending: list[bool]) -> pd.DataFrame:
     """Global top-k WITHOUT an all-to-all sort: each batch emits its local
     top-k (the global top-k under a total order is contained in the union

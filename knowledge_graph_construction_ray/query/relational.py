@@ -751,6 +751,91 @@ FROM documents ORDER BY doc_id
 """
 
 
+_SPLIT_PRIME = 100_000_007
+_SPLIT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+def _split_hash(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic modular doc hash, engine-portable: (id % P) * M stays
+    below 2^63 (P·M ≈ 2.7e17), so numpy int64 and DuckDB BIGINT compute
+    the identical value at ANY id scale (no overflow/wrap divergence)."""
+    return ((ids % _SPLIT_PRIME) * _SPLIT_MULT) % mod
+
+
+def curation_split_stats(sf_dir: str):
+    """Deterministic train/val/test assignment (90/5/5 by modular doc_id
+    hash) — the reproducible split every training pipeline needs; totals
+    per split via the combiner discipline (3 groups cross the exchange)."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = _split_hash(df["doc_id"].to_numpy(np.int64), 1000)
+        split = np.where(h < 900, "train", np.where(h < 950, "val", "test"))
+        return pd.DataFrame({"split": split, "n_chars": df["n_chars"]})
+
+    return (
+        bucketed_agg(
+            ds.map_batches(assign, batch_format="pandas"),
+            ["split"],
+            {"n_docs": ("n_chars", "size"), "sum_chars": ("n_chars", "sum")},
+            num_buckets=4,
+        )
+        .sort("split")
+        .to_pandas()
+    )
+
+
+SPLIT_STATS_SQL = """
+SELECT CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT ((doc_id % 100000007) * 2654435761) % 1000 AS h, n_chars
+      FROM documents)
+GROUP BY 1 ORDER BY split
+"""
+
+
+def curation_stratified_sample(sf_dir: str, k: int = 5):
+    """Stratified deterministic sample: the k docs per language with the
+    smallest modular-hash priority — `grouped_topk` (per-block per-group
+    head combiner, driver reduce of ≤ blocks×langs×k rows, NO shuffle)."""
+    from ..functions.groupby import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["priority"] = _split_hash(df["doc_id"].to_numpy(np.int64), 2**32)
+        return df
+
+    out = grouped_topk(
+        ds.map_batches(prio, batch_format="pandas"),
+        ["lang"],
+        ["priority", "doc_id"],
+        k,
+    )
+    return (
+        out[["lang", "doc_id", "n_chars"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 100000007) * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents) t
+WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
 def text_langid(sf_dir: str):
     """Rows-only (stopword-profile voting is not SQL-expressible)."""
     from ..stages.textstats import langid_kernel
@@ -1086,6 +1171,8 @@ QUERIES: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_tokens": (text_tokens, TOKENS_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
+    "curation_split_stats": (curation_split_stats, SPLIT_STATS_SQL),
+    "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_langid": (text_langid, None),
     "ann_topk": (ann_topk, ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),

@@ -315,6 +315,31 @@ def test_asof_join_matches_bruteforce(ray_session):
     assert len(empty) == len(left) and empty["last_rt"].isna().all()
 
 
+def test_grouped_topk_multiblock(ray_session):
+    # per-group winners deliberately scattered across blocks: the driver
+    # reduce must re-apply the group head, not just concatenate
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import grouped_topk
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 4, 400),
+            "v": rng.permutation(400),
+            "id": np.arange(400),
+        }
+    )
+    out = grouped_topk(
+        rd.from_pandas(df).repartition(8), ["g"], ["v", "id"], 3
+    )
+    want = (
+        df.sort_values(["v", "id"]).groupby("g", sort=False).head(3)
+    )
+    got = set(zip(out["g"], out["id"]))
+    assert got == set(zip(want["g"], want["id"])) and len(out) == len(want)
+
+
 def test_band_join_matches_bruteforce(ray_session):
     # distributed band join ≡ per-pair brute force over the window
     # [t + lower, t + upper], both bounds inclusive
