@@ -836,6 +836,37 @@ WHERE rn <= 5 ORDER BY lang, doc_id
 """
 
 
+def corpus_top_terms(sf_dir: str, k: int = 20):
+    """Corpus vocabulary head: the k most frequent whitespace tokens —
+    the wordcount at the base of tokenizer/vocab building.  Per-batch
+    ``str.split().explode().value_counts()`` partial counts (only distinct
+    terms per block cross the exchange), bucketed vectorized reduce over
+    the term key, then the no-shuffle ``local_topk`` combiner."""
+    from ..functions.groupby import bucketed_agg, local_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    )
+    return local_topk(counts, ["n", "term"], k, descending=[True, False])
+
+
+TOP_TERMS_SQL = r"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0)
+WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 def text_langid(sf_dir: str):
     """Rows-only (stopword-profile voting is not SQL-expressible)."""
     from ..stages.textstats import langid_kernel
@@ -1172,6 +1203,7 @@ QUERIES: dict[str, tuple] = {
     "text_tokens": (text_tokens, TOKENS_SQL),
     "text_quality": (text_quality, QUALITY_SQL),
     "curation_split_stats": (curation_split_stats, SPLIT_STATS_SQL),
+    "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
     "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_langid": (text_langid, None),
     "ann_topk": (ann_topk, ANN_SQL),
