@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "text_tokens",
     "ann_topk",
     "dedup_minhash",
+    "events_asof_error",
+    "events_band_views",
+    "corpus_top_terms",
+    "curation_split_stats",
 ]
 
 
