@@ -64,6 +64,13 @@ def cmd_triples(args: argparse.Namespace) -> dict:
 
     from .materialize import edges_to_triples
 
+    # validate --work BEFORE clearing --out: a typo'd work dir must not
+    # destroy a previous export and then fail on the read
+    edges_dir = f"{args.work}/graph/edges"
+    if not os.path.isdir(edges_dir):
+        raise SystemExit(
+            f"--work {args.work} has no graph/edges directory (run build first)"
+        )
     # write_parquet APPENDS uniquely-named files — a rerun into a dirty
     # --out would duplicate triples and inflate the fragment count; mirror
     # merge_from_checkpoint's clean-overwrite discipline.  Only a directory
@@ -81,7 +88,7 @@ def cmd_triples(args: argparse.Namespace) -> dict:
         shutil.rmtree(args.out)
     elif os.path.exists(args.out):
         raise SystemExit(f"--out {args.out} exists and is not a directory")
-    edges = rd.read_parquet(f"{args.work}/graph/edges")
+    edges = rd.read_parquet(edges_dir)
     edges_to_triples(edges).write_parquet(args.out)
     import pyarrow.dataset as pads
 

@@ -12,9 +12,12 @@ lacks natively:
 
 Shared physical plan (Ray-Data-first; no driver materialization):
 
-1. Tag each side and project to ONE unified Arrow schema (the other
-   side's columns ride along as typed nulls, so the union is zero-copy
-   and schema-stable across blocks).
+1. Tag each side and project to ONE unified Arrow schema.  The other
+   side's columns ride along as TYPE-VALID FILLER (0 / "" / epoch-0),
+   never nulls: a null int64 crossing the Arrow→pandas boundary degrades
+   the whole column to float64, silently corrupting values above 2^53 —
+   zero-fill keeps every int column int64 end-to-end.  The filler is
+   structural only; kernels never read the other side's columns.
 2. ``union`` → one coarse-bucket shuffle on ``hash(by) % num_buckets``
    (the repo-wide bucketing discipline, functions/groupby.py) — both
    sides of every key are co-located in exactly one bucket.
@@ -24,8 +27,16 @@ Shared physical plan (Ray-Data-first; no driver materialization):
    right-ordinal range [lo+1, hi], which is expanded with
    ``np.repeat``/``cumsum`` and resolved by one exact hash merge —
    no per-key cartesian product is ever materialized.
-4. A final Arrow cast restores int columns the null-union degraded to
-   float64 and pins the output column order.
+4. A final Arrow cast pins the output column order and types.
+
+Null semantics match SQL (``ASOF LEFT JOIN`` / ``BETWEEN``): a null
+``right_on`` never matches (filtered at tag time); a null ``left_on``
+yields the left row with null payload in ``asof_join`` and no output row
+in ``band_join``.  Integer PAYLOAD columns are carried as pandas
+nullable ``Int64``-family values through the kernel, so matched values
+stay exact at any magnitude; a payload value that is genuinely null in
+the right SOURCE data still degrades that column per ordinary pandas
+rules.
 
 Partitioning assumption (document per the repo contract): all rows of a
 single key fit in one bucket's memory.  Salt ``by`` upstream if a single
@@ -46,6 +57,7 @@ from typing import Mapping
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .groupby import bucketed_groups
 
@@ -54,7 +66,11 @@ _SIDE = "_asof_side"
 
 
 def _arrow_schema(ds) -> pa.Schema:
-    """Dataset schema as Arrow (pandas-block datasets report numpy dtypes)."""
+    """Dataset schema as Arrow.  Pandas-block datasets report numpy
+    dtypes; their ``object`` columns are ASSUMED to hold strings (pass an
+    Arrow-block dataset — ``from_arrow`` / ``read_parquet`` — when an
+    object column holds lists/dicts, or the tag stage fails at runtime
+    with a schema mismatch naming the column)."""
     s = ds.schema().base_schema
     if isinstance(s, pa.Schema):
         return s
@@ -70,30 +86,79 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _filler(n: int, typ: pa.DataType) -> pa.Array:
+    """Type-valid structural padding (never read by the kernels).  Nulls
+    would degrade int columns to float64 across the Arrow→pandas boundary
+    (lossy above 2^53); a valid zero value keeps the dtype exact."""
+    nulls = pa.nulls(n, typ)
+    try:
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return nulls.fill_null(0)
+        if pa.types.is_timestamp(typ):
+            return pa.array(np.zeros(n, dtype="int64"), type=pa.int64()).cast(typ)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return nulls.fill_null("")
+        if pa.types.is_boolean(typ):
+            return nulls.fill_null(False)
+    except pa.ArrowInvalid:  # pragma: no cover - defensive
+        pass
+    return nulls  # nested/other types: pandas object columns don't degrade
+
+
+def _nullable_name(typ: pa.DataType) -> "str | None":
+    """Pandas nullable-extension dtype for an Arrow integer type — lets
+    genuinely-nullable int PAYLOAD survive merges exactly (no float64)."""
+    if pa.types.is_integer(typ):
+        return str(typ).capitalize().replace("Uint", "UInt")  # int64 → Int64
+    return None
+
+
 class _Plan:
     """Validated inputs + the tagged union both temporal joins share."""
 
-    def __init__(self, left_ds, right_ds, by, left_on, right_on, right_cols):
+    def __init__(self, left_ds, right_ds, by, left_on, right_on, right_cols,
+                 *, drop_null_left_time: bool):
         left_schema = _arrow_schema(left_ds)
         right_schema = _arrow_schema(right_ds)
         if by not in left_schema.names or by not in right_schema.names:
             raise ValueError(f"key column {by!r} must exist on both sides")
+        if left_schema.field(by).type != right_schema.field(by).type:
+            raise ValueError(
+                f"key column {by!r} must share a type: left "
+                f"{left_schema.field(by).type}, right {right_schema.field(by).type}"
+            )
         t_type = left_schema.field(left_on).type
         if right_schema.field(right_on).type != t_type:
             raise ValueError(
                 f"time columns must share a type: left {left_on}={t_type}, "
                 f"right {right_on}={right_schema.field(right_on).type}"
             )
-        collide = set(right_cols.values()) & set(left_schema.names)
+        dsts = list(right_cols.values())
+        if len(set(dsts)) != len(dsts):
+            raise ValueError(f"duplicate payload output names: {dsts}")
+        reserved = {_T, _SIDE}
+        bad = (set(dsts) | set(left_schema.names)) & reserved
+        if bad:
+            raise ValueError(f"column names {sorted(bad)} are reserved")
+        collide = set(dsts) & set(left_schema.names)
         if collide:
             raise ValueError(
                 f"payload output names collide with left columns: {collide}"
             )
+        missing = [src for src in right_cols if src not in right_schema.names]
+        if missing:
+            raise ValueError(f"payload columns not on the right side: {missing}")
 
         self.by = by
         self.left_names = list(left_schema.names)
         self.payload = dict(right_cols)
         self.payload_dst = list(self.payload.values())
+        # integer payload → pandas nullable dtype names (exact at any scale)
+        self.payload_nullable = {
+            dst: name
+            for src, dst in self.payload.items()
+            if (name := _nullable_name(right_schema.field(src).type))
+        }
         # unified column order: left columns, payload, merge time, side tag
         out_fields = [(n, left_schema.field(n).type) for n in self.left_names]
         out_fields += [
@@ -101,23 +166,29 @@ class _Plan:
         ]
         out_fields += [(_T, t_type), (_SIDE, pa.int8())]
         unified = pa.schema(out_fields)
+        payload = self.payload
+        left_names = self.left_names
 
         def tag_left(t: pa.Table) -> pa.Table:
+            if drop_null_left_time:  # inner-join semantics: null never matches
+                t = t.filter(pc.is_valid(t.column(left_on)))
             n = t.num_rows
-            cols = [t.column(nm) for nm in self.left_names]
-            cols += [pa.nulls(n, right_schema.field(src).type) for src in self.payload]
+            cols = [t.column(nm) for nm in left_names]
+            cols += [_filler(n, right_schema.field(src).type) for src in payload]
             cols += [t.column(left_on), pa.nulls(n, pa.int8()).fill_null(1)]
             return pa.Table.from_arrays(cols, schema=unified)
 
         def tag_right(t: pa.Table) -> pa.Table:
+            # a null right_on can never match any left row — drop at source
+            t = t.filter(pc.is_valid(t.column(right_on)))
             n = t.num_rows
             cols = []
-            for nm in self.left_names:
+            for nm in left_names:
                 if nm == by:
                     cols.append(t.column(by))
                 else:
-                    cols.append(pa.nulls(n, left_schema.field(nm).type))
-            cols += [t.column(src) for src in self.payload]
+                    cols.append(_filler(n, left_schema.field(nm).type))
+            cols += [t.column(src) for src in payload]
             cols += [t.column(right_on), pa.nulls(n, pa.int8()).fill_null(0)]
             return pa.Table.from_arrays(cols, schema=unified)
 
@@ -129,22 +200,45 @@ class _Plan:
             + [(dst, right_schema.field(src).type) for src, dst in self.payload.items()]
         )
 
+    def split_sides(self, df: pd.DataFrame):
+        """Kernel-side split: (left rows incl. filler payload, right rows
+        with int payload upgraded to nullable extension dtypes)."""
+        is_left = df[_SIDE] == 1
+        right = df.loc[~is_left, [self.by, _T] + self.payload_dst]
+        if self.payload_nullable and len(right):
+            right = right.astype(self.payload_nullable)
+        return df[is_left], right
+
+    def null_payload(self, frame: pd.DataFrame) -> pd.DataFrame:
+        """Replace the structural filler payload with genuine nulls (for
+        unmatched/null-time left rows surfacing in a LEFT-join output)."""
+        frame = frame.copy()
+        for c in self.payload_dst:
+            frame[c] = None  # NaN / NaT / None per column dtype; restore
+            # casts the all-null column back to the declared payload type
+        return frame
+
     def run(self, kernel, num_buckets: int):
-        joined = bucketed_groups(
-            self.tagged, [self.by], kernel, num_buckets=num_buckets
-        )
         out_schema = self.out_schema
 
-        # the pandas kernel degrades int columns that crossed the
-        # null-union to float64 (NaN on the other side's rows) — cast
-        # every column back to its source type and pin the column order
-        def restore(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:  # empty buckets can surface column-less blocks
+        # The kernel hands back ARROW, converted here with pyarrow's own
+        # from_pandas: Ray's pandas→Arrow block conversion routes nullable
+        # extension ints (and object int columns) through float64, which
+        # silently rounds values above 2^53 — pyarrow converts the masked
+        # IntegerArray exactly.  Casting to out_schema in the same step
+        # also pins column order/types, so every block leaves map_groups
+        # schema-identical (no mixed float/int blocks downstream).
+        def exact(df: pd.DataFrame) -> pa.Table:
+            out = kernel(df)
+            if not len(out):
                 return out_schema.empty_table()
+            t = pa.Table.from_pandas(out, preserve_index=False)
             cols = [t.column(f.name).cast(f.type) for f in out_schema]
             return pa.Table.from_arrays(cols, schema=out_schema)
 
-        return joined.map_batches(restore, batch_format="pyarrow")
+        return bucketed_groups(
+            self.tagged, [self.by], exact, num_buckets=num_buckets
+        )
 
 
 def asof_join(
@@ -157,34 +251,37 @@ def asof_join(
     right_cols: Mapping[str, str],
     num_buckets: int = 64,
 ):
-    """Backward-inclusive as-of join of two Ray Datasets.
+    """Backward-inclusive as-of join of two Ray Datasets (LEFT-join
+    semantics: every left row survives; unmatched and null-``left_on``
+    rows carry null payload).
 
     ``right_cols``: {right column → output name} payload to attach (the
     output names must not collide with left columns).  Returns a Dataset
-    with every left column plus the renamed payload columns (typed nulls
-    where a left row has no match).
+    with every left column plus the renamed payload columns.
     """
-    plan = _Plan(left_ds, right_ds, by, left_on, right_on, right_cols)
+    plan = _Plan(left_ds, right_ds, by, left_on, right_on, right_cols,
+                 drop_null_left_time=False)
     by_, payload_dst = plan.by, plan.payload_dst
     drop_out = [_SIDE, _T]
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        is_left = df[_SIDE] == 1
-        right = df.loc[~is_left, [by_, _T] + payload_dst]
-        if not len(right) or not is_left.any():
-            # no matches possible: left rows already carry typed-null
-            # payload columns from the union projection (schema-stable
-            # even when the slice is empty)
-            return df[is_left].drop(columns=drop_out)
-        left = df[is_left].drop(columns=payload_dst).sort_values(_T, kind="mergesort")
+        left, right = plan.split_sides(df)
+        t_null = left[_T].isna()
+        live = left[~t_null]
+        if not len(right) or not len(live):
+            return plan.null_payload(left).drop(columns=drop_out)
         out = pd.merge_asof(
-            left,
+            live.drop(columns=payload_dst).sort_values(_T, kind="mergesort"),
             right.sort_values(_T, kind="mergesort"),
             on=_T,
             by=by_,
             direction="backward",
             allow_exact_matches=True,
         )
+        if t_null.any():  # null left time → row kept, payload null (SQL)
+            out = pd.concat(
+                [out, plan.null_payload(left[t_null])], ignore_index=True
+            )
         return out.drop(columns=drop_out)
 
     return plan.run(kernel, num_buckets)
@@ -214,14 +311,14 @@ def band_join(
     ranges are expanded with repeat/cumsum arithmetic and resolved by one
     exact (key, ordinal) hash merge.
     """
-    plan = _Plan(left_ds, right_ds, by, left_on, right_on, right_cols)
+    plan = _Plan(left_ds, right_ds, by, left_on, right_on, right_cols,
+                 drop_null_left_time=True)
     by_, payload_dst = plan.by, plan.payload_dst
     drop_out = [_SIDE, _T]
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        is_left = df[_SIDE] == 1
-        left = df[is_left].drop(columns=payload_dst)
-        right = df.loc[~is_left, [by_, _T] + payload_dst]
+        left_full, right = plan.split_sides(df)
+        left = left_full.drop(columns=payload_dst)
         empty = left.iloc[0:0].merge(
             right.iloc[0:0].drop(columns=[_T]), on=by_, how="left"
         ).drop(columns=drop_out)

@@ -531,9 +531,10 @@ def events_asof_error(sf_dir: str):
     oracle."""
     from ..functions.asof import asof_join
 
-    cols = ["event_id", "ts", "user_id", "value"]
-    clicks = _events_side(sf_dir, "click", cols)
-    errors = _events_side(sf_dir, "error", cols)
+    # per-side pruning: the left carries only output columns; the right
+    # only key + time + payload sources (the join never reads more)
+    clicks = _events_side(sf_dir, "click", ["event_id", "ts", "user_id"])
+    errors = _events_side(sf_dir, "error", ["ts", "user_id", "value"])
     out = asof_join(
         clicks,
         errors,

@@ -202,8 +202,9 @@ def test_config_unknown_group_fails_fast():
 
 
 def test_cmd_triples_refuses_dirty_out(tmp_path):
-    # the clean-overwrite rmtree must never eat a dir holding non-parquet
-    # files — and must refuse BEFORE any Ray read happens (work dir absent)
+    # guard order matters: a typo'd --work must fail BEFORE --out is
+    # touched (a prior export must survive), and a dirty --out must
+    # refuse before any Ray read happens
     import argparse
 
     from knowledge_graph_construction_ray.__main__ import cmd_triples
@@ -211,6 +212,18 @@ def test_cmd_triples_refuses_dirty_out(tmp_path):
     out = tmp_path / "shared"
     out.mkdir()
     (out / "keep.txt").write_text("precious")
+    prior = tmp_path / "prior_export"
+    prior.mkdir()
+    (prior / "part-0.parquet").write_bytes(b"x")  # a previous triples export
+
+    # absent work dir: fails on --work validation, prior export untouched
+    with pytest.raises(SystemExit, match="no graph/edges"):
+        cmd_triples(argparse.Namespace(work=str(tmp_path / "absent"), out=str(prior)))
+    assert (prior / "part-0.parquet").exists()
+
+    # valid-looking work dir + dirty out: refuses before the Ray read
+    work = tmp_path / "work"
+    (work / "graph" / "edges").mkdir(parents=True)
     with pytest.raises(SystemExit, match="refusing to clear"):
-        cmd_triples(argparse.Namespace(work=str(tmp_path / "absent"), out=str(out)))
+        cmd_triples(argparse.Namespace(work=str(work), out=str(out)))
     assert (out / "keep.txt").read_text() == "precious"

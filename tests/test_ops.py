@@ -315,6 +315,72 @@ def test_asof_join_matches_bruteforce(ray_session):
     assert len(empty) == len(left) and empty["last_rt"].isna().all()
 
 
+def test_asof_join_int64_precision_and_null_times(ray_session):
+    # ids above 2^53 must survive the union exactly (no float64 round
+    # trip), null right times never match, null left times keep the row
+    # with null payload — SQL ASOF LEFT JOIN semantics
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    big = 2**53 + 1  # not float64-representable
+    left = pa.table(
+        {
+            "lid": pa.array([big, big + 2, big + 4], type=pa.int64()),
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "t": pa.array([100, 200, None], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], type=pa.int64()),
+            "rt": pa.array([150, None, 90], type=pa.int64()),
+            "rid": pa.array([big + 10, big + 12, big + 14], type=pa.int64()),
+        }
+    )
+    ds = asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        right_cols={"rt": "last_rt", "rid": "last_rid"},
+        num_buckets=2,
+    )
+    # the Dataset's arrow blocks must be exact int64 (a .to_pandas() on a
+    # NULLABLE int column is the CONSUMER's lossy float64 choice, not ours)
+    assert [str(t) for t in ds.schema().types] == ["int64"] * 5
+    rows = sorted(ds.take_all(), key=lambda r: r["lid"])
+    assert [r["lid"] for r in rows] == [big, big + 2, big + 4]  # exact, all kept
+    # t=100 → rt=90 (rid big+14); t=200 → rt=150 (rid big+10); t=null → no match
+    assert [r["last_rid"] for r in rows[:2]] == [big + 14, big + 10]  # exact
+    assert rows[2]["last_rt"] is None and rows[2]["last_rid"] is None
+    # the null-rt right row (rid big+12) never matched anything
+    assert (big + 12) not in [r["last_rid"] for r in rows[:2]]
+
+
+def test_asof_plan_validation_errors(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    l = rd.from_items([{"k": 1, "t": 1, "x": 1}])
+    r = rd.from_items([{"k": 1, "rt": 1, "v": 1.0}])
+    r_strkey = rd.from_items([{"k": "a", "rt": 1, "v": 1.0}])
+    cases = [
+        ({"v": "x"}, r, "collide"),  # payload name collides with left col
+        ({"v": "p", "rt": "p"}, r, "duplicate"),  # duplicate output names
+        ({"v": "_asof_t"}, r, "reserved"),  # reserved internal name
+        ({"v": "p"}, r_strkey, "share a type"),  # by-key dtype mismatch
+        ({"missing": "p"}, r, "not on the right"),  # unknown payload source
+    ]
+    for cols, right, match in cases:
+        with pytest.raises(ValueError, match=match):
+            asof_join(l, right, by="k", left_on="t", right_on="rt",
+                      right_cols=cols)
+
+
 def test_grouped_topk_multiblock(ray_session):
     # per-group winners deliberately scattered across blocks: the driver
     # reduce must re-apply the group head, not just concatenate
