@@ -568,17 +568,22 @@ def events_band_views(sf_dir: str):
 
     purchases = _events_side(sf_dir, "purchase", ["event_id", "ts", "user_id"])
     views = _events_side(sf_dir, "view", ["event_id", "ts", "user_id"])
-    out = band_join(
-        purchases,
-        views,
-        by="user_id",
-        left_on="ts",
-        right_on="ts",
-        lower=-pd.Timedelta(hours=12),
-        upper=pd.Timedelta(0),
-        right_cols={"event_id": "view_id", "ts": "view_ts"},
-        num_buckets=16,
-    ).to_pandas()
+    from .ops import _to_pandas
+
+    out = _to_pandas(
+        band_join(
+            purchases,
+            views,
+            by="user_id",
+            left_on="ts",
+            right_on="ts",
+            lower=-pd.Timedelta(hours=12),
+            upper=pd.Timedelta(0),
+            right_cols={"event_id": "view_id", "ts": "view_ts"},
+            num_buckets=16,
+        ),
+        ["event_id", "ts", "user_id", "view_id", "view_ts"],
+    )
     out = out.rename(columns={"event_id": "purchase_id"})
     out = out[["purchase_id", "user_id", "ts", "view_id", "view_ts"]]
     return out.sort_values(["purchase_id", "view_id"]).reset_index(drop=True)

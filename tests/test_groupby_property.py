@@ -45,3 +45,75 @@ def test_bucketed_agg_equals_pandas(ray_session, df, num_buckets):
         got.astype({"s": "int64", "n": "int64", "mn": "int64", "mx": "int64"}),
         exp.astype({"s": "int64", "n": "int64", "mn": "int64", "mx": "int64"}),
     )
+
+
+@st.composite
+def temporal_inputs(draw):
+    n_left = draw(st.integers(1, 40))
+    left = pd.DataFrame(
+        {
+            "lid": range(n_left),
+            "k": draw(st.lists(st.integers(0, 5), min_size=n_left, max_size=n_left)),
+            "t": draw(st.lists(st.integers(0, 50), min_size=n_left, max_size=n_left)),
+        }
+    )
+    # unique (k, rt) pairs on the right: the as-of tie-break is only
+    # deterministic when the right time is unique per key (documented)
+    pairs = sorted(
+        draw(st.sets(st.tuples(st.integers(0, 7), st.integers(0, 50)), max_size=40))
+    )
+    import numpy as np
+
+    right = pd.DataFrame(
+        {
+            "k": np.array([p[0] for p in pairs], dtype=np.int64),
+            "rt": np.array([p[1] for p in pairs], dtype=np.int64),
+            "rid": np.arange(len(pairs), dtype=np.int64),
+        }
+    )
+    lower = draw(st.integers(-15, 5))
+    upper = lower + draw(st.integers(0, 15))
+    return left, right, lower, upper
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(temporal_inputs(), st.integers(min_value=1, max_value=4))
+def test_temporal_joins_equal_bruteforce(ray_session, inputs, num_buckets):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join, band_join
+
+    left, right, lower, upper = inputs
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    asof = asof_join(
+        lds, rds, by="k", left_on="t", right_on="rt",
+        right_cols={"rid": "last_rid"}, num_buckets=num_buckets,
+    ).to_pandas()
+    assert len(asof) == len(left)
+    by_lid = dict(zip(asof["lid"], asof["last_rid"]))
+    for row in left.itertuples():
+        cand = right[(right["k"] == row.k) & (right["rt"] <= row.t)]
+        want = cand.loc[cand["rt"].idxmax(), "rid"] if len(cand) else None
+        got = by_lid[row.lid]
+        assert (pd.isna(got) and want is None) or got == want
+
+    band = band_join(
+        lds, rds, by="k", left_on="t", right_on="rt",
+        lower=lower, upper=upper, right_cols={"rid": "rid"},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if band.empty and not list(band.columns):
+        # an all-empty Ray dataset drops its schema in to_pandas()
+        band = pd.DataFrame(columns=["lid", "k", "t", "rid"])
+    want_pairs = {
+        (l.lid, r.rid)
+        for l in left.itertuples()
+        for r in right.itertuples()
+        if l.k == r.k and l.t + lower <= r.rt <= l.t + upper
+    }
+    assert set(zip(band["lid"], band["rid"])) == want_pairs
+    assert len(band) == len(want_pairs)
