@@ -115,8 +115,8 @@ def grouped_topk(
     ``by``/``ascending`` must define a total order within a group
     (include a tie-break key) for determinism.  Intended for LOW group
     cardinality (strata: language, source, split); at high cardinality
-    the driver union grows with ``groups`` — use ``bucketed_groups``
-    with a per-bucket head kernel instead.
+    the driver union grows with ``groups`` — use ``bucketed_grouped_topk``
+    instead.
     """
 
     def combiner(df: pd.DataFrame) -> pd.DataFrame:
@@ -132,6 +132,36 @@ def grouped_topk(
         .groupby(group_cols, sort=False)
         .head(k)
         .reset_index(drop=True)
+    )
+
+
+def bucketed_grouped_topk(
+    ds,
+    group_cols: list[str],
+    by: list[str],
+    k: int,
+    *,
+    ascending: "bool | list[bool]" = True,
+    num_buckets: int = 64,
+):
+    """Per-group top-k at HIGH group cardinality (per-user history
+    sampling, per-domain head): the same per-block head combiner as
+    ``grouped_topk``, but the reduce is ONE coarse-bucket shuffle with a
+    vectorized per-bucket head — nothing ever lands on the driver.
+    Returns a Dataset (≤ groups × k rows)."""
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    return bucketed_groups(
+        ds.map_batches(head, batch_format="pandas"),
+        group_cols,
+        head,
+        num_buckets=num_buckets,
     )
 
 

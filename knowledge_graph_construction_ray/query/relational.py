@@ -830,6 +830,37 @@ def curation_stratified_sample(sf_dir: str, k: int = 5):
     )
 
 
+def events_user_top2(sf_dir: str):
+    """Per-USER top-2 events by value — per-group top-k at HIGH group
+    cardinality (one group per user): per-block head combiner + one
+    coarse-bucket shuffle with a vectorized per-bucket head
+    (`bucketed_grouped_topk`); the driver never sees more than the
+    final ≤ 2·users rows."""
+    from ..functions.groupby import bucketed_grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = (
+        bucketed_grouped_topk(
+            ds, ["user_id"], ["value", "event_id"], 2,
+            ascending=[False, True], num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "event_id", "value"]]
+
+
+EVENTS_USER_TOP2_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) t
+WHERE rn <= 2 ORDER BY user_id, event_id
+"""
+
+
 STRATIFIED_SAMPLE_SQL = """
 SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
@@ -1210,6 +1241,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, QUALITY_SQL),
     "curation_split_stats": (curation_split_stats, SPLIT_STATS_SQL),
     "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
+    "events_user_top2": (events_user_top2, EVENTS_USER_TOP2_SQL),
     "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_langid": (text_langid, None),
     "ann_topk": (ann_topk, ANN_SQL),

@@ -406,6 +406,43 @@ def test_grouped_topk_multiblock(ray_session):
     assert got == set(zip(want["g"], want["id"])) and len(out) == len(want)
 
 
+def test_bucketed_grouped_topk_multiblock(ray_session):
+    # high-cardinality per-group top-k: same contract as grouped_topk but
+    # the reduce is a bucket shuffle, never a driver collect
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import (
+        bucketed_grouped_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 120, 600),  # ~120 groups over 6 blocks
+            "v": rng.permutation(600),
+            "id": np.arange(600),
+        }
+    )
+    out = (
+        bucketed_grouped_topk(
+            rd.from_pandas(df).repartition(6), ["g"], ["v", "id"], 2,
+            ascending=[False, True], num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", sort=False)
+        .head(2)
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    assert set(zip(out["g"], out["id"])) == set(zip(want["g"], want["id"]))
+    assert len(out) == len(want)
+
+
 def test_band_join_matches_bruteforce(ray_session):
     # distributed band join ≡ per-pair brute force over the window
     # [t + lower, t + upper], both bounds inclusive
