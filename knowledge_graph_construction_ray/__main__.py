@@ -67,9 +67,11 @@ def cmd_triples(args: argparse.Namespace) -> dict:
     # validate --work BEFORE clearing --out: a typo'd work dir must not
     # destroy a previous export and then fail on the read
     edges_dir = f"{args.work}/graph/edges"
-    if not os.path.isdir(edges_dir):
+    if not os.path.isdir(edges_dir) or not any(
+        e.endswith(".parquet") for e in os.listdir(edges_dir)
+    ):
         raise SystemExit(
-            f"--work {args.work} has no graph/edges directory (run build first)"
+            f"--work {args.work} has no graph/edges parquet (run build first)"
         )
     # write_parquet APPENDS uniquely-named files — a rerun into a dirty
     # --out would duplicate triples and inflate the fragment count; mirror

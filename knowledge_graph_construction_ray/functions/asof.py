@@ -29,14 +29,19 @@ Shared physical plan (Ray-Data-first; no driver materialization):
    no per-key cartesian product is ever materialized.
 4. A final Arrow cast pins the output column order and types.
 
-Null semantics match SQL (``ASOF LEFT JOIN`` / ``BETWEEN``): a null
-``right_on`` never matches (filtered at tag time); a null ``left_on``
-yields the left row with null payload in ``asof_join`` and no output row
-in ``band_join``.  Integer PAYLOAD columns are carried as pandas
-nullable ``Int64``-family values through the kernel, so matched values
-stay exact at any magnitude; a payload value that is genuinely null in
-the right SOURCE data still degrades that column per ordinary pandas
-rules.
+Null semantics match SQL (``ASOF LEFT JOIN`` / ``BETWEEN``; null never
+equals null): a null ``right_on`` or null right KEY never matches
+(filtered at tag time); a null ``left_on`` or null left key yields the
+left row with null payload in ``asof_join`` and no output row in
+``band_join``.  Null left time/key values are sentinel-filled (type
+minimum) with a mask bit, so the time and key columns stay null-free —
+int64 exact — through the pandas kernel, and the Arrow restore stage
+re-nulls them and the masked rows' payload.  Integer PAYLOAD columns
+are carried as pandas nullable ``Int64``-family values through the
+kernel, so matched values stay exact at any magnitude.  Residual caveat:
+a nullable int64 left column OTHER than the key/time (e.g. an optional
+id) still degrades through pandas when a block contains a null — keep
+such columns null-free or below 2^53, or cast them to string upstream.
 
 Partitioning assumption (document per the repo contract): all rows of a
 single key fit in one bucket's memory.  Salt ``by`` upstream if a single
@@ -63,6 +68,7 @@ from .groupby import bucketed_groups
 
 _T = "_asof_t"
 _SIDE = "_asof_side"
+_NM = "_asof_nulls"  # bit 1: left_on was null; bit 2: by was null
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -113,6 +119,25 @@ def _nullable_name(typ: pa.DataType) -> "str | None":
     return None
 
 
+def _floor_scalar(typ: pa.DataType):
+    """Sentinel used to fill null time/key values so the column stays
+    null-free (and so int64 stays int64) through the pandas kernel.  For
+    times, the type MINIMUM: a backward as-of probe at the floor matches
+    nothing (except a pathological right row AT the floor — harmless,
+    because the restore stage nulls the payload of masked rows anyway)."""
+    if pa.types.is_integer(typ):
+        return pa.scalar(np.iinfo(typ.to_pandas_dtype()).min, type=typ)
+    if pa.types.is_floating(typ):
+        return pa.scalar(float("-inf"), type=typ)
+    if pa.types.is_timestamp(typ):
+        return pa.array([np.iinfo("int64").min + 1], type=pa.int64()).cast(typ)[0]
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", type=typ)
+    if pa.types.is_boolean(typ):
+        return pa.scalar(False, type=typ)
+    raise ValueError(f"unsupported time/key type for null handling: {typ}")
+
+
 class _Plan:
     """Validated inputs + the tagged union both temporal joins share."""
 
@@ -150,6 +175,7 @@ class _Plan:
             raise ValueError(f"payload columns not on the right side: {missing}")
 
         self.by = by
+        self.left_on = left_on
         self.left_names = list(left_schema.names)
         self.payload = dict(right_cols)
         self.payload_dst = list(self.payload.values())
@@ -159,28 +185,58 @@ class _Plan:
             for src, dst in self.payload.items()
             if (name := _nullable_name(right_schema.field(src).type))
         }
-        # unified column order: left columns, payload, merge time, side tag
+        # unified column order: left columns, payload, merge time, side
+        # tag, null-mask (bit 1 = left_on was null, bit 2 = by was null)
         out_fields = [(n, left_schema.field(n).type) for n in self.left_names]
         out_fields += [
             (dst, right_schema.field(src).type) for src, dst in self.payload.items()
         ]
-        out_fields += [(_T, t_type), (_SIDE, pa.int8())]
+        out_fields += [(_T, t_type), (_SIDE, pa.int8()), (_NM, pa.int8())]
         unified = pa.schema(out_fields)
         payload = self.payload
         left_names = self.left_names
+        by_type = left_schema.field(by).type
+        _floor_scalar(t_type), _floor_scalar(by_type)  # fail fast on bad types
+        # NOTE: the floor pa.Scalars are built INSIDE tag_left per batch —
+        # a pa.Scalar captured in the closure is pickled via .as_py(),
+        # which overflows for the timestamp type minimum
 
         def tag_left(t: pa.Table) -> pa.Table:
-            if drop_null_left_time:  # inner-join semantics: null never matches
-                t = t.filter(pc.is_valid(t.column(left_on)))
+            # null time/key: LEFT-join semantics keep the row (mask bit set,
+            # sentinel-filled so int64 columns stay null-free → exact
+            # through pandas; the restore stage re-nulls them); inner-join
+            # semantics drop it here
+            if drop_null_left_time:
+                t = t.filter(
+                    pc.and_(pc.is_valid(t.column(left_on)), pc.is_valid(t.column(by)))
+                )
             n = t.num_rows
-            cols = [t.column(nm) for nm in left_names]
+            t_col = t.column(left_on).combine_chunks()
+            by_col = t.column(by).combine_chunks()
+            mask = pc.add(
+                pc.cast(pc.is_null(t_col), pa.int8()),
+                pc.multiply(pc.cast(pc.is_null(by_col), pa.int8()),
+                            pa.scalar(2, type=pa.int8())),
+            ).cast(pa.int8())
+            t_filled = t_col.fill_null(_floor_scalar(t_type))
+            by_filled = by_col.fill_null(_floor_scalar(by_type))
+            cols = []
+            for nm in left_names:
+                if nm == by:
+                    cols.append(by_filled)
+                elif nm == left_on:
+                    cols.append(t_filled)
+                else:
+                    cols.append(t.column(nm))
             cols += [_filler(n, right_schema.field(src).type) for src in payload]
-            cols += [t.column(left_on), pa.nulls(n, pa.int8()).fill_null(1)]
+            cols += [t_filled, pa.nulls(n, pa.int8()).fill_null(1), mask]
             return pa.Table.from_arrays(cols, schema=unified)
 
         def tag_right(t: pa.Table) -> pa.Table:
-            # a null right_on can never match any left row — drop at source
-            t = t.filter(pc.is_valid(t.column(right_on)))
+            # a null right_on or null key can never match — drop at source
+            t = t.filter(
+                pc.and_(pc.is_valid(t.column(right_on)), pc.is_valid(t.column(by)))
+            )
             n = t.num_rows
             cols = []
             for nm in left_names:
@@ -189,7 +245,8 @@ class _Plan:
                 else:
                     cols.append(_filler(n, left_schema.field(nm).type))
             cols += [t.column(src) for src in payload]
-            cols += [t.column(right_on), pa.nulls(n, pa.int8()).fill_null(0)]
+            zeros = pa.nulls(n, pa.int8()).fill_null(0)
+            cols += [t.column(right_on), zeros, zeros]
             return pa.Table.from_arrays(cols, schema=unified)
 
         self.tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
@@ -220,20 +277,39 @@ class _Plan:
 
     def run(self, kernel, num_buckets: int):
         out_schema = self.out_schema
+        by, left_on = self.by, self.left_on
+        payload_set = set(self.payload_dst)
 
         # The kernel hands back ARROW, converted here with pyarrow's own
         # from_pandas: Ray's pandas→Arrow block conversion routes nullable
         # extension ints (and object int columns) through float64, which
         # silently rounds values above 2^53 — pyarrow converts the masked
-        # IntegerArray exactly.  Casting to out_schema in the same step
-        # also pins column order/types, so every block leaves map_groups
-        # schema-identical (no mixed float/int blocks downstream).
+        # IntegerArray exactly.  The null-mask column then restores the
+        # sentinel-filled time/key values to genuine nulls and nulls the
+        # payload of masked rows (a sentinel row can only have "matched"
+        # a pathological floor-valued right row — discarded here).
+        # Casting to out_schema in the same step pins column order/types,
+        # so every block leaves map_groups schema-identical.
         def exact(df: pd.DataFrame) -> pa.Table:
             out = kernel(df)
             if not len(out):
                 return out_schema.empty_table()
             t = pa.Table.from_pandas(out, preserve_index=False)
-            cols = [t.column(f.name).cast(f.type) for f in out_schema]
+            nm = t.column(_NM).cast(pa.int8()).combine_chunks()
+            one, two = pa.scalar(1, pa.int8()), pa.scalar(2, pa.int8())
+            tnull = pc.equal(pc.bit_wise_and(nm, one), one)
+            knull = pc.equal(pc.bit_wise_and(nm, two), two)
+            anynull = pc.not_equal(nm, pa.scalar(0, pa.int8()))
+            cols = []
+            for f in out_schema:
+                col = t.column(f.name).cast(f.type).combine_chunks()
+                if f.name == left_on:
+                    col = pc.if_else(tnull, pa.scalar(None, type=f.type), col)
+                elif f.name == by:
+                    col = pc.if_else(knull, pa.scalar(None, type=f.type), col)
+                elif f.name in payload_set:
+                    col = pc.if_else(anynull, pa.scalar(None, type=f.type), col)
+                cols.append(col)
             return pa.Table.from_arrays(cols, schema=out_schema)
 
         return bucketed_groups(
@@ -265,23 +341,20 @@ def asof_join(
     drop_out = [_SIDE, _T]
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # sentinel-filled null time/key rows merge like any other row
+        # (they can only hit a floor-valued right row, and the restore
+        # stage nulls masked rows' payload regardless)
         left, right = plan.split_sides(df)
-        t_null = left[_T].isna()
-        live = left[~t_null]
-        if not len(right) or not len(live):
+        if not len(right) or not len(left):
             return plan.null_payload(left).drop(columns=drop_out)
         out = pd.merge_asof(
-            live.drop(columns=payload_dst).sort_values(_T, kind="mergesort"),
+            left.drop(columns=payload_dst).sort_values(_T, kind="mergesort"),
             right.sort_values(_T, kind="mergesort"),
             on=_T,
             by=by_,
             direction="backward",
             allow_exact_matches=True,
         )
-        if t_null.any():  # null left time → row kept, payload null (SQL)
-            out = pd.concat(
-                [out, plan.null_payload(left[t_null])], ignore_index=True
-            )
         return out.drop(columns=drop_out)
 
     return plan.run(kernel, num_buckets)

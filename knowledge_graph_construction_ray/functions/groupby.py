@@ -27,7 +27,16 @@ def hash_bucket(df: pd.DataFrame, cols: list[str], num_buckets: int):
     shuffle (vectorized, process-independent)."""
     h = None
     for c in cols:
-        hc = pd.util.hash_pandas_object(df[c], index=False).to_numpy()
+        s = df[c]
+        # normalize numeric keys to float64 before hashing: a block where
+        # the key column picked up a null arrives as float64 (Arrow→pandas
+        # degrade) while null-free blocks stay int64, and the same logical
+        # key hashes differently across those dtypes — splitting one key
+        # across buckets.  float64 normalization makes every block agree
+        # (bucketing only needs consistency, not injectivity).
+        if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        hc = pd.util.hash_pandas_object(s, index=False).to_numpy()
         h = hc if h is None else (h * 31 + hc)
     return h % num_buckets
 
@@ -122,14 +131,14 @@ def grouped_topk(
     def combiner(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.sort_values(by, ascending=ascending, kind="mergesort")
-            .groupby(group_cols, sort=False)
+            .groupby(group_cols, sort=False, dropna=False)  # null = own group (SQL)
             .head(k)
         )
 
     small = ds.map_batches(combiner, batch_format="pandas").to_pandas()
     return (
         small.sort_values(by, ascending=ascending, kind="mergesort")
-        .groupby(group_cols, sort=False)
+        .groupby(group_cols, sort=False, dropna=False)
         .head(k)
         .reset_index(drop=True)
     )
@@ -153,7 +162,7 @@ def bucketed_grouped_topk(
     def head(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.sort_values(by, ascending=ascending, kind="mergesort")
-            .groupby(group_cols, sort=False)
+            .groupby(group_cols, sort=False, dropna=False)  # null = own group (SQL)
             .head(k)
         )
 

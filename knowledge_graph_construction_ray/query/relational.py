@@ -838,16 +838,16 @@ def events_user_top2(sf_dir: str):
     final ≤ 2·users rows."""
     from ..functions.groupby import bucketed_grouped_topk
 
+    from .ops import _to_pandas
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
-    out = (
+    out = _to_pandas(
         bucketed_grouped_topk(
             ds, ["user_id"], ["value", "event_id"], 2,
             ascending=[False, True], num_buckets=16,
-        )
-        .to_pandas()
-        .sort_values(["user_id", "event_id"])
-        .reset_index(drop=True)
-    )
+        ),
+        ["event_id", "user_id", "value"],
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
     return out[["user_id", "event_id", "value"]]
 
 

@@ -221,9 +221,16 @@ def test_cmd_triples_refuses_dirty_out(tmp_path):
         cmd_triples(argparse.Namespace(work=str(tmp_path / "absent"), out=str(prior)))
     assert (prior / "part-0.parquet").exists()
 
-    # valid-looking work dir + dirty out: refuses before the Ray read
+    # work dir whose graph/edges exists but holds no parquet (interrupted
+    # build): must also fail validation without touching --out
     work = tmp_path / "work"
     (work / "graph" / "edges").mkdir(parents=True)
+    with pytest.raises(SystemExit, match="no graph/edges parquet"):
+        cmd_triples(argparse.Namespace(work=str(work), out=str(prior)))
+    assert (prior / "part-0.parquet").exists()
+
+    # valid-looking work dir + dirty out: refuses before the Ray read
+    (work / "graph" / "edges" / "part-0.parquet").write_bytes(b"x")
     with pytest.raises(SystemExit, match="refusing to clear"):
         cmd_triples(argparse.Namespace(work=str(work), out=str(out)))
     assert (out / "keep.txt").read_text() == "precious"

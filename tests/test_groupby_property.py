@@ -101,14 +101,16 @@ def test_temporal_joins_equal_bruteforce(ray_session, inputs, num_buckets):
         got = by_lid[row.lid]
         assert (pd.isna(got) and want is None) or got == want
 
-    band = band_join(
-        lds, rds, by="k", left_on="t", right_on="rt",
-        lower=lower, upper=upper, right_cols={"rid": "rid"},
-        num_buckets=num_buckets,
-    ).to_pandas()
-    if band.empty and not list(band.columns):
-        # an all-empty Ray dataset drops its schema in to_pandas()
-        band = pd.DataFrame(columns=["lid", "k", "t", "rid"])
+    from knowledge_graph_construction_ray.query.ops import _to_pandas
+
+    band = _to_pandas(
+        band_join(
+            lds, rds, by="k", left_on="t", right_on="rt",
+            lower=lower, upper=upper, right_cols={"rid": "rid"},
+            num_buckets=num_buckets,
+        ),
+        ["lid", "k", "t", "rid"],
+    )
     want_pairs = {
         (l.lid, r.rid)
         for l in left.itertuples()

@@ -360,6 +360,89 @@ def test_asof_join_int64_precision_and_null_times(ray_session):
     assert (big + 12) not in [r["last_rid"] for r in rows[:2]]
 
 
+def test_asof_join_ns_times_and_null_keys(ray_session):
+    # epoch-ns-scale int64 times (>2^53) with nulls in time AND key: the
+    # join decisions must be exact (no float64 rounding of times), null
+    # keys never match (SQL: null != null), and masked rows come back
+    # with their nulls intact
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join, band_join
+
+    ns = 1_700_000_000_000_000_000  # ~1.7e18 >> 2^53 (float64 step = 256)
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "k": pa.array([7, 7, None, None], type=pa.int64()),
+            "t": pa.array([ns + 100, None, ns + 100, None], type=pa.int64()),
+        }
+    )
+    # two right rows 1ns apart around the probe: float64 rounding of the
+    # times would make them indistinguishable and pick the wrong one
+    right = pa.table(
+        {
+            "k": pa.array([7, 7, None], type=pa.int64()),
+            "rt": pa.array([ns + 99, ns + 101, ns + 50], type=pa.int64()),
+            "tag": pa.array(["in_window", "after", "null_key"]),
+        }
+    )
+    rows = sorted(
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            by="k", left_on="t", right_on="rt",
+            right_cols={"rt": "m_rt", "tag": "m_tag"}, num_buckets=2,
+        ).take_all(),
+        key=lambda r: r["lid"],
+    )
+    assert [r["lid"] for r in rows] == [1, 2, 3, 4]
+    # lid 1: rt=ns+99 is <= t=ns+100, rt=ns+101 is not — needs exact times
+    assert rows[0]["m_tag"] == "in_window" and rows[0]["m_rt"] == ns + 99
+    assert rows[0]["t"] == ns + 100 and rows[0]["k"] == 7  # values exact
+    # null time and/or null key: row kept, payload null, nulls restored
+    for r in rows[1:]:
+        assert r["m_tag"] is None and r["m_rt"] is None
+    assert rows[1]["t"] is None and rows[1]["k"] == 7
+    assert rows[2]["k"] is None and rows[2]["t"] == ns + 100
+    assert rows[3]["k"] is None and rows[3]["t"] is None
+
+    # band join: null-time/key left rows and null-key right rows drop
+    # window [t-2, t]: rt=ns+99 is in, rt=ns+101 is 1ns past the bound —
+    # a float64 time comparison could not tell them apart
+    pairs = band_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        by="k", left_on="t", right_on="rt",
+        lower=-2, upper=0, right_cols={"tag": "tag"}, num_buckets=2,
+    ).take_all()
+    assert [(p["lid"], p["tag"]) for p in pairs] == [(1, "in_window")]
+
+
+def test_grouped_topk_null_group_is_own_partition(ray_session):
+    # SQL ROW_NUMBER PARTITION BY treats null as its own partition — the
+    # top-k utilities must not silently drop null-keyed rows
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import (
+        bucketed_grouped_topk,
+        grouped_topk,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": [1.0, 1.0, None, None, None],
+            "v": [5, 3, 9, 8, 7],
+            "id": [0, 1, 2, 3, 4],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    got = grouped_topk(ds, ["g"], ["v", "id"], 2, ascending=False)
+    assert set(got["id"]) == {0, 1, 2, 3}  # null group keeps its top-2
+    got_b = bucketed_grouped_topk(
+        ds, ["g"], ["v", "id"], 2, ascending=False, num_buckets=2
+    ).to_pandas()
+    assert set(got_b["id"]) == {0, 1, 2, 3}
+
+
 def test_asof_plan_validation_errors(ray_session):
     import ray.data as rd
 
