@@ -136,6 +136,8 @@ def grouped_topk(
         )
 
     small = ds.map_batches(combiner, batch_format="pandas").to_pandas()
+    if small.empty:  # empty Ray results drop their schema → sort_values KeyError
+        return small
     return (
         small.sort_values(by, ascending=ascending, kind="mergesort")
         .groupby(group_cols, sort=False, dropna=False)
@@ -186,6 +188,8 @@ def local_topk(ds, by: list[str], k: int, *, descending: list[bool]) -> pd.DataF
         return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
 
     small = ds.map_batches(combiner, batch_format="pandas").to_pandas()
+    if small.empty:  # empty Ray results drop their schema → sort_values KeyError
+        return small
     return (
         small.sort_values(by, ascending=ascending, kind="mergesort")
         .head(k)

@@ -18,7 +18,6 @@ sf0.01 tables the driver compares at (CORRECTNESS contract).
 from __future__ import annotations
 
 import os
-import zlib
 
 import pandas as pd
 import pyarrow as pa
@@ -39,7 +38,7 @@ def minhash_golden(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     stages/dedupe.py's distributed plan step for step, in one process."""
     from .stages.dedupe import (
         NUM_BANDS,
-        ROWS_PER_BAND,
+        band_hashes,
         cluster_pairs,
         jaccard,
         minhash_signature,
@@ -51,10 +50,9 @@ def minhash_golden(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     )
     buckets: dict[tuple, list] = {}
     for doc_id, text in zip(df["doc_id"], df["text"]):
-        sig = minhash_signature(text)
+        bh = band_hashes(minhash_signature(text)[None, :])[0]
         for b in range(NUM_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            buckets.setdefault((b, zlib.crc32(chunk.tobytes())), []).append(doc_id)
+            buckets.setdefault((b, int(bh[b])), []).append(doc_id)
     cand = set()
     for ids in buckets.values():
         ids = sorted(set(ids))

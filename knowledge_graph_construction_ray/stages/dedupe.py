@@ -85,33 +85,121 @@ def exact_dedup(docs_ds):
 NUM_PERM = 64
 NUM_BANDS = 16  # 16 bands × 4 rows ≈ catches Jaccard ≳ 0.5
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+NGRAM = 3
 _A = np.array([_h64(f"a{i}") | 1 for i in range(NUM_PERM)], dtype=np.uint64)
 _B = np.array([_h64(f"b{i}") for i in range(NUM_PERM)], dtype=np.uint64)
+_P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiply mod 2^64
+
+# Process-lifetime token-hash cache: Ray reuses worker processes across
+# batches, so a zipfian corpus pays one _h64 per distinct token per worker,
+# not per occurrence.  Values are deterministic — the cache is purely a
+# memoization, cleared (not evicted) at a size bound to cap worker memory.
+_token_hash_cache: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 2_000_000
 
 
-def minhash_signature(text: str, ngram: int = 3) -> np.ndarray:
-    grams = word_ngrams(text, ngram)
-    if not grams:
-        return np.zeros(NUM_PERM, dtype=np.uint64)
-    hv = np.array([_h64(g) for g in grams], dtype=np.uint64)
-    # (a*x + b) mod 2^64, min over shingles — vectorized over perms × grams
+def _hash_token_array(tokens) -> np.ndarray:
+    """``_h64`` over a (deduplicated) token vocabulary → uint64 array."""
+    cache = _token_hash_cache
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
+            h = cache[t] = _h64(t)
+        out[i] = h
+    return out
+
+
+def _flat_token_hashes(docs: list[list[str]]):
+    """Tokenized docs → (flat uint64 token-hash array, per-doc start
+    offsets of length D+1, per-doc lengths).  ``pd.factorize`` dedups the
+    batch vocabulary so ``_h64`` runs once per DISTINCT token."""
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+    flat = [tok for d in docs for tok in d]
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        th = _hash_token_array(uniq)[codes]
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    starts = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    return th, starts, lens
+
+
+def minhash_signatures_batch(texts) -> np.ndarray:
+    """Vectorized MinHash signatures for a whole batch → (D, NUM_PERM)
+    uint64 (VERDICT r2 item 1 — replaces the per-doc/per-shingle Python).
+
+    One tokenize pass; one ``_h64`` per distinct token (cached across
+    batches); shingle hashes composed ARITHMETICALLY as a degree-NGRAM
+    polynomial in the token hashes mod 2^64 (equivalent quality to hashing
+    the joined shingle string, ~40× cheaper); one ``np.minimum.reduceat``
+    per permutation over the batch's ragged shingle array.  Duplicate
+    shingles within a doc are harmless for a min-hash (min over a multiset
+    equals min over its set).  Docs shorter than NGRAM contribute one
+    shingle over all their tokens (``word_ngrams``' short-doc rule); empty
+    docs get the all-zeros signature."""
+    docs = [t.strip().lower().split() for t in texts]
+    th, starts, lens = _flat_token_hashes(docs)
+    D = len(docs)
+    sigs = np.zeros((D, NUM_PERM), dtype=np.uint64)
+    if not len(th):
+        return sigs
     with np.errstate(over="ignore"):
-        m = (hv[None, :] * _A[:, None] + _B[:, None]).min(axis=1)
-    return m
+        # rolling polynomial: sh[i] = ((th[i]*P + th[i+1])*P + th[i+2]) …
+        sh = th
+        for k in range(1, NGRAM):
+            sh = sh[:-1] * _P + th[k:]
+        long_docs = lens >= NGRAM
+        if long_docs.any():
+            # doc d's full-window shingles sit at flat positions
+            # starts[d] .. starts[d] + lens[d] - NGRAM (doc-ordered)
+            doc_of = np.repeat(np.arange(D), lens)[: len(sh)]
+            pos_in_doc = np.arange(len(sh)) - starts[doc_of]
+            sh_valid = sh[pos_in_doc <= lens[doc_of] - NGRAM]
+            offs = np.zeros(int(long_docs.sum()), dtype=np.int64)
+            np.cumsum((lens[long_docs] - NGRAM + 1)[:-1], out=offs[1:])
+            sig_long = np.empty((len(offs), NUM_PERM), dtype=np.uint64)
+            for p in range(NUM_PERM):  # perm loop bounds transient memory
+                sig_long[:, p] = np.minimum.reduceat(sh_valid * _A[p] + _B[p], offs)
+            sigs[long_docs] = sig_long
+        # short docs (0 < len < NGRAM): one shingle over all tokens — rare
+        for d in np.nonzero((lens > 0) & ~long_docs)[0]:
+            h = np.uint64(0)
+            for t in th[starts[d] : starts[d + 1]]:
+                h = h * _P + t
+            sigs[d] = h * _A + _B
+    return sigs
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """Single-doc convenience wrapper over the batch kernel."""
+    return minhash_signatures_batch([text])[0]
+
+
+def band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(D, NUM_PERM) signatures → (D, NUM_BANDS) int64 band hashes:
+    polynomial combine of each band's ROWS_PER_BAND rows mod 2^64, viewed
+    as int64 (replaces one crc32 per band per doc — fully vectorized)."""
+    v = sigs.reshape(len(sigs), NUM_BANDS, ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        h = v[..., 0].copy()
+        for k in range(1, ROWS_PER_BAND):
+            h = h * _P + v[..., k]
+    return h.view(np.int64)
 
 
 def minhash_bands_kernel(df: pd.DataFrame) -> pd.DataFrame:
     """Docs batch → (band_id, band_hash, doc_id) rows (NUM_BANDS per doc)."""
-    rows_band, rows_hash, rows_doc = [], [], []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        sig = minhash_signature(text)
-        for b in range(NUM_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            rows_band.append(b)
-            rows_hash.append(int(zlib.crc32(chunk.tobytes())))
-            rows_doc.append(doc_id)
+    bh = band_hashes(minhash_signatures_batch(df["text"].tolist()))
     return pd.DataFrame(
-        {"band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc}
+        {
+            "band_id": np.tile(np.arange(NUM_BANDS, dtype=np.int64), len(df)),
+            "band_hash": bh.reshape(-1),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), NUM_BANDS),
+        }
     )
 
 
@@ -311,23 +399,47 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None
 # ---------------------------------------------------------------------------
 
 
+_BITPOS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a whole batch → uint64 array, VALUE-
+    IDENTICAL to the original per-token loop (VERDICT r2 item 3): one
+    tokenize pass, one ``_h64`` per distinct token (cached), token bit
+    matrix via one ``np.unpackbits``, per-doc bit counts via a
+    single ``np.add.reduceat``.  Bit b is set iff more than half the
+    doc's tokens have bit b set (±1 majority vote ⇔ 2·count > n_tokens).
+
+    Tokenization parity note: whitespace-only text tokenizes to ``[""]``
+    (the regex-split behavior the original kernel had), not ``[]``."""
+    # `or [""]`: _WS.split("") == [""] — keep signatures for empty text
+    docs = [t.strip().lower().split() or [""] for t in texts]
+    if not docs:
+        return np.empty(0, dtype=np.uint64)
+    th, starts, lens = _flat_token_hashes(docs)
+    # unpack per token (uint8, 64 B/token transient) and reduce per doc in
+    # one C pass.  little-endian unpack of the uint8 view gives column i ==
+    # (h >> i) & 1 — and is ~700× faster than a broadcast uint64 shift,
+    # which numpy executes in a slow generic inner loop (measured 18 s vs
+    # 0.02 s on 400k tokens)
+    tok_bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int8)  # reduceat runs a slow generic loop on uint8 input
+    cnt = np.add.reduceat(tok_bits, starts[:-1], axis=0, dtype=np.int64)
+    bits = (2 * cnt) > lens[:, None]
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel()
+
+
 def simhash64(text: str) -> int:
-    toks = _WS.split(text.strip().lower())
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _h64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(simhash_batch([text])[0])
 
 
 def simhash_kernel(df: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame({"doc_id": df["doc_id"]})
-    out["simhash"] = [simhash64(t) for t in df["text"]]
+    sh = simhash_batch(df["text"].tolist())
+    out["simhash"] = sh
     # 4 16-bit blocks: two docs within Hamming distance 3 share ≥1 block
-    sh = out["simhash"].to_numpy(dtype=np.uint64)
     for blk in range(4):
         out[f"block{blk}"] = ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
     return out

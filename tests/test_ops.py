@@ -664,3 +664,56 @@ def test_brute_force_topk_multiblock_matches_numpy(ray_session):
     truth = order[:10].tolist()
     got = brute_force_topk(ds, q[None, :], k=10).to_pandas()
     assert list(got["vec_id"]) == truth
+
+
+def test_simhash_batch_value_parity_with_naive_loop():
+    """The vectorized simhash_batch must reproduce the original per-token
+    ±1-vote implementation bit-for-bit (golden oracles depend on it)."""
+    import random
+
+    from knowledge_graph_construction_ray.stages.dedupe import _WS, _h64, simhash_batch
+
+    def naive(text):
+        toks = _WS.split(text.strip().lower())
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = _h64(t)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), 1, -1)
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    rng = random.Random(11)
+    vocab = [f"word{i}" for i in range(30)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 25))) for _ in range(150)]
+    texts += ["", "   ", "single", "Two Tokens", "MIXED case\tand\nnewlines here"]
+    got = simhash_batch(texts)
+    exp = np.array([naive(t) for t in texts], dtype=np.uint64)
+    assert (got == exp).all()
+
+
+def test_minhash_signature_batch_invariance():
+    """A doc's signature must not depend on which batch it arrives in
+    (otherwise band hashes — and therefore candidate recall — would be
+    nondeterministic across block boundaries)."""
+    import random
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        band_hashes,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(50)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randint(0, 12))) for _ in range(60)]
+    batch_sigs = minhash_signatures_batch(docs)
+    for i in (0, 7, 31, 59):
+        assert (batch_sigs[i] == minhash_signature(docs[i])).all()
+    # identical texts → identical signatures and band hashes
+    s = minhash_signatures_batch(["a b c d e", "a b c d e", "f g h i j"])
+    assert (s[0] == s[1]).all() and (s[0] != s[2]).any()
+    bh = band_hashes(s)
+    assert (bh[0] == bh[1]).all()
+    # empty doc → all-zeros signature; short docs get a real signature
+    s2 = minhash_signatures_batch(["", "one", "two toks"])
+    assert (s2[0] == 0).all() and (s2[1] != 0).any() and (s2[2] != 0).any()
