@@ -23,14 +23,47 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import statistics
 import subprocess
 import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-KG_REPLICATE = int(os.environ.get("KG_BENCH_REPLICATE", "1000"))
+# ×4000 ≈ 2M docs → ≥25 s headline walls at 32 CPUs: big enough that the
+# ±30% machine-noise band on short walls cannot swallow a real 2×
+# regression (VERDICT r2 item 4); scaling children and tests override it
+KG_REPLICATE = int(os.environ.get("KG_BENCH_REPLICATE", "4000"))
+# timed repetitions for the regression-police rows (median reported)
+BENCH_REPS = int(os.environ.get("KG_BENCH_REPS", "3"))
+
+
+_WALL_UNITS = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0}
+
+
+def _stage_walls(stats: str) -> dict[str, float]:
+    """Parse ``Dataset.stats()`` → {operator: elapsed_sec} for stage-level
+    attribution of bench deltas (which stage moved, not just the total)."""
+    out: dict[str, float] = {}
+    for m in re.finditer(
+        r"^Operator \d+ ([^:]+):.*? in ([\d.]+)(us|ms|s|m)\b",
+        stats,
+        re.MULTILINE,
+    ):
+        name, val, unit = m.group(1), float(m.group(2)), m.group(3)
+        key, n = name, 2
+        while key in out:  # same operator name can appear twice in a plan
+            key, n = f"{name}#{n}", n + 1
+        out[key] = round(val * _WALL_UNITS[unit], 3)
+    return out
+
+
+def _median_runs(fn, reps: int = BENCH_REPS) -> tuple[float, list[float]]:
+    """Run ``fn() -> wall_sec`` ``reps`` times → (median, all walls)."""
+    walls = [fn() for _ in range(reps)]
+    return statistics.median(walls), [round(w, 3) for w in walls]
 
 
 def _corpus_version() -> str:
@@ -80,19 +113,28 @@ def bench_kg(num_cpus: int) -> dict:
     # CPUs once the extract kernel was vectorized (one wave suffices)
     blocks = max(16, num_cpus)
 
-    def once(out_dir: str) -> None:
+    def once(out_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
         docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=blocks)
         nodes, edges = build_graph(docs, num_buckets=blocks)
         nodes.write_parquet(f"{out_dir}/nodes")
         edges.write_parquet(f"{out_dir}/edges")
+        return edges
 
     # one untimed full run warms the page cache, worker pool and shuffle
-    # actors; the timed run measures steady-state compute + shuffle
+    # actors; the timed runs measure steady-state compute + shuffle
     once(KG_OUT + ".warm")
-    t0 = time.perf_counter()
-    once(KG_OUT)
-    wall = time.perf_counter() - t0
+    stats: dict = {}
+
+    def timed() -> float:
+        t0 = time.perf_counter()
+        edges = once(KG_OUT)
+        wall = time.perf_counter() - t0
+        stats["stages"] = _stage_walls(edges.stats())
+        return wall
+
+    reps = 1 if os.environ.get("KG_BENCH_ONLY") else BENCH_REPS
+    wall, walls = _median_runs(timed, reps)
     # count from written metadata — no pipeline re-execution
     import pyarrow.dataset as pads
 
@@ -103,33 +145,187 @@ def bench_kg(num_cpus: int) -> dict:
         "docs": n_docs,
         "triples": int(n_triples),
         "sec": round(wall, 3),
+        "runs": walls,
         "docs_per_sec": round(n_docs / wall, 1),
         "triples_per_sec": round(n_triples / wall, 1),
+        "stages": stats["stages"],
     }
 
 
-def bench_mentions(num_cpus: int) -> dict:
-    """Actor-pool text stage at scale: gazetteer mention detection over the
-    whole bench corpus (broadcast dict, compiled-once alternation, pool
-    sized to the node)."""
-    import ray.data as rd
-
+def _bench_gazetteer() -> dict:
     from knowledge_graph_construction_ray.fixtures import (
         disease_records,
         insurance_records,
     )
-    from knowledge_graph_construction_ray.stages.text import detect_mentions
 
     gaz = {r["name"]: "Disease" for r in disease_records()}
     gaz.update({r["产品名称"]: "Insurance" for r in insurance_records()})
+    return gaz
+
+
+def bench_mentions(num_cpus: int, gaz: dict, label: str) -> dict:
+    """Actor-pool text stage at scale: gazetteer mention detection over the
+    whole bench corpus (broadcast dict, compiled-once alternation below 256
+    names, Aho-Corasick automaton above)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.text import detect_mentions
+
     docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=max(16, num_cpus))
+    counts: dict = {}
+
+    def timed() -> float:
+        t0 = time.perf_counter()
+        mat = detect_mentions(
+            docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=512
+        ).materialize()  # stats attach to the materialized dataset
+        counts["n"] = mat.count()
+        wall = time.perf_counter() - t0
+        counts["stages"] = _stage_walls(mat.stats())
+        return wall
+
+    wall, walls = _median_runs(timed)
+    return {
+        "label": label,
+        "gazetteer_names": len(gaz),
+        "mentions": int(counts["n"]),
+        "sec": round(wall, 3),
+        "runs": walls,
+        "docs_per_sec": round(_ensure_corpus() / wall, 1),
+        "stages": counts["stages"],
+    }
+
+
+def bench_mention_count(num_cpus: int, gaz: dict) -> dict:
+    """VERDICT r2 item 2 'done' bar: per-doc mention COUNT at corpus-size
+    key cardinality (~2M doc ids) — the bucketed_agg + distributed
+    zero-fill join must stay within 2× of the plain bucketed_agg count.
+    Mentions are materialized once so both arms time only the count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import bucketed_agg
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        _default_join_partitions,
+    )
+    from knowledge_graph_construction_ray.stages.text import detect_mentions
+
+    docs = rd.read_parquet(
+        KG_CORPUS_PATH,
+        columns=["doc_id"],
+        override_num_blocks=max(16, num_cpus),
+    ).materialize()
+    mentions = detect_mentions(
+        rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=max(16, num_cpus)),
+        gaz,
+        concurrency=max(2, num_cpus // 2),
+        batch_size=512,
+    ).materialize()
+
     t0 = time.perf_counter()
-    n = detect_mentions(
-        docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=512
-    ).count()
-    wall = time.perf_counter() - t0
-    return {"mentions": int(n), "sec": round(wall, 3),
-            "docs_per_sec": round(_ensure_corpus() / wall, 1)}
+    plain = bucketed_agg(mentions, ["doc_id"], {"n_mentions": ("doc_id", "size")})
+    n_groups = plain.count()
+    plain_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts = bucketed_agg(mentions, ["doc_id"], {"n_mentions": ("doc_id", "size")})
+    joined = docs.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def fill_zero(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("n_mentions").cast(pa.int64()).fill_null(0)],
+            names=["doc_id", "n_mentions"],
+        )
+
+    n_total = joined.map_batches(fill_zero, batch_format="pyarrow").count()
+    zerofill_sec = time.perf_counter() - t0
+    return {
+        "docs": int(n_total),
+        "docs_with_mentions": int(n_groups),
+        "plain_agg_sec": round(plain_sec, 3),
+        "count_with_zerofill_sec": round(zerofill_sec, 3),
+        "ratio": round(zerofill_sec / plain_sec, 2),
+    }
+
+
+MINHASH_REPLICATE = int(os.environ.get("KG_BENCH_MINHASH_REPLICATE", "100"))
+
+
+def _ensure_minhash_corpus() -> tuple[str, int]:
+    """Replicate ``SF_DIR/documents.parquet`` ×R with per-replica doc_id
+    offsets AND a per-replica token appended to every text: replicas are
+    NOT near-dups of each other, so the corpus keeps the original's planted
+    near-dup structure at R× the scale instead of growing R-member
+    exact-dup clusters (which would measure the verify path, not the whole
+    pipeline)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{src}:{MINHASH_REPLICATE}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/kg_bench_minhash_x{MINHASH_REPLICATE}_{tag}.parquet"
+    base = pq.read_table(src, columns=["doc_id", "text"])
+    n_total = base.num_rows * MINHASH_REPLICATE
+    if not os.path.exists(path):
+        chunks = []
+        for i in range(MINHASH_REPLICATE):
+            chunks.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(base.column("doc_id"), i * 10_000_000),
+                        "text": pc.binary_join_element_wise(
+                            base.column("text"), f"replica{i}", " "
+                        ),
+                    }
+                )
+            )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.concat_tables(chunks), tmp)
+        os.replace(tmp, path)
+    return path, n_total
+
+
+def bench_minhash(num_cpus: int) -> dict:
+    """MinHash+LSH near-dup over the replicated documents corpus — the
+    full distributed pipeline (signature → band shuffle → candidate pairs
+    → two-join text attach → vectorized Jaccard verify → forest
+    collapse), at a wall long enough to police regressions."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import minhash_dedup
+
+    path, n_docs = _ensure_minhash_corpus()
+    docs = rd.read_parquet(path, override_num_blocks=max(16, num_cpus))
+    info: dict = {}
+
+    def timed() -> float:
+        t0 = time.perf_counter()
+        stats: dict = {}
+        out = minhash_dedup(docs, threshold=0.5, stats_out=stats)
+        wall = time.perf_counter() - t0
+        info["rows"] = len(out)
+        info["stages"] = _stage_walls(stats["stats"])
+        return wall
+
+    wall, walls = _median_runs(timed)
+    return {
+        "docs": n_docs,
+        "cluster_rows": info["rows"],
+        "sec": round(wall, 3),
+        "runs": walls,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "stages": info["stages"],
+    }
 
 
 BENCH_QUERIES = [
@@ -192,14 +388,32 @@ def run_once() -> dict:
         # scaling children: only the headline matters; skip the query
         # suite + mention bench whose results would be discarded
         mentions = {"sec": None}
+        extra = {}
         queries = {}
     else:
-        mentions = bench_mentions(NUM_CPUS)
+        gaz = _bench_gazetteer()
+        mentions = bench_mentions(NUM_CPUS, gaz, "reference_gazetteer")
+        # reference-scale gazetteer (~5k names) → Aho-Corasick automaton
+        # path; the padding names never match, so the hit count stays
+        # comparable with the small-gazetteer row
+        gaz5k = dict(gaz)
+        for i in range(5000 - len(gaz5k)):
+            gaz5k[f"基准填充名{i:04d}"] = "Disease"
+        mentions5k = bench_mentions(NUM_CPUS, gaz5k, "5k_gazetteer_ahocorasick")
+        mention_count = bench_mention_count(NUM_CPUS, gaz)
+        minhash = bench_minhash(NUM_CPUS)
         queries = bench_queries()
         queries["kg_mention_detection"] = mentions["sec"]
+        queries["kg_mention_detection_5k"] = mentions5k["sec"]
+        queries["dedup_minhash_large"] = minhash["sec"]
+        extra = {
+            "mentions_5k": mentions5k,
+            "mention_count_2m": mention_count,
+            "minhash_large": minhash,
+        }
     result = {
         "metric": "kg_build_wall_sec (docs->extract->merge->materialize, "
-        f"x{KG_REPLICATE} fixture corpus)",
+        f"x{KG_REPLICATE} fixture corpus, median of {BENCH_REPS})",
         "value": kg["sec"],
         "unit": "sec",
         "queries": queries,
@@ -207,6 +421,7 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "kg": kg,
         "mentions": mentions,
+        **extra,
     }
     ray.shutdown()
     return result

@@ -108,6 +108,34 @@ def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
     )
 
 
+def bucketed_groups_arrow(ds, keys: list[str], kernel, *, num_buckets: int = 64):
+    """``bucketed_groups`` with ARROW blocks end-to-end: only the key
+    columns are converted to pandas (for hash parity with
+    ``hash_bucket``); the payload never crosses the Arrow→pandas boundary
+    here, so nullable int64 columns keep exact values above 2^53 (Ray's
+    whole-block pandas conversion would degrade them to float64).
+
+    ``kernel(table)`` receives one bucket as a ``pa.Table`` (key columns
+    intact, no ``_bucket`` column) and returns a ``pa.Table``; it owns any
+    pandas conversion it needs, column by column, at the exactness it
+    needs."""
+    import pyarrow as pa
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        kdf = pd.DataFrame({c: t.column(c).to_pandas() for c in keys})
+        b = hash_bucket(kdf, keys, num_buckets)
+        return t.append_column("_bucket", pa.array(b, type=pa.uint64()))
+
+    def run_bucket(t: "pa.Table"):
+        return kernel(t.drop_columns(["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_topk(
     ds,
     group_cols: list[str],

@@ -654,33 +654,84 @@ def _documents_as_docs(sf_dir: str, id_offset: int = 0):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def encode(t: pa.Table) -> pa.Table:
-        from ..schema import DOCS_SCHEMA
+        # Arrow-native list<struct> construction (VERDICT r2 item 5): the
+        # spans here are single-element, so offsets are just arange(n+1)
+        # and the struct children are the text column plus constants — no
+        # to_pylist / per-row dict building in the flagship entry() path
+        from ..schema import DOCS_SCHEMA, SPAN_STRUCT
 
-        ids, span_lists = [], []
-        for i, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ids.append(f"policy_text:{i + id_offset:06d}")
-            span_lists.append(
-                [{"kind": "clause", "text": text, "media_ref": "", "offset": 0}]
-            )
-        return pa.Table.from_pydict({"doc_id": ids, "spans": span_lists}, schema=DOCS_SCHEMA)
+        n = t.num_rows
+        ids = pc.binary_join_element_wise(
+            pa.scalar("policy_text"),
+            pc.utf8_lpad(
+                pc.cast(pc.add(t.column("doc_id"), id_offset), pa.string()),
+                width=6, padding="0",
+            ),
+            ":",
+        ).combine_chunks()
+
+        def const(v, typ):
+            return pa.nulls(n, typ).fill_null(v)
+
+        span_values = pa.StructArray.from_arrays(
+            [
+                const("clause", pa.string()),
+                t.column("text").combine_chunks(),
+                const("", pa.string()),
+                const(0, pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32()), span_values
+        )
+        return pa.Table.from_arrays([ids, spans], schema=DOCS_SCHEMA)
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
 def kg_mentions_count(sf_dir: str):
     """Span-encode driver documents, run the MentionDetector actor pool
-    with a fixed gazetteer, count mentions per doc (0-mention docs kept)."""
+    with a fixed gazetteer, count mentions per doc (0-mention docs kept).
+
+    Distributed end-to-end (VERDICT r2 item 2): the per-doc count is a
+    ``bucketed_agg`` (doc_id cardinality == corpus size — exactly the
+    regime where the native per-group reduce collapses), and the
+    zero-mention backfill is a hash-partitioned LEFT OUTER join against
+    the documents table plus an Arrow ``fill_null(0)`` — the driver never
+    holds the corpus id list."""
+    from ..functions.groupby import bucketed_agg
+    from ..stages.dedupe import _default_join_partitions
     from ..stages.text import detect_mentions
 
     docs = _documents_as_docs(sf_dir)
     mentions = detect_mentions(docs, MENTION_GAZETTEER, concurrency=2, batch_size=256)
-    counts = (
-        mentions.groupby("doc_id").aggregate(Count(alias_name="n_mentions")).to_pandas()
+    counts = bucketed_agg(mentions, ["doc_id"], {"n_mentions": ("doc_id", "size")})
+
+    def strip_id(t: pa.Table) -> pa.Table:
+        # "policy_text:NNNNNN" → int64 NNNNNN (len("policy_text:") == 12)
+        ids = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), start=12), pa.int64())
+        return pa.Table.from_arrays(
+            [ids, t.column("n_mentions")], names=["doc_id", "n_mentions"]
+        )
+
+    joined = _read(sf_dir, "documents", ["doc_id"]).join(
+        counts.map_batches(strip_id, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(),
+        on=("doc_id",),
     )
-    counts["doc_id"] = counts["doc_id"].str.split(":").str[1].astype("int64")
-    all_ids = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
-    out = all_ids.merge(counts, on="doc_id", how="left").fillna({"n_mentions": 0})
-    out["n_mentions"] = out["n_mentions"].astype("int64")
+
+    def fill_zero(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t.column("doc_id"),
+                t.column("n_mentions").cast(pa.int64()).fill_null(0),
+            ],
+            names=["doc_id", "n_mentions"],
+        )
+
+    out = joined.map_batches(fill_zero, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -764,7 +815,12 @@ _SPLIT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 def _split_hash(ids: np.ndarray, mod: int) -> np.ndarray:
     """Deterministic modular doc hash, engine-portable: (id % P) * M stays
     below 2^63 (P·M ≈ 2.7e17), so numpy int64 and DuckDB BIGINT compute
-    the identical value at ANY id scale (no overflow/wrap divergence)."""
+    the identical value at ANY id scale (no overflow/wrap divergence).
+
+    Sign semantics: numpy ``%`` is floor-mod (result always in [0, P)),
+    while SQL ``%`` is C-style (takes the dividend's sign) — so the SQL
+    oracles spell the first step ``((doc_id % P) + P) % P``, which equals
+    numpy's floor-mod for NEGATIVE ids too (ADVICE r2)."""
     return ((ids % _SPLIT_PRIME) * _SPLIT_MULT) % mod
 
 
@@ -798,7 +854,7 @@ SELECT CASE WHEN h < 900 THEN 'train' WHEN h < 950 THEN 'val' ELSE 'test' END
          AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM (SELECT ((doc_id % 100000007) * 2654435761) % 1000 AS h, n_chars
+FROM (SELECT ((((doc_id % 100000007) + 100000007) % 100000007) * 2654435761) % 1000 AS h, n_chars
       FROM documents)
 GROUP BY 1 ORDER BY split
 """
@@ -866,7 +922,7 @@ SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY ((doc_id % 100000007) * 2654435761) % 4294967296, doc_id
+           ORDER BY ((((doc_id % 100000007) + 100000007) % 100000007) * 2654435761) % 4294967296, doc_id
          ) AS rn
   FROM documents) t
 WHERE rn <= 5 ORDER BY lang, doc_id
@@ -1120,20 +1176,46 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+T1_SEED = 42
+
+
 def t1_seeded_sample(sf_dir: str):
-    """Rows-only: T1 — keyword filter + SEEDED random_shuffle + limit 20
-    (the reference's ORDER BY rand() LIMIT 20 made deterministic).  Not
-    SQL-checkable (engine RNG differs); determinism asserted in pytest."""
+    """T1 — keyword filter + seeded reproducible sample of 20 (the
+    reference's ORDER BY rand() LIMIT 20, made deterministic).  The
+    "shuffle" is a seeded HASH-priority order — engine-portable modular
+    arithmetic DuckDB computes identically, so this query is hash-checked
+    against a real independent SQL oracle (VERDICT r2 item 7) — and the
+    sample itself is a ``local_topk`` (per-block head + tiny driver
+    reduce), NOT an all-to-all ``random_shuffle``.  The Ray-native
+    ``random_shuffle(seed=...)`` surface stays exercised by the T1
+    retrieval op (query/ops.py) and its pytest."""
+    from ..functions.groupby import local_topk
+
     ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    return (
-        ds.map_batches(
-            lambda t: t.filter(pc.match_substring(t["p_name"], "a")),
-            batch_format="pyarrow",
-        )
-        .random_shuffle(seed=42)
-        .limit(20)
-        .to_pandas()
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_name"].str.contains("a", regex=False)].copy()
+        h = _split_hash(df["p_partkey"].to_numpy(np.int64), 2**32)
+        df["priority"] = (h + T1_SEED) % 2**32
+        return df
+
+    sample = local_topk(
+        ds.map_batches(prio, batch_format="pandas"),
+        ["priority", "p_partkey"],
+        20,
+        descending=[False, False],
     )
+    return sample[["p_partkey", "p_name"]]
+
+
+T1_SQL = """
+SELECT p_partkey, p_name FROM (
+  SELECT p_partkey, p_name,
+         (((((p_partkey % 100000007) + 100000007) % 100000007)
+            * 2654435761) % 4294967296 + 42) % 4294967296 AS priority
+  FROM part WHERE p_name LIKE '%a%'
+) ORDER BY priority, p_partkey LIMIT 20
+"""
 
 
 def kg_label_counts(sf_dir: str):
@@ -1200,15 +1282,20 @@ def ivf_topk_demo(sf_dir: str):
             q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
             break
     import os
+    import shutil
     import zlib
 
     # pid-scoped path: two driver/bench processes on the same sf_dir must
-    # not race build's rmtree against the other's bucket-file glob
+    # not race build's rmtree against the other's bucket-file glob; removed
+    # on exit so repeated invocations don't leak index dirs in /tmp
     index_dir = (
         f"/tmp/kg_ivf_index_{zlib.crc32(sf_dir.encode()):08x}_{os.getpid()}"
     )
-    build_ivf_index(ds, index_dir, n_centroids=8)
-    out = ivf_search_index(index_dir, q, k=10, nprobe=4).to_pandas()
+    try:
+        build_ivf_index(ds, index_dir, n_centroids=8)
+        out = ivf_search_index(index_dir, q, k=10, nprobe=4).to_pandas()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
     return out[["vec_id"]].astype({"vec_id": "int64"})
 
 
@@ -1255,7 +1342,7 @@ QUERIES: dict[str, tuple] = {
     "f5_truncate_names": (f5_truncate_names, F5_SQL),
     "f8_concat_cards": (f8_concat_cards, F8_SQL),
     "agg_value_stats": (agg_value_stats, AGG_STATS_SQL),
-    "t1_seeded_sample": (t1_seeded_sample, None),
+    "t1_seeded_sample": (t1_seeded_sample, T1_SQL),
     "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "ivf_topk_demo": (ivf_topk_demo, None),

@@ -368,7 +368,8 @@ def collapse_pairs_to_forest(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": out_a, "b": out_b})
 
 
-def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None = None):
+def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None = None,
+                  stats_out: dict | None = None):
     """Full near-dup pipeline → pandas DataFrame (doc_id, cluster_rep) for
     every doc that belongs to a near-dup cluster.
 
@@ -383,9 +384,12 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None
         cand, docs_ds.select_columns(["doc_id", "text"]), threshold,
         num_partitions=num_partitions,
     )
-    collapsed = verified.map_batches(
+    collapsed_ds = verified.map_batches(
         lambda df: collapse_pairs_to_forest(df[["a", "b"]]), batch_format="pandas"
-    ).to_pandas()
+    )
+    collapsed = collapsed_ds.to_pandas()
+    if stats_out is not None:  # bench hook: per-stage wall attribution
+        stats_out["stats"] = collapsed_ds.stats()
     if collapsed.empty:  # empty Ray results drop their schema
         return pd.DataFrame(columns=["doc_id", "cluster_rep"])
     mapping = cluster_pairs(list(zip(collapsed["a"], collapsed["b"])))

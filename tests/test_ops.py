@@ -717,3 +717,112 @@ def test_minhash_signature_batch_invariance():
     # empty doc → all-zeros signature; short docs get a real signature
     s2 = minhash_signatures_batch(["", "one", "two toks"])
     assert (s2[0] == 0).all() and (s2[1] != 0).any() and (s2[2] != 0).any()
+
+
+def test_asof_join_nullable_left_payload_int64_exact(ray_session):
+    """VERDICT r2 item 6: a NULLABLE int64 LEFT payload column (not key or
+    time) holding values above 2^53 must come through the join exactly —
+    bucket blocks stay Arrow and the kernel converts with nullable-int
+    extension dtypes, so there is no float64 round trip to round them."""
+    import duckdb
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    big = 2**53  # float64 granularity at this magnitude is 2
+    left = pa.table(
+        {
+            "lid": pa.array(list(range(8)), type=pa.int64()),
+            "opt": pa.array(
+                [big + 1, None, big + 3, None, big + 5, big + 7, None, big + 9],
+                type=pa.int64(),
+            ),
+            "k": pa.array([1, 1, 1, 2, 2, 2, 3, 3], type=pa.int64()),
+            "t": pa.array([10, 20, 30, 10, 20, 30, 10, 20], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+            "rt": pa.array([5, 25, 15, 40], type=pa.int64()),
+            "rv": pa.array([big + 11, None, big + 13, big + 15], type=pa.int64()),
+        }
+    )
+    ds = asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        right_cols={"rv": "last_rv"},
+        num_buckets=4,
+    )
+    assert [str(t) for t in ds.schema().types] == ["int64"] * 5
+    got = sorted(
+        (r["lid"], r["opt"], r["k"], r["t"], r["last_rv"]) for r in ds.take_all()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = sorted(
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.lid, l.opt, l.k, l.t, r.rv AS last_rv "
+            "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt"
+        ).fetchall()
+    )
+    assert got == exp
+    # the >2^53 nullable values arrived bit-exact (odd offsets would have
+    # been rounded to even by any float64 hop)
+    assert {v for _, v, *_ in got if v is not None} == {big + 1, big + 3, big + 5, big + 7, big + 9}
+
+
+def test_band_join_nullable_left_payload_int64_exact(ray_session):
+    """Same exactness guarantee through the band-join kernel (the pair
+    expansion path also re-emits left payload columns)."""
+    import duckdb
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import band_join
+
+    big = 2**53
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "opt": pa.array([big + 1, None, big + 5, None], type=pa.int64()),
+            "k": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "t": pa.array([10, 20, 10, 20], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "rt": pa.array([8, 22, 12, 18], type=pa.int64()),
+            "rv": pa.array([big + 11, big + 13, None, big + 17], type=pa.int64()),
+        }
+    )
+    ds = band_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        lower=-5,
+        upper=5,
+        right_cols={"rv": "rv_out"},
+        num_buckets=4,
+    )
+    got = sorted(
+        (r["lid"], r["opt"], r["k"], r["t"], r["rv_out"]) for r in ds.take_all()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = sorted(
+        tuple(row)
+        for row in con.execute(
+            "SELECT l.lid, l.opt, l.k, l.t, r.rv AS rv_out FROM l JOIN r "
+            "ON l.k = r.k AND r.rt BETWEEN l.t - 5 AND l.t + 5"
+        ).fetchall()
+    )
+    assert got == exp
