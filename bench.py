@@ -60,9 +60,11 @@ def _stage_walls(stats: str) -> dict[str, float]:
     return out
 
 
-def _median_runs(fn, reps: int = BENCH_REPS) -> tuple[float, list[float]]:
-    """Run ``fn() -> wall_sec`` ``reps`` times → (median, all walls)."""
-    walls = [fn() for _ in range(reps)]
+def _median_runs(fn, reps: int | None = None) -> tuple[float, list[float]]:
+    """Run ``fn() -> wall_sec`` ``reps`` times → (median, all walls).
+    ``BENCH_REPS`` is read at call time (not def time) so tests and the
+    scaling children can override it."""
+    walls = [fn() for _ in range(BENCH_REPS if reps is None else reps)]
     return statistics.median(walls), [round(w, 3) for w in walls]
 
 
@@ -163,7 +165,7 @@ def _bench_gazetteer() -> dict:
     return gaz
 
 
-def bench_mentions(num_cpus: int, gaz: dict, label: str) -> dict:
+def bench_mentions(num_cpus: int, gaz: dict, label: str, reps: int | None = None) -> dict:
     """Actor-pool text stage at scale: gazetteer mention detection over the
     whole bench corpus (broadcast dict, compiled-once alternation below 256
     names, Aho-Corasick automaton above)."""
@@ -184,7 +186,7 @@ def bench_mentions(num_cpus: int, gaz: dict, label: str) -> dict:
         counts["stages"] = _stage_walls(mat.stats())
         return wall
 
-    wall, walls = _median_runs(timed)
+    wall, walls = _median_runs(timed, reps)
     return {
         "label": label,
         "gazetteer_names": len(gaz),
@@ -258,11 +260,12 @@ MINHASH_REPLICATE = int(os.environ.get("KG_BENCH_MINHASH_REPLICATE", "100"))
 
 def _ensure_minhash_corpus() -> tuple[str, int]:
     """Replicate ``SF_DIR/documents.parquet`` ×R with per-replica doc_id
-    offsets AND a per-replica token appended to every text: replicas are
-    NOT near-dups of each other, so the corpus keeps the original's planted
-    near-dup structure at R× the scale instead of growing R-member
-    exact-dup clusters (which would measure the verify path, not the whole
-    pipeline)."""
+    offsets AND a per-replica suffix on EVERY token (" " → "r<i> "), so
+    cross-replica Jaccard ≈ 0: the corpus keeps the original's planted
+    near-dup structure at R× the scale.  (A single appended token is NOT
+    enough — n-gram shingles overlap, so replicas would still verify as
+    R-member near-dup clusters for every doc, quadratically blowing up the
+    verify stage — measured 12 min at R=100.)"""
     import hashlib
 
     import pyarrow as pa
@@ -283,8 +286,8 @@ def _ensure_minhash_corpus() -> tuple[str, int]:
                 pa.table(
                     {
                         "doc_id": pc.add(base.column("doc_id"), i * 10_000_000),
-                        "text": pc.binary_join_element_wise(
-                            base.column("text"), f"replica{i}", " "
+                        "text": pc.replace_substring(
+                            base.column("text"), pattern=" ", replacement=f"r{i} "
                         ),
                     }
                 )
@@ -399,7 +402,9 @@ def run_once() -> dict:
         gaz5k = dict(gaz)
         for i in range(5000 - len(gaz5k)):
             gaz5k[f"基准填充名{i:04d}"] = "Disease"
-        mentions5k = bench_mentions(NUM_CPUS, gaz5k, "5k_gazetteer_ahocorasick")
+        # single rep: capability-record row (automaton throughput at the
+        # reference-scale gazetteer), not a noise-police row
+        mentions5k = bench_mentions(NUM_CPUS, gaz5k, "5k_gazetteer_ahocorasick", reps=1)
         mention_count = bench_mention_count(NUM_CPUS, gaz)
         minhash = bench_minhash(NUM_CPUS)
         queries = bench_queries()

@@ -1017,10 +1017,19 @@ def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup clusters.  Oracle: golden parquet from the
     sequential single-process reimplementation (golden.py) — the driver
     cross-checks the DISTRIBUTED band shuffle + join verify against it."""
+    import pyarrow.parquet as pq
+
     from ..stages.dedupe import minhash_dedup
 
+    # join partitions sized to the input (parquet metadata, no read): each
+    # Join spawns num_partitions aggregator actors whose fixed startup
+    # dominates the wall at toy corpus sizes (measured 3.9 s → 2.4 s at
+    # sf0.1's 5k docs); large inputs keep the session-sized default
+    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.5)
+    return minhash_dedup(
+        ds, threshold=0.5, num_partitions=4 if n <= 100_000 else None
+    )
 
 
 DEDUP_MINHASH_SQL = """
