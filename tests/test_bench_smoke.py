@@ -14,6 +14,8 @@ def test_bench_emits_contract_json():
         RAY_GRAFT_CPUS="4",
         GRAFT_SF_DIR="/root/testdata/sf0.001",
         KG_BENCH_REPLICATE="5",
+        KG_BENCH_REPS="1",  # contract smoke, not a measurement
+        KG_BENCH_MINHASH_REPLICATE="2",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -27,3 +29,25 @@ def test_bench_emits_contract_json():
     assert payload["unit"] == "sec" and payload["value"] > 0
     assert payload["kg"]["docs"] == 5 * 492
     assert len(payload["queries"]) >= 10
+
+
+def test_stage_walls_parser():
+    """The per-stage attribution parser must extract operator elapsed
+    times (with unit conversion and duplicate-name disambiguation) from
+    the ``Dataset.stats()`` text format."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import _stage_walls
+
+    stats = (
+        "Operator 1 ReadParquet->SplitBlocks(16): 16 tasks executed, "
+        "16 blocks produced in 3.71s\n"
+        "* Remote wall time: 1ms min, 2ms max\n"
+        "Operator 2 Sort: executed in 250ms\n"
+        "Operator 3 Sort: executed in 1.5s\n"
+        "Operator 4 Write: 4 tasks executed, 4 blocks produced in 120ms\n"
+    )
+    walls = _stage_walls(stats)
+    assert walls["ReadParquet->SplitBlocks(16)"] == 3.71
+    assert walls["Sort"] == 0.25 and walls["Sort#2"] == 1.5
+    assert walls["Write"] == 0.12
+    assert _stage_walls("no operators here") == {}
