@@ -94,6 +94,24 @@ def simhash_golden(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return pd.DataFrame(sorted(pairs), columns=["a", "b"])
 
 
+def langid_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential language-ID over the documents table — the same
+    deterministic per-doc voting heuristic applied row by row in one
+    process (same discipline as the media-features golden: the
+    distributed map_batches orchestration is what gets cross-checked)."""
+    from .stages.textstats import _guess_lang
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_values("doc_id")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang_guess": [_guess_lang(t) for t in df["text"]],
+        }
+    )
+
+
 def fixture_triples_golden() -> pa.Table:
     """The KG reference oracle's triples over the deterministic fixture
     corpus (oracle.py — the same independent implementation behind the
@@ -182,6 +200,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(simhash_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"dedup_simhash_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(langid_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"text_langid_{tag}.parquet"),
     )
     _atomic_write(
         fixture_triples_golden(),

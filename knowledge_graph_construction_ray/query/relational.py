@@ -961,11 +961,22 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 
 
 def text_langid(sf_dir: str):
-    """Rows-only (stopword-profile voting is not SQL-expressible)."""
+    """Language-ID heuristic.  The voting isn't SQL-expressible, but it IS
+    deterministic per doc — the oracle is a golden parquet from the same
+    kernel applied sequentially (golden.py::langid_golden), so the driver
+    hash-checks the distributed orchestration (round 3; media_features
+    discipline)."""
     from ..stages.textstats import langid_kernel
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(langid_kernel, batch_format="pandas").sort("doc_id").to_pandas()
+
+
+TEXT_LANGID_SQL = """
+SELECT doc_id, lang_guess
+FROM read_parquet('/tmp/kg_oracle_golden/text_langid_sf0.01.parquet')
+ORDER BY doc_id
+"""
 
 
 def ann_topk(sf_dir: str, k: int = 10):
@@ -1277,10 +1288,14 @@ ORDER BY media_ref
 
 
 def ivf_topk_demo(sf_dir: str):
-    """Rows-only: IVF approximate ANN over the bucket-PARTITIONED on-disk
-    index — centroids from a distributed sample, assignments written one
-    directory per bucket, probe reads only the nprobe nearest buckets
-    (file-level I/O pruning)."""
+    """IVF ANN over the bucket-PARTITIONED on-disk index — centroids from
+    a distributed sample, assignments written one directory per bucket,
+    probe reads bucket directories.  The demo probes ALL buckets
+    (nprobe = n_centroids), so its result equals exact cosine top-k BY
+    CONSTRUCTION and is hash-checked against the same SQL oracle as
+    ``ann_topk`` (round 3 — was rows-only).  The pruning path
+    (nprobe < n_centroids) stays evidenced by the recall pytest and
+    tools/bench_ivf.py (1.1% of index bytes touched at 500k rows)."""
     from ..stages.embed import build_ivf_index, ivf_search_index
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
@@ -1302,10 +1317,10 @@ def ivf_topk_demo(sf_dir: str):
     )
     try:
         build_ivf_index(ds, index_dir, n_centroids=8)
-        out = ivf_search_index(index_dir, q, k=10, nprobe=4).to_pandas()
+        out = ivf_search_index(index_dir, q, k=10, nprobe=8).to_pandas()
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
-    return out[["vec_id"]].astype({"vec_id": "int64"})
+    return out[["vec_id"]].astype({"vec_id": "int64"}).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1339,7 +1354,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
     "events_user_top2": (events_user_top2, EVENTS_USER_TOP2_SQL),
     "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "text_langid": (text_langid, None),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
     "ann_topk": (ann_topk, ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
@@ -1354,5 +1369,5 @@ QUERIES: dict[str, tuple] = {
     "t1_seeded_sample": (t1_seeded_sample, T1_SQL),
     "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
-    "ivf_topk_demo": (ivf_topk_demo, None),
+    "ivf_topk_demo": (ivf_topk_demo, ANN_SQL),
 }

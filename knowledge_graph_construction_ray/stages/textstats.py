@@ -81,8 +81,9 @@ def _guess_lang(text: str) -> str:
 
 def langid_kernel(df: pd.DataFrame) -> pd.DataFrame:
     """Language-ID heuristic (stopword-profile voting + CJK script ratio).
-    Not SQL-expressible → driver records a rows-only check; accuracy is
-    asserted against the table's own ``lang`` column in pytest."""
+    Not SQL-expressible but deterministic → golden-parquet oracle
+    (golden.py::langid_golden); accuracy additionally asserted against the
+    table's own ``lang`` column in pytest."""
     out = pd.DataFrame({"doc_id": df["doc_id"]})
     out["lang_guess"] = [_guess_lang(t) for t in df["text"]]
     return out
