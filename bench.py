@@ -123,9 +123,6 @@ def bench_kg(num_cpus: int) -> dict:
         edges.write_parquet(f"{out_dir}/edges")
         return edges
 
-    # one untimed full run warms the page cache, worker pool and shuffle
-    # actors; the timed runs measure steady-state compute + shuffle
-    once(KG_OUT + ".warm")
     stats: dict = {}
 
     def timed() -> float:
@@ -135,7 +132,14 @@ def bench_kg(num_cpus: int) -> dict:
         stats["stages"] = _stage_walls(edges.stats())
         return wall
 
-    reps = 1 if os.environ.get("KG_BENCH_ONLY") else BENCH_REPS
+    if os.environ.get("KG_BENCH_ONLY"):
+        # scaling children: one untimed warm (worker pool + page cache),
+        # one timed run
+        once(KG_OUT + ".warm")
+        reps = 1
+    else:
+        # median-of-3 discards the cold first run — no separate warm run
+        reps = BENCH_REPS
     wall, walls = _median_runs(timed, reps)
     # count from written metadata — no pipeline re-execution
     import pyarrow.dataset as pads

@@ -826,3 +826,56 @@ def test_band_join_nullable_left_payload_int64_exact(ray_session):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_topk_empty_input_keeps_schemaless_frame(ray_session):
+    """ADVICE r2: an all-filtered dataset loses its schema in to_pandas();
+    local_topk / grouped_topk must return the empty frame instead of
+    raising KeyError in sort_values."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import (
+        grouped_topk,
+        local_topk,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({"g": [1, 2], "v": [3, 4]})).filter(
+        lambda r: False
+    )
+    assert len(local_topk(ds, ["v"], 5, descending=[True])) == 0
+    assert len(grouped_topk(ds, ["g"], ["v"], 5)) == 0
+
+
+def test_bucketed_groups_arrow_preserves_nullable_int64(ray_session):
+    """The Arrow-native bucket shuffle must hand kernels tables whose
+    nullable int64 columns never crossed a float64 boundary."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import (
+        bucketed_groups_arrow,
+    )
+
+    big = 2**53
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "v": pa.array([big + 1, None, big + 3, big + 5], type=pa.int64()),
+        }
+    )
+
+    def kernel(tab: pa.Table) -> pa.Table:
+        assert "_bucket" not in tab.column_names
+        assert tab.schema.field("v").type == pa.int64()
+        return tab
+
+    out = bucketed_groups_arrow(rd.from_arrow(t), ["k"], kernel, num_buckets=4)
+    got = sorted(
+        ((r["k"], r["v"]) for r in out.take_all()),
+        key=lambda x: (x[0], x[1] is None, x[1]),
+    )
+    assert got == [
+        (1, big + 1),
+        (1, None),
+        (2, big + 3),
+        (2, big + 5),
+    ]
