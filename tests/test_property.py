@@ -134,3 +134,67 @@ def test_tagged_props_batch_matches_json_dumps():
     batch = _tagged_props_batch(keys, cols, 2, seqs)
     for i, s in enumerate(seqs):
         assert batch[i] == _tagged_props(keys, [c[i] for c in cols], 2, s)
+
+
+# ---------------------------------------------------------------------------
+# MinHash/SimHash batch-kernel properties (vectorized in round 3)
+# ---------------------------------------------------------------------------
+
+_doc = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x1f\x1e"),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(st.lists(_doc, min_size=1, max_size=30), st.integers(1, 29))
+@settings(max_examples=50, deadline=None)
+def test_minhash_signatures_batch_split_invariant(docs, cut):
+    """A doc's signature must not depend on how the corpus is batched —
+    computing sigs over the whole list equals computing them over any
+    two-way split (block boundaries are arbitrary in Ray)."""
+    import numpy as np
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        minhash_signatures_batch,
+    )
+
+    cut = min(cut, len(docs))
+    whole = minhash_signatures_batch(docs)
+    split = np.vstack(
+        [minhash_signatures_batch(docs[:cut]), minhash_signatures_batch(docs[cut:])]
+    ) if cut < len(docs) else minhash_signatures_batch(docs)
+    assert (whole == split).all()
+
+
+@given(_doc)
+@settings(max_examples=50, deadline=None)
+def test_identical_docs_collide_in_every_band(doc):
+    """Two byte-identical docs must share every band hash (LSH recall on
+    exact duplicates is 1 by construction)."""
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        band_hashes,
+        minhash_signatures_batch,
+    )
+
+    sigs = minhash_signatures_batch([doc, doc])
+    bh = band_hashes(sigs)
+    assert (bh[0] == bh[1]).all()
+
+
+@given(st.lists(_doc, min_size=1, max_size=20), st.integers(1, 19))
+@settings(max_examples=50, deadline=None)
+def test_simhash_batch_split_invariant(docs, cut):
+    import numpy as np
+
+    from knowledge_graph_construction_ray.stages.dedupe import simhash_batch
+
+    cut = min(cut, len(docs))
+    whole = simhash_batch(docs)
+    if cut < len(docs):
+        split = np.concatenate(
+            [simhash_batch(docs[:cut]), simhash_batch(docs[cut:])]
+        )
+    else:
+        split = simhash_batch(docs)
+    assert (whole == split).all()
