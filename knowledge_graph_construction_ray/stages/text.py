@@ -32,17 +32,32 @@ from ..schema import (
 
 
 def _iter_text_spans(batch: pa.Table):
-    """Yield (doc_id, span_idx, kind, text, offset) for non-media spans."""
+    """Yield (doc_id, span_idx, kind, text, offset) for non-media spans.
+
+    Reads the list<struct> column through its FLATTENED child arrays
+    (one ``to_pylist`` per child) instead of materializing a Python dict
+    per span — at 2M docs the per-span dict construction was a measurable
+    slice of both the mention-detection and extract kernels."""
     batch = batch.combine_chunks()
     doc_ids = batch.column("doc_id").to_pylist()
     spans_col = batch.column("spans")
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
-    for doc_id, spans in zip(doc_ids, spans_col.to_pylist()):
-        for idx, s in enumerate(spans):
-            if s["kind"] == MEDIA_KIND:
+    flat = spans_col.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    offsets = flat.field("offset").to_pylist()
+    # raw offsets of a SLICED ListArray don't start at 0 relative to
+    # flatten()'s output — rebase on the first offset
+    bounds = spans_col.offsets.to_pylist()
+    base = bounds[0] if bounds else 0
+    for i, doc_id in enumerate(doc_ids):
+        lo = bounds[i] - base
+        for pos in range(lo, bounds[i + 1] - base):
+            kind = kinds[pos]
+            if kind == MEDIA_KIND:
                 continue
-            yield doc_id, idx, s["kind"], s["text"], s["offset"]
+            yield doc_id, pos - lo, kind, texts[pos], offsets[pos]
 
 
 def extract_text_triples(batch: pa.Table) -> pa.Table:
