@@ -979,6 +979,196 @@ ORDER BY doc_id
 """
 
 
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition metrics per doc (total / distinct / most-
+    frequent token counts as exact integers; the classic duplicate-word
+    and top-word-fraction filters derive from them).  One vectorized
+    stateless kernel (stages/textstats.py::repetition_kernel)."""
+    from ..stages.textstats import repetition_kernel
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(repetition_kernel, batch_format="pandas")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_count
+FROM (SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY doc_id, tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pii_scrub_customers(sf_dir: str):
+    """PII scrub + pseudonymization: mask e-mail/phone/digit PII in the
+    name column (chained RE2 ``replace_substring_regex`` over zero-copy
+    Arrow blocks — stages/pii.py) and attach an engine-portable modular-
+    hash pseudonym so scrubbed rows stay joinable without the raw key
+    leaking into downstream corpora."""
+    from ..stages.pii import scrub_columns_kernel
+
+    scrub = scrub_columns_kernel(["c_name"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = scrub(t)
+        ids = t.column("c_custkey").to_numpy().astype(np.int64)
+        t = t.append_column(
+            "pseudonym", pa.array(_split_hash(ids, 2**32), type=pa.int64())
+        )
+        return t.rename_columns(["c_custkey", "name_masked", "pseudonym"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .sort("c_custkey")
+        .to_pandas()
+    )
+
+
+# sql_scrub_expr('c_name') — inlined so the oracle string stays static;
+# tests/test_training_ops.py asserts the inline text equals the generator.
+PII_SCRUB_SQL = r"""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\+?[0-9][0-9() .-]{6,}[0-9]', '[PHONE]', 'g'),
+         '[0-9]', '*', 'g') AS name_masked,
+       CAST(((((c_custkey % 100000007) + 100000007) % 100000007)
+             * 2654435761) % 4294967296 AS BIGINT) AS pseudonym
+FROM customer ORDER BY c_custkey
+"""
+
+
+def corpus_dup_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5, k: int = 20):
+    """Corpus-wide duplicated-n-gram mining (the boilerplate detector
+    behind C4/RefinedWeb-style "remove lines shared by many pages"):
+    distinct-document count per word 3-gram, thresholded, top-k.
+
+    Plan: vectorized per-batch gram build (one Arrow element-wise join —
+    textstats.word_ngrams_batch) → per-batch (gram, doc) dedup.  A doc
+    lives in exactly one input row, hence one batch, so per-batch distinct
+    doc counts are globally distinct and the exchange is a plain
+    ``bucketed_agg`` SUM over the gram key — only (distinct grams per
+    block) rows cross, then the no-shuffle ``local_topk`` head."""
+    from ..functions.groupby import bucketed_agg, local_topk
+    from ..stages.textstats import word_ngrams_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams, gdoc = word_ngrams_batch(df["text"], df["doc_id"].to_numpy(), n)
+        sub = pd.DataFrame(
+            {"gram": grams.to_pandas(), "doc_id": gdoc}
+        ).drop_duplicates()
+        vc = sub["gram"].value_counts()
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy(), "n_docs": vc.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["gram"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+    hot = counts.map_batches(
+        lambda df: df[df["n_docs"] >= min_docs], batch_format="pandas"
+    )
+    out = local_topk(hot, ["n_docs", "gram"], k, descending=[True, False])
+    if out.empty:  # schema-preserving empty (Ray drops columns)
+        return pd.DataFrame(
+            {"gram": pd.Series([], dtype="object"),
+             "n_docs": pd.Series([], dtype="int64")}
+        )
+    return out[["gram", "n_docs"]]
+
+
+DUP_NGRAMS_SQL = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+          FROM toks WHERE len(w) >= 3)
+SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5
+ORDER BY n_docs DESC, gram LIMIT 20
+"""
+
+
+def contamination_check(sf_dir: str, n: int = 3, eval_max_id: int = 10):
+    """Benchmark-contamination scan: flag corpus docs sharing any word
+    3-gram with the held-out eval set (here: docs with doc_id <
+    ``eval_max_id``, standing in for a benchmark table — small by
+    definition).  The eval n-gram set is built once driver-side from a
+    row-filtered read, broadcast with ``ray.put``, and every corpus batch
+    checks membership vectorized (hash-set ``isin`` over the batch's gram
+    array) — the classic broadcast-small-side plan; no shuffle join.
+    Returns (doc_id, n_contaminated distinct shared grams) per hit doc."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages.textstats import word_ngrams_batch
+    from .ops import _to_pandas
+
+    bdf = pq.read_table(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=[("doc_id", "<", eval_max_id)],
+    ).to_pandas()
+    bgrams, _ids = word_ngrams_batch(bdf["text"], bdf["doc_id"].to_numpy(), n)
+    ref = ray.put(frozenset(bgrams.to_pylist()))
+
+    class Contam:
+        def __init__(self, bench_ref):
+            self.bench = ray.get(bench_ref)  # broadcast once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] >= eval_max_id]
+            grams, gdoc = word_ngrams_batch(df["text"], df["doc_id"].to_numpy(), n)
+            g = grams.to_pandas()
+            hit = g.isin(self.bench).to_numpy()
+            sub = pd.DataFrame(
+                {"doc_id": gdoc[hit], "gram": g.to_numpy()[hit]}
+            ).drop_duplicates()
+            cnt = sub.groupby("doc_id", sort=False).size()
+            return pd.DataFrame(
+                {"doc_id": np.asarray(cnt.index, dtype=np.int64),
+                 "n_contaminated": cnt.to_numpy(np.int64)}
+            )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        Contam, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2
+    )
+    return (
+        _to_pandas(out, ["doc_id", "n_contaminated"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+CONTAMINATION_SQL = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+          FROM toks WHERE len(w) >= 3)
+SELECT doc_id, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_contaminated
+FROM grams
+WHERE doc_id >= 10
+  AND gram IN (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def ann_topk(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k vs the vec_id=0 query vector (broadcast
     query, per-batch matmul + local top-k, tiny global reduce)."""
@@ -1370,4 +1560,8 @@ QUERIES: dict[str, tuple] = {
     "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "ivf_topk_demo": (ivf_topk_demo, ANN_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "pii_scrub_customers": (pii_scrub_customers, PII_SCRUB_SQL),
+    "corpus_dup_ngrams": (corpus_dup_ngrams, DUP_NGRAMS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
 }

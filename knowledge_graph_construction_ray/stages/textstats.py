@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -113,6 +114,83 @@ def rolling_hash_kernel(df: pd.DataFrame, window: int = 16) -> pd.DataFrame:
     out = pd.DataFrame({"doc_id": df["doc_id"]})
     out["min_rolling_hash"] = [min_hash(t) for t in df["text"]]
     return out
+
+
+def repetition_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition metrics as exact integers (stable to hash
+    across engines): total tokens, distinct tokens, and the count of the
+    most frequent token per doc.  Downstream filters derive the standard
+    ratios (duplicate-token fraction = 1 - n_distinct/n_tokens, top-token
+    fraction = top_count/n_tokens) without any float crossing the oracle.
+
+    Fully vectorized: one explode + one ``pd.factorize`` over the batch's
+    flat token stream, then ``np.unique``/``bincount``/``maximum.at`` over
+    (doc, token-code) pairs — no per-doc Python.  Docs that are empty after
+    trim are excluded (SQL ``WHERE length(trim(text)) > 0`` parity)."""
+    stripped = df["text"].str.strip()
+    keep = (stripped.str.len() > 0).to_numpy()
+    ids = df["doc_id"].to_numpy()[keep]
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "top_count": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(ids) == 0:
+        return empty
+    toks = stripped[keep].str.split(_WS)
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = toks.explode().to_numpy()
+    didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    width = np.int64(len(uniques))
+    # (doc, token) composite key; didx < 2^31 per batch and width < tokens
+    # per batch, so the product stays far below 2^63
+    uk, cnt = np.unique(didx * width + codes, return_counts=True)
+    ud = (uk // width).astype(np.int64)
+    top = np.zeros(len(ids), dtype=np.int64)
+    np.maximum.at(top, ud, cnt)
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_tokens": np.bincount(didx, minlength=len(ids)).astype(np.int64),
+            "n_distinct": np.bincount(ud, minlength=len(ids)).astype(np.int64),
+            "top_count": top,
+        }
+    )
+
+
+def word_ngrams_batch(texts: pd.Series, doc_ids, n: int = 3):
+    """Vectorized word n-grams for a whole batch: one token explode, then
+    one Arrow ``binary_join_element_wise`` over n shifted slices of the
+    flat token array — no per-doc Python, no per-gram string building in
+    the interpreter.  Grams that would straddle a document boundary are
+    masked out via the repeated doc index.
+
+    Returns ``(grams, gram_doc_ids)`` — a ``pa.Array`` of gram strings and
+    the aligned numpy array of ``doc_ids`` values.  Docs empty after trim
+    (SQL ``WHERE length(trim(text)) > 0``) and docs shorter than ``n``
+    tokens yield nothing, matching the oracle's ``len(w) >= n`` guard."""
+    import pyarrow.compute as pc
+
+    stripped = texts.str.strip()
+    keep = (stripped.str.len() > 0).to_numpy()
+    ids = np.asarray(doc_ids)[keep]
+    if len(ids) == 0:
+        return pa.array([], type=pa.string()), ids
+    toks = stripped[keep].str.split(_WS)
+    lens = toks.str.len().to_numpy(np.int64)
+    flat = pa.array(toks.explode().to_numpy(), type=pa.string())
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], type=pa.string()), ids[:0]
+    didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    parts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = didx[:m] == didx[n - 1 :]
+    return grams.filter(pa.array(valid)), ids[didx[:m][valid]]
 
 
 def apply(ds, kernel, **kwargs):

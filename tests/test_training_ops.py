@@ -1,0 +1,165 @@
+"""Kernel-level tests for the round-3 training-data curation operators:
+PII scrub, repetition metrics, vectorized word n-grams, duplicated-n-gram
+mining and benchmark-contamination check.  (End-to-end oracle parity for
+all four queries() entries is covered by test_driver_parity.py.)"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from knowledge_graph_construction_ray.stages.pii import scrub_strings, sql_scrub_expr
+from knowledge_graph_construction_ray.stages.textstats import (
+    repetition_kernel,
+    word_ngrams_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+PII_SAMPLES = [
+    "mail a.b+tag@sub.example.co.uk now",
+    "call +1 (415) 555-0199 or 020-7946-0958 today",
+    "Customer#000000042",
+    "room 7, floor 3",
+    "nothing to scrub here",
+    "",
+]
+
+
+def test_pii_scrub_masks_email_phone_digits():
+    out = scrub_strings(pa.array(PII_SAMPLES)).to_pylist()
+    assert out[0] == "mail [EMAIL] now"
+    assert out[1] == "call [PHONE] or [PHONE] today"
+    assert out[2] == "Customer#[PHONE]"  # long digit runs read as phone-shaped
+    assert out[3] == "room *, floor *"
+    assert out[4] == "nothing to scrub here"
+    assert out[5] == ""
+
+
+def test_pii_scrub_matches_duckdb_regexp_replace():
+    """Arrow RE2 and DuckDB RE2 must agree byte-for-byte — the oracle
+    contract for pii_scrub_customers."""
+    con = duckdb.connect()
+    sql = f"SELECT {sql_scrub_expr('s')} FROM (SELECT unnest(?) AS s)"
+    dk = [r[0] for r in con.execute(sql, [PII_SAMPLES]).fetchall()]
+    assert scrub_strings(pa.array(PII_SAMPLES)).to_pylist() == dk
+
+
+def test_pii_oracle_sql_matches_generator():
+    """PII_SCRUB_SQL inlines sql_scrub_expr('c_name') for staticness; keep
+    the inline text in sync with the pattern registry."""
+    from knowledge_graph_construction_ray.query.relational import PII_SCRUB_SQL
+
+    flat = " ".join(PII_SCRUB_SQL.split())
+    assert " ".join(sql_scrub_expr("c_name").split()) in flat
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def _naive_repetition(doc_id, text):
+    toks = text.strip().split()
+    if not toks:
+        return None
+    from collections import Counter
+
+    c = Counter(toks)
+    return (doc_id, len(toks), len(c), max(c.values()))
+
+
+def test_repetition_kernel_matches_naive():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a a a b c",
+                "  x  y\tz  ",
+                "",
+                "   ",
+                "solo",
+            ],
+        }
+    )
+    out = repetition_kernel(df)
+    expect = [r for r in (_naive_repetition(i, t) for i, t in zip(df.doc_id, df.text)) if r]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == expect
+    assert all(out[c].dtype == np.int64 for c in ["n_tokens", "n_distinct", "top_count"])
+
+
+def test_repetition_kernel_empty_batch_keeps_schema():
+    out = repetition_kernel(pd.DataFrame({"doc_id": [7], "text": ["   "]}))
+    assert list(out.columns) == ["doc_id", "n_tokens", "n_distinct", "top_count"]
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# vectorized word n-grams
+# ---------------------------------------------------------------------------
+
+
+def _naive_ngrams(texts, ids, n=3):
+    out = []
+    for i, t in zip(ids, texts):
+        w = t.strip().split()
+        if not t.strip():
+            continue
+        for j in range(len(w) - n + 1):
+            out.append((" ".join(w[j : j + n]), i))
+    return out
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_word_ngrams_batch_matches_naive(n):
+    texts = pd.Series(
+        ["a b c d", "x y", "", "  ", "p q r", "one", "m n o p q"]
+    )
+    ids = np.array([10, 20, 30, 40, 50, 60, 70])
+    grams, gdoc = word_ngrams_batch(texts, ids, n)
+    got = list(zip(grams.to_pylist(), gdoc.tolist()))
+    assert got == _naive_ngrams(texts, ids, n)
+
+
+def test_word_ngrams_batch_no_cross_doc_grams():
+    texts = pd.Series(["a b", "c d"])
+    grams, gdoc = word_ngrams_batch(texts, np.array([1, 2]), 2)
+    assert grams.to_pylist() == ["a b", "c d"]  # never "b c"
+    assert gdoc.tolist() == [1, 2]
+
+
+def test_word_ngrams_batch_all_empty():
+    grams, gdoc = word_ngrams_batch(pd.Series(["", "  "]), np.array([1, 2]), 3)
+    assert len(grams) == 0 and len(gdoc) == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus queries (Ray; empty-result schema, eval-doc exclusion)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngrams_empty_threshold_keeps_schema(ray_session):
+    from knowledge_graph_construction_ray.query.relational import corpus_dup_ngrams
+
+    out = corpus_dup_ngrams(SF_DIR, min_docs=10**9)
+    assert list(out.columns) == ["gram", "n_docs"]
+    assert len(out) == 0
+    assert out["n_docs"].dtype == np.int64
+
+
+def test_contamination_excludes_eval_docs(ray_session):
+    from knowledge_graph_construction_ray.query.relational import contamination_check
+
+    out = contamination_check(SF_DIR)
+    assert (out["doc_id"] >= 10).all()
+    assert (out["n_contaminated"] >= 1).all()
+    # determinism across runs (broadcast set + vectorized isin)
+    again = contamination_check(SF_DIR)
+    pd.testing.assert_frame_equal(out, again)
