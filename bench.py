@@ -353,6 +353,11 @@ BENCH_QUERIES = [
     "events_band_views",
     "corpus_top_terms",
     "curation_split_stats",
+    "text_repetition",
+    "pii_scrub_customers",
+    "corpus_dup_ngrams",
+    "contamination_check",
+    "tfidf_search",
 ]
 
 

@@ -1049,7 +1049,14 @@ FROM customer ORDER BY c_custkey
 def corpus_dup_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5, k: int = 20):
     """Corpus-wide duplicated-n-gram mining (the boilerplate detector
     behind C4/RefinedWeb-style "remove lines shared by many pages"):
-    distinct-document count per word 3-gram, thresholded, top-k.
+    distinct-document count per word 3-gram, thresholded, top-k."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngrams_over(ds, n=n, min_docs=min_docs, k=k)
+
+
+def dup_ngrams_over(ds, *, n: int = 3, min_docs: int = 5, k: int = 20,
+                    num_buckets: int = 64):
+    """Dataset-level duplicated-n-gram miner over (doc_id, text) rows.
 
     Plan: vectorized per-batch gram build (one Arrow element-wise join —
     textstats.word_ngrams_batch) → per-batch (gram, doc) dedup.  A doc
@@ -1059,8 +1066,6 @@ def corpus_dup_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5, k: int = 20):
     block) rows cross, then the no-shuffle ``local_topk`` head."""
     from ..functions.groupby import bucketed_agg, local_topk
     from ..stages.textstats import word_ngrams_batch
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         grams, gdoc = word_ngrams_batch(df["text"], df["doc_id"].to_numpy(), n)
@@ -1076,10 +1081,16 @@ def corpus_dup_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5, k: int = 20):
         ds.map_batches(partial, batch_format="pandas"),
         ["gram"],
         {"n_docs": ("n_docs", "sum")},
+        num_buckets=num_buckets,
     )
-    hot = counts.map_batches(
-        lambda df: df[df["n_docs"] >= min_docs], batch_format="pandas"
-    )
+
+    # Arrow-side threshold filter: zero-copy, and empty survivor blocks
+    # stay Arrow (an empty pandas object column trips Ray's block-size
+    # estimator into per-block log spam)
+    def threshold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    hot = counts.map_batches(threshold, batch_format="pyarrow")
     out = local_topk(hot, ["n_docs", "gram"], k, descending=[True, False])
     if out.empty:  # schema-preserving empty (Ray drops columns)
         return pd.DataFrame(
@@ -1113,16 +1124,28 @@ def contamination_check(sf_dir: str, n: int = 3, eval_max_id: int = 10):
     Returns (doc_id, n_contaminated distinct shared grams) per hit doc."""
     import pyarrow.parquet as pq
 
+    bdf = pq.read_table(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=[("doc_id", "<", eval_max_id)],
+    ).to_pandas()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_over(ds, bdf, n=n, eval_max_id=eval_max_id)
+
+
+def contamination_over(ds, eval_df: pd.DataFrame, *, n: int = 3,
+                       eval_max_id: int = 10, concurrency: int = 2):
+    """Dataset-level contamination scan: ``eval_df`` (doc_id, text) is the
+    held-out benchmark; its n-gram set broadcasts once via ``ray.put`` and
+    each corpus batch checks membership vectorized.  Corpus docs with
+    doc_id < ``eval_max_id`` (the eval rows themselves) are excluded."""
     import ray
 
     from ..stages.textstats import word_ngrams_batch
     from .ops import _to_pandas
 
-    bdf = pq.read_table(
-        _t(sf_dir, "documents"), columns=["doc_id", "text"],
-        filters=[("doc_id", "<", eval_max_id)],
-    ).to_pandas()
-    bgrams, _ids = word_ngrams_batch(bdf["text"], bdf["doc_id"].to_numpy(), n)
+    bgrams, _ids = word_ngrams_batch(
+        eval_df["text"], eval_df["doc_id"].to_numpy(), n
+    )
     ref = ray.put(frozenset(bgrams.to_pylist()))
 
     class Contam:
@@ -1143,15 +1166,99 @@ def contamination_check(sf_dir: str, n: int = 3, eval_max_id: int = 10):
                  "n_contaminated": cnt.to_numpy(np.int64)}
             )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
-        Contam, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2
+        Contam, fn_constructor_args=(ref,), batch_format="pandas",
+        concurrency=concurrency,
     )
     return (
         _to_pandas(out, ["doc_id", "n_contaminated"])
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+_TFIDF_TERMS = ("table", "hash", "window", "vector", "merge")
+
+
+def tfidf_search(sf_dir: str, k: int = 10):
+    """Distributed TF-IDF ranked search for a fixed query-term set — the
+    text-side sibling of ANN top-k.  Two passes, both streaming:
+
+    1. DF pass: per-batch distinct (doc, query-term) membership partials
+       (+ a doc-count pseudo-row) → tiny driver reduce (≤ terms × blocks
+       rows).  At 100 TB this is the standard "collect the small global
+       statistic, broadcast it back" shape.
+    2. Score pass: integer-scaled idf weights (``(N·1000) // df`` —
+       identical int64 arithmetic in numpy and DuckDB ``//``, so the
+       oracle hash-matches exactly with no float rounding contract)
+       broadcast into a vectorized kernel: one explode + dict map +
+       ``np.add.at`` scatter per batch, then the no-shuffle
+       ``local_topk`` head.  Docs matching no term score 0 and are
+       excluded on both sides."""
+    from ..functions.groupby import local_topk
+
+    terms = list(_TFIDF_TERMS)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df["text"].str.strip()
+        keep = stripped.str.len() > 0
+        ex = stripped[keep].str.split().explode()
+        pairs = pd.DataFrame({"d": ex.index, "t": ex.to_numpy()})
+        pairs = pairs[pairs["t"].isin(terms)].drop_duplicates()
+        vc = pairs["t"].value_counts()
+        return pd.DataFrame(
+            {"term": list(vc.index) + ["\x00ndocs"],
+             "n": list(vc.to_numpy(np.int64)) + [np.int64(keep.sum())]}
+        )
+
+    small = ds.map_batches(df_partial, batch_format="pandas").to_pandas()
+    agg = small.groupby("term")["n"].sum() if not small.empty else pd.Series(dtype=np.int64)
+    n_docs = int(agg.get("\x00ndocs", 0))
+    weights = {
+        t: (n_docs * 1000) // int(agg[t])
+        for t in terms
+        if int(agg.get(t, 0)) > 0
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df["text"].str.strip()
+        keep = (stripped.str.len() > 0).to_numpy()
+        ids = df["doc_id"].to_numpy()[keep]
+        if len(ids) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="int64")})
+        toks = stripped[keep].str.split()
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode()
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        w = flat.map(weights).fillna(0).to_numpy(np.int64)
+        sc = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(sc, didx, w)  # exact int64 scatter-add
+        hit = sc > 0
+        return pd.DataFrame({"doc_id": ids[hit], "score": sc[hit]})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    out = local_topk(scored, ["score", "doc_id"], k, descending=[True, False])
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    return out[["doc_id", "score"]]
+
+
+TFIDF_SQL = r"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0),
+q(term) AS (VALUES ('table'), ('hash'), ('window'), ('vector'), ('merge')),
+nd AS (SELECT COUNT(*) AS n FROM documents WHERE length(trim(text)) > 0),
+df AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE tok IN (SELECT term FROM q) GROUP BY tok),
+tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks
+       WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok)
+SELECT doc_id, CAST(SUM(tf * ((n * 1000) // df)) AS BIGINT) AS score
+FROM tf JOIN df USING (term) CROSS JOIN nd
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 CONTAMINATION_SQL = r"""
@@ -1564,4 +1671,5 @@ QUERIES: dict[str, tuple] = {
     "pii_scrub_customers": (pii_scrub_customers, PII_SCRUB_SQL),
     "corpus_dup_ngrams": (corpus_dup_ngrams, DUP_NGRAMS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "tfidf_search": (tfidf_search, TFIDF_SQL),
 }

@@ -154,6 +154,18 @@ def test_dup_ngrams_empty_threshold_keeps_schema(ray_session):
     assert out["n_docs"].dtype == np.int64
 
 
+def test_tfidf_search_ranked_and_deterministic(ray_session):
+    from knowledge_graph_construction_ray.query.relational import tfidf_search
+
+    out = tfidf_search(SF_DIR)
+    assert list(out.columns) == ["doc_id", "score"]
+    assert len(out) == 10
+    assert (out["score"] > 0).all()
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()  # descending
+    pd.testing.assert_frame_equal(out, tfidf_search(SF_DIR))
+
+
 def test_contamination_excludes_eval_docs(ray_session):
     from knowledge_graph_construction_ray.query.relational import contamination_check
 
