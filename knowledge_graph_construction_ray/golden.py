@@ -112,6 +112,21 @@ def langid_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def hll_users_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential HyperLogLog over events.user_id — the register content
+    is a pure function of the value multiset, so the distributed
+    register-max merge must reproduce this estimate EXACTLY."""
+    from .stages.sketch import hll_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return pd.DataFrame(
+        {"n_users_est": pd.Series([hll_sequential(df["user_id"].to_numpy())],
+                                  dtype="int64")}
+    )
+
+
 def fixture_triples_golden() -> pa.Table:
     """The KG reference oracle's triples over the deterministic fixture
     corpus (oracle.py — the same independent implementation behind the
@@ -204,6 +219,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(langid_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"text_langid_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(hll_users_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"events_users_hll_{tag}.parquet"),
     )
     _atomic_write(
         fixture_triples_golden(),

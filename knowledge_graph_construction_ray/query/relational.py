@@ -1261,6 +1261,64 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def events_distinct_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event type: per-batch
+    pair-dedup combiner → ONE bucketed exchange keyed (event_type,
+    user_id) — each distinct pair crosses once — → per-block type counts
+    → tiny driver sum (≤ types × blocks rows).  The sketched companion is
+    ``events_users_hll`` (bounded 2^p-row exchange at any cardinality)."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = bucketed_agg(
+        ds.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas"),
+        ["event_type", "user_id"],
+        {"n": ("user_id", "size")},
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["event_type"].value_counts()
+        return pd.DataFrame(
+            {"event_type": vc.index.to_numpy(), "n_users": vc.to_numpy(np.int64)}
+        )
+
+    small = pairs.map_batches(count_partial, batch_format="pandas").to_pandas()
+    if small.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                             "n_users": pd.Series(dtype="int64")})
+    return (
+        small.groupby("event_type", as_index=False)["n_users"].sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_users_hll(sf_dir: str):
+    """Approximate global distinct-user count via the HyperLogLog sketch
+    (stages/sketch.py, p=12): per-batch register partials, one ≤4096-row
+    bucketed max exchange, driver estimate.  The golden-parquet oracle is
+    the SEQUENTIAL sketch over the same column — register max is
+    associative/commutative, so the distributed merge must equal it
+    exactly; estimate accuracy is pytest-bounded separately."""
+    from ..stages.sketch import hll_cardinality
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_cardinality(ds, "user_id")
+    return pd.DataFrame({"n_users_est": pd.Series([est], dtype="int64")})
+
+
+EVENTS_USERS_HLL_SQL = """
+SELECT n_users_est
+FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
+"""
+
+
 CONTAMINATION_SQL = r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
               FROM documents WHERE length(trim(text)) > 0),
@@ -1672,4 +1730,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_dup_ngrams": (corpus_dup_ngrams, DUP_NGRAMS_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "tfidf_search": (tfidf_search, TFIDF_SQL),
+    "events_distinct_users": (events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
+    "events_users_hll": (events_users_hll, EVENTS_USERS_HLL_SQL),
 }

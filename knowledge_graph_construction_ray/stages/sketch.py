@@ -1,0 +1,126 @@
+"""Distributed cardinality sketch: HyperLogLog.
+
+At 100 TB, ``COUNT(DISTINCT key)`` over a high-cardinality key is an
+all-to-all of every distinct value.  The HLL sketch replaces it with a
+fixed 2^p-register state whose per-batch partials (register → max rho)
+merge associatively — so the Dataset plan is: vectorized ``map_batches``
+partial → one TINY ``bucketed_agg`` max over ≤ 2^p register rows → a
+driver-side estimate.  Nothing about the exchange grows with cardinality.
+
+Exactness contract: the register content is a deterministic pure function
+of the value multiset (max is commutative/associative), so the distributed
+merge must equal the sequential single-process sketch bit-for-bit — that
+is what the golden-parquet oracle checks (golden.py::hll_users_golden);
+the ESTIMATE's accuracy (±1.04/sqrt(m)) is asserted separately in pytest.
+
+No reference counterpart (the reference has no aggregates at this scale);
+"a novel sketch" is the custom-operator family from the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+P_DEFAULT = 12  # 4096 registers → ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer (public-domain constants) — a
+    full-avalanche 64-bit hash for integer keys.  Elementwise scalar
+    shifts only (numpy's BROADCAST uint64 shifts hit a ~700× slower
+    generic loop; these don't)."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_values(values) -> np.ndarray:
+    """64-bit hashes for an int or string array (strings via the cached
+    token hasher shared with the MinHash kernel)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
+    from .dedupe import _hash_token_array
+
+    # the cached token hash is crc32-composed — fine for MinHash perms and
+    # bucketing, but NOT avalanche-quality in the bit positions HLL reads
+    # (measured: 3× undercount at 30k distinct strings); finalize it
+    return _splitmix64(_hash_token_array(arr))
+
+
+def hll_partial_registers(values, p: int = P_DEFAULT) -> np.ndarray:
+    """One batch → its 2^p uint8 register maxima (0 = untouched).
+
+    rho is computed with float64 log2 on the low ``64-p`` bits — exact
+    because at p ≥ 11 those values stay below 2^53 (float64's integer
+    range)."""
+    assert p >= 11, "p < 11 would overflow float64-exact log2"
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = hash_values(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
+    rho = np.empty(len(h), dtype=np.uint8)
+    nz = w > 0
+    rho[nz] = (64 - p) - np.floor(np.log2(w[nz])).astype(np.int64)
+    rho[~nz] = 64 - p + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def merge_registers(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Classic HLL estimate with the small-range linear-counting
+    correction (64-bit hash → no large-range correction needed)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_sequential(values, p: int = P_DEFAULT) -> int:
+    """Single-process sketch over one array — the golden-oracle path
+    (same pure register function, no Ray)."""
+    return hll_estimate(hll_partial_registers(values, p))
+
+
+def hll_cardinality(ds, col: str, p: int = P_DEFAULT) -> int:
+    """Approximate COUNT(DISTINCT col) over a Dataset.
+
+    Exchange cost is bounded by 2^p rows regardless of input size: each
+    batch emits only its touched (register, rho) pairs, the bucketed max
+    reduces them, and ≤ 2^p rows reach the driver."""
+    from ..functions.groupby import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_partial_registers(df[col].to_numpy(), p)
+        nz = np.flatnonzero(regs)
+        return pd.DataFrame(
+            {"register": nz.astype(np.int64), "rho": regs[nz].astype(np.int64)}
+        )
+
+    small = (
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["register"],
+            {"rho": ("rho", "max")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if not small.empty:
+        regs[small["register"].to_numpy(np.int64)] = small["rho"].to_numpy(np.int64)
+    return hll_estimate(regs)

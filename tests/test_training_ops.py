@@ -154,6 +154,59 @@ def test_dup_ngrams_empty_threshold_keeps_schema(ray_session):
     assert out["n_docs"].dtype == np.int64
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_across_cardinalities():
+    from knowledge_graph_construction_ray.stages.sketch import hll_sequential
+
+    rng = np.random.default_rng(7)
+    for n in (100, 10_000, 200_000):
+        vals = rng.integers(0, 2**62, size=n)
+        distinct = len(np.unique(vals))
+        est = hll_sequential(vals)
+        assert abs(est - distinct) / distinct < 0.05, (n, est, distinct)
+
+
+def test_hll_register_merge_is_associative():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        hll_partial_registers,
+        merge_registers,
+    )
+
+    vals = np.arange(50_000, dtype=np.int64)
+    whole = hll_partial_registers(vals)
+    halves = merge_registers(
+        hll_partial_registers(vals[:20_000]), hll_partial_registers(vals[20_000:])
+    )
+    assert np.array_equal(whole, halves)
+
+
+def test_hll_string_values():
+    from knowledge_graph_construction_ray.stages.sketch import hll_sequential
+
+    vals = np.array([f"user-{i}" for i in range(30_000)], dtype=object)
+    est = hll_sequential(vals)
+    assert abs(est - 30_000) / 30_000 < 0.05
+
+
+def test_hll_distributed_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        hll_cardinality,
+        hll_sequential,
+    )
+
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    ds = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id"], override_num_blocks=8
+    )
+    assert hll_cardinality(ds, "user_id") == hll_sequential(df["user_id"].to_numpy())
+
+
 def test_tfidf_search_ranked_and_deterministic(ray_session):
     from knowledge_graph_construction_ray.query.relational import tfidf_search
 
