@@ -1319,6 +1319,171 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+def events_value_percentiles(sf_dir: str, ps=(0.5, 0.95, 0.99)):
+    """EXACT distributed percentiles (discrete: the actual element at
+    rank ``ceil(p·n)``, DuckDB ``quantile_disc`` convention) without a
+    global sort: two streaming passes.
+
+    1. count/min/max partials (one tiny reduce);
+    2. a 4096-bin histogram partial per batch → driver cumsum locates the
+       bin holding each target rank → one filtered pass collects ONLY the
+       values in those bins (expected n/4096 per bin; under heavy skew a
+       hot bin can be refined recursively — not needed at this data's
+       spread) and the exact element is picked by within-bin rank.
+
+    The global sort this replaces is the classic all-to-all scale-killer;
+    this plan's exchanges are O(bins) and O(n/bins), independent of
+    cluster-wide order."""
+    import math
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"n": [], "lo": [], "hi": []})
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "lo": [df["value"].min()], "hi": [df["value"].max()]})
+
+    small = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    n = int(small["n"].sum())
+    lo, hi = float(small["lo"].min()), float(small["hi"].max())
+    ranks = {p: max(1, math.ceil(p * n)) for p in ps}
+    edges = np.linspace(lo, hi, 4097)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.clip(
+            np.searchsorted(edges, df["value"].to_numpy(), side="right") - 1,
+            0, 4095,
+        )
+        c = np.bincount(idx, minlength=4096)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"bin": nz.astype(np.int64), "c": c[nz].astype(np.int64)})
+
+    hsmall = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = np.zeros(4096, dtype=np.int64)
+    agg = hsmall.groupby("bin")["c"].sum()
+    counts[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    target_bins = {int(np.searchsorted(cum, r)): None for r in ranks.values()}
+
+    bins_arr = np.array(sorted(target_bins), dtype=np.int64)
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, 4095)
+        m = np.isin(idx, bins_arr)
+        return pd.DataFrame({"bin": idx[m].astype(np.int64), "value": v[m]})
+
+    got = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    out = {}
+    for p, r in ranks.items():
+        b = int(np.searchsorted(cum, r))
+        below = int(cum[b - 1]) if b > 0 else 0
+        vals = np.sort(got.loc[got["bin"] == b, "value"].to_numpy())
+        out[f"value_p{int(p * 100)}"] = [vals[r - below - 1]]
+    return pd.DataFrame(out)
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT quantile_disc(value, 0.5) AS value_p50,
+       quantile_disc(value, 0.95) AS value_p95,
+       quantile_disc(value, 0.99) AS value_p99
+FROM events
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "scroll", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """Wide conditional aggregate (pivot): per-user event counts, one
+    int64 column per event type.  Per-batch ``pd.crosstab`` partials
+    (C-speed one-hot counting) → one ``bucketed_agg`` sum over the
+    user key — the mergeable-partial discipline; the exchange carries
+    (users per block) × (types) integers, never event rows."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = pd.crosstab(df["user_id"], df["event_type"]).reindex(
+            columns=list(_EVENT_TYPES), fill_value=0
+        )
+        piv.columns = cols
+        piv.index.name = "user_id"
+        return piv.reset_index().astype({c: np.int64 for c in cols})
+
+    return (
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id"],
+            {c: (c, "sum") for c in cols},
+        )
+        .sort("user_id")
+        .to_pandas()
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'scroll' THEN 1 ELSE 0 END) AS BIGINT) AS n_scroll,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 400_000.0):
+    """Distributed ANTI join: customers with no HIGH-VALUE order (above
+    ``min_price``) — Ray's native hash-partitioned ``left_anti`` join
+    (both sides shuffle by the key; neither is collected or broadcast).
+    The order side is filtered at the scan, then reduced to distinct keys
+    by a combiner-backed ``bucketed_agg`` so the join moves at most one
+    row per customer, not one per order."""
+    from ..functions.groupby import bucketed_agg
+    from ..stages.dedupe import _default_join_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.loc[df["o_totalprice"] > min_price, ["o_custkey"]]
+            .rename(columns={"o_custkey": "c_custkey"})
+            .drop_duplicates()
+        )
+
+    okeys = bucketed_agg(
+        orders.map_batches(big, batch_format="pandas"),
+        ["c_custkey"],
+        {"n": ("c_custkey", "size")},
+    ).select_columns(["c_custkey"])
+    out = cust.join(
+        okeys,
+        join_type="left_anti",
+        num_partitions=_default_join_partitions(),
+        on=("c_custkey",),
+    )
+    from .ops import _to_pandas
+
+    return (
+        _to_pandas(out, ["c_custkey"])
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+ORDER BY c_custkey
+"""
+
+
 CONTAMINATION_SQL = r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
               FROM documents WHERE length(trim(text)) > 0),
@@ -1732,4 +1897,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_search": (tfidf_search, TFIDF_SQL),
     "events_distinct_users": (events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
     "events_users_hll": (events_users_hll, EVENTS_USERS_HLL_SQL),
+    "events_value_percentiles": (events_value_percentiles, EVENTS_PERCENTILES_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_NO_ORDERS_SQL),
 }

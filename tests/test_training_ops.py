@@ -207,6 +207,53 @@ def test_hll_distributed_equals_sequential(ray_session):
     assert hll_cardinality(ds, "user_id") == hll_sequential(df["user_id"].to_numpy())
 
 
+def test_percentiles_constant_column(ray_session, tmp_path):
+    """Degenerate histogram (lo == hi): every value lands in the clipped
+    last bin; selection must still return the constant exactly."""
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_value_percentiles,
+    )
+
+    pq.write_table(
+        pa.table({"value": pa.array([7.25] * 1000, type=pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    out = events_value_percentiles(str(tmp_path))
+    assert out.iloc[0].tolist() == [7.25, 7.25, 7.25]
+
+
+def test_percentiles_match_numpy_rank(ray_session):
+    import math
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_value_percentiles,
+    )
+
+    vals = np.sort(
+        pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    out = events_value_percentiles(SF_DIR)
+    for p in (0.5, 0.95, 0.99):
+        assert out[f"value_p{int(p*100)}"].iloc[0] == vals[max(1, math.ceil(p * len(vals))) - 1]
+
+
+def test_anti_join_complement(ray_session):
+    """left_anti output ∪ its complement = all customers; ∩ = ∅."""
+    from knowledge_graph_construction_ray.query.relational import (
+        customers_without_orders,
+    )
+
+    without = set(customers_without_orders(SF_DIR)["c_custkey"])
+    cust = set(
+        pd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])["c_custkey"]
+    )
+    big = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    have = set(big.loc[big["o_totalprice"] > 400_000.0, "o_custkey"])
+    assert without == cust - have
+
+
 def test_tfidf_search_ranked_and_deterministic(ray_session):
     from knowledge_graph_construction_ray.query.relational import tfidf_search
 
