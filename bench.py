@@ -358,6 +358,11 @@ BENCH_QUERIES = [
     "corpus_dup_ngrams",
     "contamination_check",
     "tfidf_search",
+    "events_distinct_users",
+    "events_users_hll",
+    "events_value_percentiles",
+    "events_type_pivot",
+    "customers_without_orders",
 ]
 
 

@@ -1100,6 +1100,116 @@ def dup_ngrams_over(ds, *, n: int = 3, min_docs: int = 5, k: int = 20,
     return out[["gram", "n_docs"]]
 
 
+_G_P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiply mod 2^64
+
+
+def _gram_hash_batch(texts: pd.Series, doc_ids, n: int = 3):
+    """(gram-hash uint64, doc-id, flat-token, flat-start) arrays for one
+    batch: tokenize once, one cached ``_h64`` per distinct token, compose
+    n-gram hashes polynomially — NO gram strings are built.  Shares the
+    token-hash discipline of the MinHash kernel (stages/dedupe.py)."""
+    from ..stages.dedupe import _flat_token_hashes
+
+    from ..stages.textstats import _WS  # same tokenizer as the exact path
+
+    stripped = texts.str.strip()
+    keep = (stripped.str.len() > 0).to_numpy()
+    ids = np.asarray(doc_ids)[keep]
+    empty = (np.empty(0, np.uint64), ids[:0], np.empty(0, object),
+             np.empty(0, np.int64))
+    if len(ids) == 0:
+        return empty
+    toks = stripped[keep].str.split(_WS)
+    th, starts, lens = _flat_token_hashes(list(toks))
+    m = len(th) - n + 1
+    if m <= 0:
+        return empty
+    gh = th[:m].copy()
+    for i in range(1, n):
+        gh = gh * _G_P + th[i : m + i]
+    didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    valid = didx[:m] == didx[n - 1 :]
+    flat = toks.explode().to_numpy()
+    return gh[valid], ids[didx[:m][valid]], flat, np.flatnonzero(valid)
+
+
+def dup_ngrams_hashed(ds, *, n: int = 3, min_docs: int = 5, k: int = 20,
+                      num_buckets: int = 64):
+    """``dup_ngrams_over`` with a NUMERIC exchange — the 100 TB shape.
+
+    The exact path shuffles every distinct gram STRING once; here the
+    count exchange carries only (uint64 gram-hash, partial count) rows
+    (8-byte keys, no string materialization at all), and gram TEXT is
+    recovered in a second streaming pass only for the hot hashes that
+    survive the ``min_docs`` threshold (broadcast set; the boilerplate
+    premise is that few grams are corpus-wide duplicates).  Identical
+    output to the exact path absent 64-bit hash collisions (~n_grams²/2^64
+    — ~1e-7 at a billion distinct grams); pytest asserts equality on the
+    driver tables."""
+    import ray
+
+    from ..functions.groupby import bucketed_agg
+
+    def hpartial(df: pd.DataFrame) -> pd.DataFrame:
+        gh, gdoc, _flat, _pos = _gram_hash_batch(df["text"], df["doc_id"].to_numpy(), n)
+        sub = pd.DataFrame({"gh": gh.view(np.int64), "doc_id": gdoc}).drop_duplicates()
+        vc = sub["gh"].value_counts()
+        return pd.DataFrame(
+            {"gh": vc.index.to_numpy(np.int64), "n_docs": vc.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(hpartial, batch_format="pandas"),
+        ["gh"],
+        {"n_docs": ("n_docs", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
+
+    hot = counts.map_batches(threshold, batch_format="pyarrow").to_pandas()
+    if hot.empty:
+        return pd.DataFrame({"gram": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    hot_sorted = np.sort(hot["gh"].to_numpy(np.int64))
+    ref = ray.put(hot_sorted)
+
+    class Recover:
+        def __init__(self, hot_ref):
+            self.hot = ray.get(hot_ref)  # broadcast once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            gh, _gdoc, flat, pos = _gram_hash_batch(
+                df["text"], df["doc_id"].to_numpy(), n
+            )
+            sv = gh.view(np.int64)
+            loc = np.searchsorted(self.hot, sv)
+            hit = (loc < len(self.hot)) & (self.hot[np.minimum(loc, len(self.hot) - 1)] == sv)
+            p = pos[hit]
+            grams = flat[p]
+            for i in range(1, n):
+                grams = grams + " " + flat[p + i]
+            return pd.DataFrame(
+                {"gram": grams, "gh": sv[hit]}
+            ).drop_duplicates()
+
+    texts = (
+        ds.map_batches(Recover, fn_constructor_args=(ref,),
+                       batch_format="pandas", concurrency=2)
+        .to_pandas()
+        .drop_duplicates()
+    )
+    out = (
+        texts.merge(hot, on="gh")[["gram", "n_docs"]]
+        .sort_values(["n_docs", "gram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 DUP_NGRAMS_SQL = r"""
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
               FROM documents WHERE length(trim(text)) > 0),

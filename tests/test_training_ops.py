@@ -145,6 +145,40 @@ def test_word_ngrams_batch_all_empty():
 # ---------------------------------------------------------------------------
 
 
+def test_dup_ngrams_hashed_equals_exact(ray_session):
+    """The numeric-exchange scale path must reproduce the string-exchange
+    exact path verbatim (collision-free at these sizes)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.query.relational import (
+        dup_ngrams_hashed,
+        dup_ngrams_over,
+    )
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    pd.testing.assert_frame_equal(
+        dup_ngrams_over(ds, min_docs=5, k=20),
+        dup_ngrams_hashed(ds, min_docs=5, k=20),
+    )
+
+
+def test_dup_ngrams_hashed_empty_threshold_keeps_schema(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.query.relational import dup_ngrams_hashed
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=4,
+    )
+    out = dup_ngrams_hashed(ds, min_docs=10**9)
+    assert list(out.columns) == ["gram", "n_docs"]
+    assert len(out) == 0
+
+
 def test_dup_ngrams_empty_threshold_keeps_schema(ray_session):
     from knowledge_graph_construction_ray.query.relational import corpus_dup_ngrams
 

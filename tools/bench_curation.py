@@ -52,6 +52,16 @@ def main():
         if rep:
             print(out.head(3).to_string())
 
+    # --- hashed-exchange scale path (8-byte keys instead of gram strings) ---
+    from knowledge_graph_construction_ray.query.relational import dup_ngrams_hashed
+
+    for rep in range(2):
+        t0 = time.perf_counter()
+        out = dup_ngrams_hashed(docs, n=3, min_docs=5, k=20)
+        wall = time.perf_counter() - t0
+        print(f"dup_ngrams_hashed rep{rep}: {wall:.2f}s  rows={len(out)}  "
+              f"({n_docs / wall:,.0f} docs/s)")
+
     # stage attribution for the count exchange (the heavy part)
     from knowledge_graph_construction_ray.functions.groupby import bucketed_agg
     from knowledge_graph_construction_ray.stages.textstats import word_ngrams_batch
