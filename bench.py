@@ -363,6 +363,12 @@ BENCH_QUERIES = [
     "events_value_percentiles",
     "events_type_pivot",
     "customers_without_orders",
+    "events_prev_gap",
+    "orders_cum_spend",
+    "orders_price_rank",
+    "events_rolling_max",
+    "lineitem_urgent_semi",
+    "browse_no_buy_hours",
 ]
 
 

@@ -1954,6 +1954,308 @@ def ivf_topk_demo(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Window-function family: navigation (LAG), running frames, ranking, rolling
+# frames — all on the coarse-bucket co-location shuffle (ONE vectorized
+# kernel dispatch per bucket, never per key), the same discipline as
+# events_sessions/events_sliding above.
+# ---------------------------------------------------------------------------
+
+
+def _segments(sorted_keys: pd.Series):
+    """(starts, lens, pos_in_segment) for a key column already sorted so
+    equal keys are contiguous — the shared scaffolding of every window
+    kernel below."""
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    codes = pd.factorize(sorted_keys, sort=False)[0]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    return starts, lens, pos
+
+
+def events_prev_gap(sf_dir: str):
+    """Window navigation (LAG over two columns): for each event, the same
+    user's previous event id and the gap in microseconds.  First events
+    per user (LAG IS NULL) are filtered out so both outputs stay int64
+    end-to-end (a nullable int64 would degrade to float64 crossing
+    pandas — the repo-wide trap documented in functions/asof.py)."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        es = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy()
+        _, _, pos = _segments(df["user_id"])
+        keep = pos > 0  # rows with a predecessor in the same user segment
+        return pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "prev_event_id": np.r_[0, eid[:-1]][keep],
+                "gap_us": (es - np.r_[0, es[:-1]])[keep],
+            }
+        )
+
+    return bucketed_groups(ds, ["user_id"], kernel).sort("event_id").to_pandas()
+
+
+EVENTS_PREV_GAP_SQL = """
+SELECT event_id, prev_event_id, CAST(gap_us AS BIGINT) AS gap_us FROM (
+  SELECT event_id,
+         LAG(event_id) OVER w AS prev_event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE prev_event_id IS NOT NULL ORDER BY event_id
+"""
+
+
+def orders_cum_spend(sf_dir: str):
+    """Running frame (SUM ... ROWS UNBOUNDED PRECEDING): cumulative spend
+    per customer in order-date order.  Prices are scaled to int64 CENTS
+    before accumulating so the running sum is exact and engine-portable
+    (a float cumsum's rounding depends on summation order)."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        cs = np.cumsum(cents)
+        starts, lens, _ = _segments(df["o_custkey"])
+        base = np.repeat(np.r_[0, cs[:-1]][starts], lens)  # cumsum before segment
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(), "cum_spend_cents": cs - base}
+        )
+
+    return (
+        bucketed_groups(ds, ["o_custkey"], kernel).sort("o_orderkey").to_pandas()
+    )
+
+
+ORDERS_CUM_SPEND_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_spend_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def orders_price_rank(sf_dir: str):
+    """Ranking window (RANK() with SQL tie semantics, unlike the top-k
+    family's row_number): each customer's orders ranked by price
+    descending, keeping rank ≤ 3 — ties share a rank and create gaps.
+    pandas ``groupby.rank(method="min")`` is the cython kernel; double
+    comparisons are exact so ranks match SQL bit-for-bit."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby("o_custkey")["o_totalprice"].rank(
+            method="min", ascending=False
+        )
+        out = df[["o_orderkey", "o_custkey"]].assign(
+            price_rank=r.astype("int64")
+        )
+        return out[out["price_rank"] <= 3]
+
+    return (
+        bucketed_groups(ds, ["o_custkey"], kernel).sort("o_orderkey").to_pandas()
+    )
+
+
+ORDERS_PRICE_RANK_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+            AS BIGINT) AS price_rank
+FROM orders QUALIFY price_rank <= 3 ORDER BY o_orderkey
+"""
+
+
+def events_rolling_max(sf_dir: str):
+    """Bounded rolling frame (MAX ... ROWS 4 PRECEDING): per event, the
+    max value among the user's last 5 events.  Computed as 4 shifted
+    elementwise maxima over the whole sorted bucket with a
+    position-in-segment validity mask — no per-group dispatch, and max is
+    order-independent so doubles are exact."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        v = df["value"].to_numpy()
+        _, _, pos = _segments(df["user_id"])
+        acc = v.copy()
+        n = len(v)
+        for k in range(1, 5):
+            if k >= n:  # every pos < k ⇒ the mask below is all-False
+                break
+            shifted = np.empty(n)
+            shifted[:k] = -np.inf
+            shifted[k:] = v[:-k]
+            np.maximum(acc, shifted, out=acc, where=pos >= k)
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "roll_max": acc}
+        )
+
+    return bucketed_groups(ds, ["user_id"], kernel).sort("event_id").to_pandas()
+
+
+EVENTS_ROLLING_MAX_SQL = """
+SELECT event_id,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_max
+FROM events ORDER BY event_id
+"""
+
+
+def lineitem_urgent_semi(sf_dir: str):
+    """Bloom-pruned semi join — the 100 TB shape for big⋉small: the
+    urgent-order keys build a Bloom filter (~1.2 bytes/key at 1% fpp,
+    10× smaller than the raw key set) broadcast once via ``ray.put``;
+    every lineitem batch is pruned IN PLACE before any exchange, so the
+    downstream exact hash join only sees (matches + 1%·non-matches)
+    instead of the full big side.  No false negatives ⇒ the composition
+    is exact; the final aggregate is the usual partial + bucketed sum."""
+    import ray
+
+    from ..functions.bloom import Bloom64
+    from ..functions.groupby import bucketed_agg
+
+    def urgent(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return t.filter(keep).select(["o_orderkey"])
+
+    keys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(urgent, batch_format="pyarrow")
+        .to_pandas()["o_orderkey"]
+        .to_numpy(np.int64)
+    )
+    bloom = Bloom64(len(keys), fpp=0.01)
+    bloom.add_many(keys)
+    bloom_ref = ray.put(bloom)
+    exact = ray.put(np.sort(keys))
+
+    class Prune:
+        def __init__(self, bloom_ref, exact_ref):
+            self.bloom = ray.get(bloom_ref)  # fetched once per actor
+            self.exact = ray.get(exact_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lk = df["l_orderkey"].to_numpy(np.int64)
+            cand = self.bloom.contains(lk)
+            df = df[cand]
+            # exact verification of the 1%-fpp survivors: sorted-array
+            # membership (at real scale this is the hash join the Bloom
+            # pass just shrank by 100×; the key set here fits broadcast)
+            lk = lk[cand]
+            loc = np.searchsorted(self.exact, lk)
+            loc_c = np.minimum(loc, len(self.exact) - 1)
+            return df[(loc < len(self.exact)) & (self.exact[loc_c] == lk)]
+
+    pruned = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]
+    ).map_batches(
+        Prune,
+        fn_constructor_args=(bloom_ref, exact),
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+
+    out = (
+        bucketed_agg(
+            pruned.map_batches(partial, batch_format="pandas"),
+            ["l_returnflag"],
+            {"n_items": ("n_items", "sum"), "sum_qty": ("sum_qty", "sum")},
+        )
+        .sort("l_returnflag")
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out[["l_returnflag", "n_items", "sum_qty"]]
+
+
+LINEITEM_SEMI_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def browse_no_buy_hours(sf_dir: str):
+    """Set difference (EXCEPT) without materializing either side:
+    (user, hour) pairs with a 'view' event but no 'purchase'.  Per-batch
+    partials reduce each (user, hour) to two boolean flags, one bucketed
+    max exchange combines them — the exchange carries ≤ distinct
+    (user, hour) rows regardless of event volume, and neither EXCEPT
+    operand is ever built as a table."""
+    from ..functions.groupby import bucketed_agg
+    from .ops import _to_pandas as _guarded
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (
+            df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+        )
+        sub = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "hour_bucket": hour,
+                "viewed": df["event_type"].eq("view"),
+                "bought": df["event_type"].eq("purchase"),
+            }
+        )
+        sub = sub[sub["viewed"] | sub["bought"]]
+        return sub.groupby(["user_id", "hour_bucket"], as_index=False).max()
+
+    both = bucketed_agg(
+        ds.map_batches(flags, batch_format="pandas"),
+        ["user_id", "hour_bucket"],
+        {"viewed": ("viewed", "max"), "bought": ("bought", "max")},
+    )
+
+    def diff(t: pa.Table) -> pa.Table:
+        keep = pc.and_(t["viewed"], pc.invert(t["bought"]))
+        return t.filter(keep).select(["user_id", "hour_bucket"])
+
+    out = _guarded(
+        both.map_batches(diff, batch_format="pyarrow"),
+        ["user_id", "hour_bucket"],
+    )
+    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+BROWSE_NO_BUY_SQL = """
+SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, hour_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
 
@@ -2010,4 +2312,10 @@ QUERIES: dict[str, tuple] = {
     "events_value_percentiles": (events_value_percentiles, EVENTS_PERCENTILES_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_NO_ORDERS_SQL),
+    "events_prev_gap": (events_prev_gap, EVENTS_PREV_GAP_SQL),
+    "orders_cum_spend": (orders_cum_spend, ORDERS_CUM_SPEND_SQL),
+    "orders_price_rank": (orders_price_rank, ORDERS_PRICE_RANK_SQL),
+    "events_rolling_max": (events_rolling_max, EVENTS_ROLLING_MAX_SQL),
+    "lineitem_urgent_semi": (lineitem_urgent_semi, LINEITEM_SEMI_SQL),
+    "browse_no_buy_hours": (browse_no_buy_hours, BROWSE_NO_BUY_SQL),
 }
