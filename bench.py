@@ -369,6 +369,9 @@ BENCH_QUERIES = [
     "events_rolling_max",
     "lineitem_urgent_semi",
     "browse_no_buy_hours",
+    "curation_rebalance_langs",
+    "docs_pack_bins",
+    "mixture_interleave",
 ]
 
 

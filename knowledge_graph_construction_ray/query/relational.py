@@ -2256,6 +2256,178 @@ ORDER BY user_id, hour_bucket
 
 
 # ---------------------------------------------------------------------------
+# Training-data MIXING family: the operators that turn a curated corpus
+# into a training mixture — language rebalancing, fixed-token-budget
+# sequence packing, and deterministic weight-proportional interleaving.
+# ---------------------------------------------------------------------------
+
+
+def curation_rebalance_langs(sf_dir: str):
+    """Mixture rebalancing: downsample over-represented languages to the
+    MEDIAN per-language count, keeping a seeded deterministic subset
+    (hash-priority, engine-portable).  Pass 1 computes the tiny per-lang
+    histogram (combiner + driver sum — a handful of rows); pass 2 is a
+    per-stratum top-cap via ``grouped_topk``, which never all-to-alls:
+    each block emits its own per-lang head and the ≤ blocks×langs×cap
+    union reduces locally.  Under-represented languages pass through
+    whole (top-cap of fewer than cap rows)."""
+    from ..functions.groupby import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def lang_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["lang"].value_counts()
+        return pd.DataFrame({"lang": vc.index, "n": vc.to_numpy(np.int64)})
+
+    counts = (
+        ds.map_batches(lang_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)["n"]
+        .sum()
+    )
+    n = np.sort(counts["n"].to_numpy(np.int64))
+    cap = int(n[(len(n) - 1) // 2])  # quantile_disc(0.5): lower median element
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            priority=_split_hash(df["doc_id"].to_numpy(np.int64), 2**32)
+        )
+
+    kept = grouped_topk(
+        ds.map_batches(prio, batch_format="pandas"),
+        ["lang"],
+        ["priority", "doc_id"],
+        cap,
+        ascending=True,
+    )
+    return (
+        kept[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+REBALANCE_LANGS_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+cap AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS c FROM counts),
+pr AS (SELECT doc_id, lang,
+              ((((doc_id % 100000007) + 100000007) % 100000007)
+                 * 2654435761) % 4294967296 AS priority
+       FROM documents)
+SELECT doc_id, lang FROM pr, cap
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) <= c
+ORDER BY doc_id
+"""
+
+
+PACK_BUDGET_TOKENS = 512
+
+
+def docs_pack_bins(sf_dir: str):
+    """Sequence packing: assign each document to a fixed-token-budget bin
+    within its source shard — bin = floor(cumulative tokens BEFORE the
+    doc / budget), the deterministic concat-and-chop packing every
+    pretraining loader performs.  Token counts are computed per batch
+    (same whitespace tokenizer as ``text_tokens``); the running sum is
+    the per-bucket int64 cumsum-minus-segment-base kernel from
+    ``orders_cum_spend`` — one co-locating exchange keyed on source."""
+    from ..functions.groupby import bucketed_groups
+    from ..stages.textstats import _WS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "source": df["source"],
+                "n_tok": df["text"].str.strip().str.split(_WS).str.len()
+                .astype("int64"),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        nt = df["n_tok"].to_numpy(np.int64)
+        cs = np.cumsum(nt)
+        starts, lens, _ = _segments(df["source"])
+        base = np.repeat(np.r_[0, cs[:-1]][starts], lens)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "bin_id": (cs - base - nt) // PACK_BUDGET_TOKENS,
+            }
+        )
+
+    return (
+        bucketed_groups(
+            ds.map_batches(tok, batch_format="pandas"), ["source"], pack
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+PACK_BINS_SQL = r"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(array_length(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tok
+           FROM documents)
+SELECT doc_id, source,
+       CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok) // 512
+            AS BIGINT) AS bin_id
+FROM t ORDER BY doc_id
+"""
+
+
+def mixture_interleave(sf_dir: str):
+    """Weight-proportional deterministic interleave (stride scheduling):
+    each source gets an integer weight, every doc a virtual time
+    rn_within_source × (L / w) with L = lcm(weights) — ordering by
+    virtual time emits sources in weight proportion with no randomness.
+    The per-source row numbers come from one co-locating exchange; the
+    head of the schedule is a ``local_topk`` (per-block head + tiny
+    driver reduce), never a global sort."""
+    from ..functions.groupby import bucketed_groups, local_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def vtime(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        _, _, pos = _segments(df["source"])
+        w = df["source"].str.slice(3).astype("int64") % 3 + 1  # weights 1..3
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "vt": (pos + 1) * (6 // w.to_numpy()),  # L = lcm(1,2,3) = 6
+            }
+        )
+
+    head = local_topk(
+        bucketed_groups(ds, ["source"], vtime),
+        ["vt", "source", "doc_id"],
+        100,
+        descending=[False, False, False],
+    )
+    head = head.reset_index(drop=True)
+    head["position"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    return head[["position", "doc_id", "source"]]
+
+
+MIXTURE_INTERLEAVE_SQL = """
+WITH t AS (SELECT doc_id, source,
+                  1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn * (6 // w), source, doc_id)
+            AS BIGINT) AS position,
+       doc_id, source
+FROM t ORDER BY position LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
 
@@ -2318,4 +2490,7 @@ QUERIES: dict[str, tuple] = {
     "events_rolling_max": (events_rolling_max, EVENTS_ROLLING_MAX_SQL),
     "lineitem_urgent_semi": (lineitem_urgent_semi, LINEITEM_SEMI_SQL),
     "browse_no_buy_hours": (browse_no_buy_hours, BROWSE_NO_BUY_SQL),
+    "curation_rebalance_langs": (curation_rebalance_langs, REBALANCE_LANGS_SQL),
+    "docs_pack_bins": (docs_pack_bins, PACK_BINS_SQL),
+    "mixture_interleave": (mixture_interleave, MIXTURE_INTERLEAVE_SQL),
 }

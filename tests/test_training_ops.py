@@ -309,3 +309,62 @@ def test_contamination_excludes_eval_docs(ray_session):
     # determinism across runs (broadcast set + vectorized isin)
     again = contamination_check(SF_DIR)
     pd.testing.assert_frame_equal(out, again)
+
+
+# ---------------------------------------------------------------------------
+# Mixing family: rebalance / pack / interleave invariants
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_caps_at_median_and_passes_small_langs(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        curation_rebalance_langs,
+    )
+
+    full = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    counts = full["lang"].value_counts()
+    cap = int(np.sort(counts.to_numpy())[(len(counts) - 1) // 2])
+    out = curation_rebalance_langs(SF_DIR)
+    kept = out["lang"].value_counts()
+    for lang, n in counts.items():
+        assert kept.get(lang, 0) == min(n, cap)  # capped, small langs whole
+    # kept docs are a subset of the corpus and deterministic
+    assert set(out["doc_id"]).issubset(set(full["doc_id"]))
+    pd.testing.assert_frame_equal(out, curation_rebalance_langs(SF_DIR))
+
+
+def test_pack_bins_budget_and_monotonic(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        PACK_BUDGET_TOKENS,
+        docs_pack_bins,
+    )
+
+    out = docs_pack_bins(SF_DIR)
+    full = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    assert len(out) == len(full)  # every doc gets a bin
+    # within a source, bin ids are non-decreasing in doc order and start at 0
+    for _, g in out.sort_values("doc_id").groupby("source"):
+        b = g["bin_id"].to_numpy()
+        assert b[0] == 0
+        assert (np.diff(b) >= 0).all()
+
+
+def test_mixture_interleave_weight_proportions(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        mixture_interleave,
+    )
+
+    out = mixture_interleave(SF_DIR)
+    assert list(out["position"]) == list(range(1, len(out) + 1))
+    # stride scheduling ⇒ source emission counts in the head track the
+    # integer weights 1 + (suffix % 3): a weight-3 source appears ~3× a
+    # weight-1 source (exact within ±1 cycle granularity)
+    w = out["source"].str.slice(3).astype(int) % 3 + 1
+    per = pd.DataFrame({"source": out["source"], "w": w}).groupby(
+        "source"
+    ).agg(n=("w", "size"), w=("w", "first"))
+    ratio = per["n"] / per["w"]
+    assert ratio.max() - ratio.min() <= 1.0
+    pd.testing.assert_frame_equal(out, mixture_interleave(SF_DIR))
