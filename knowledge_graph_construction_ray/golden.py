@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -127,6 +128,26 @@ def hll_users_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def cms_terms_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential Count-Min sketch over the whole corpus vocabulary,
+    probed at the fixed term list — integer cell addition is
+    commutative/associative, so the distributed partial-sum merge must
+    reproduce these estimates EXACTLY (same contract as the HLL register
+    max)."""
+    from .stages.sketch import CMS_PROBE_TERMS, cms_query, cms_sequential
+
+    df = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    vc = df["text"].str.split().explode().dropna().value_counts()
+    table = cms_sequential(vc.index.to_numpy(), vc.to_numpy(np.int64))
+    probes = np.asarray(CMS_PROBE_TERMS, dtype=object)
+    return pd.DataFrame(
+        {
+            "term": probes,
+            "est_count": pd.Series(cms_query(table, probes), dtype="int64"),
+        }
+    )
+
+
 def fixture_triples_golden() -> pa.Table:
     """The KG reference oracle's triples over the deterministic fixture
     corpus (oracle.py — the same independent implementation behind the
@@ -223,6 +244,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(hll_users_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"events_users_hll_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(cms_terms_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"corpus_cms_terms_{tag}.parquet"),
     )
     _atomic_write(
         fixture_triples_golden(),

@@ -2427,6 +2427,94 @@ FROM t ORDER BY position LIMIT 100
 """
 
 
+def corpus_cms_term_counts(sf_dir: str):
+    """Count-Min-sketched term frequencies (stages/sketch.py): per-batch
+    (cell, cnt) partials from the batch's local term counts, ONE bucketed
+    sum exchange bounded by d·w = 16,384 rows at ANY corpus size, probe
+    on the driver.  This is the scale path for point frequency queries —
+    no term-keyed exchange, no vocabulary materialization; the exact
+    companion (``corpus_top_terms``) shuffles distinct terms.  Oracle:
+    sequential-sketch golden parquet (cell addition is commutative, so
+    the distributed merge is value-identical); the ≥-truth one-sided
+    error bound is pytest-checked."""
+    from ..functions.groupby import bucketed_agg
+    from ..stages.sketch import (
+        CMS_PROBE_TERMS,
+        cms_cells,
+        cms_query,
+        cms_table_from_cells,
+    )
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        return cms_cells(vc.index.to_numpy(), vc.to_numpy(np.int64))
+
+    small = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["cell"],
+        {"cnt": ("cnt", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    table = cms_table_from_cells(small)
+    probes = np.asarray(CMS_PROBE_TERMS, dtype=object)
+    return pd.DataFrame(
+        {
+            "term": probes,
+            "est_count": pd.Series(cms_query(table, probes), dtype="int64"),
+        }
+    )
+
+
+CMS_TERMS_SQL = """
+SELECT term, est_count
+FROM read_parquet('/tmp/kg_oracle_golden/corpus_cms_terms_sf0.01.parquet')
+"""
+
+
+def events_type_quantiles(sf_dir: str):
+    """Grouped EXACT percentiles at LOW group cardinality: p50/p90 of
+    value per event_type via one co-locating exchange + a per-bucket
+    sort-and-select kernel (quantile_disc convention: the element at rank
+    ceil(p·n)).  Selection, not arithmetic ⇒ doubles are exact.  The
+    ungrouped scale path (histogram rank location, no sort) is
+    ``events_value_percentiles``; at HIGH group cardinality the same
+    histogram method would run per bucket."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value"], kind="mergesort")
+        starts, lens, _ = _segments(df["event_type"])
+        v = df["value"].to_numpy()
+        rows = []
+        for s, n in zip(starts, lens):
+            rows.append(
+                (
+                    df["event_type"].iat[s],
+                    v[s + int(np.ceil(0.5 * n)) - 1],
+                    v[s + int(np.ceil(0.9 * n)) - 1],
+                )
+            )
+        return pd.DataFrame(rows, columns=["event_type", "p50", "p90"])
+
+    return (
+        bucketed_groups(ds, ["event_type"], kernel)
+        .sort("event_type")
+        .to_pandas()
+    )
+
+
+EVENTS_TYPE_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2493,4 +2581,6 @@ QUERIES: dict[str, tuple] = {
     "curation_rebalance_langs": (curation_rebalance_langs, REBALANCE_LANGS_SQL),
     "docs_pack_bins": (docs_pack_bins, PACK_BINS_SQL),
     "mixture_interleave": (mixture_interleave, MIXTURE_INTERLEAVE_SQL),
+    "corpus_cms_term_counts": (corpus_cms_term_counts, CMS_TERMS_SQL),
+    "events_type_quantiles": (events_type_quantiles, EVENTS_TYPE_QUANTILES_SQL),
 }

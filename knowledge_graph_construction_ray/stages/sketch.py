@@ -124,3 +124,72 @@ def hll_cardinality(ds, col: str, p: int = P_DEFAULT) -> int:
     if not small.empty:
         regs[small["register"].to_numpy(np.int64)] = small["rho"].to_numpy(np.int64)
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point frequency queries without a term-keyed exchange
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # rows (error probability (1/2)^d per probe)
+CMS_W = 4096  # columns (over-estimate bound ~ 2·N/w per probe)
+_CMS_SEEDS = np.array(
+    [0xA076_1D64_78BD_642F, 0xE703_7ED1_A0B4_28DB,
+     0x8EBC_6AF0_9C88_C6E3, 0x5896_55D8_9487_AEAC],
+    dtype=np.uint64,
+)  # public xxh/wyhash-family odd constants, one per row
+
+
+def cms_positions(tokens, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, len(tokens)) column positions — one base hash per token, one
+    cheap xor-finalize per row (d is 4; the loop is over ROWS, every
+    elementwise op is vectorized over tokens)."""
+    h = hash_values(tokens)
+    return np.stack(
+        [
+            (_splitmix64(h ^ _CMS_SEEDS[r]) % np.uint64(w)).astype(np.int64)
+            for r in range(d)
+        ]
+    )
+
+
+def cms_cells(tokens, counts, d: int = CMS_D, w: int = CMS_W) -> pd.DataFrame:
+    """One batch's (cell, cnt) partial rows: cell = row·w + column.
+    Integer addition is commutative/associative, so summing these partials
+    across any batch partitioning reproduces the sequential sketch
+    EXACTLY — the same golden-oracle contract as the HLL register max."""
+    if len(tokens) == 0:
+        return pd.DataFrame(
+            {"cell": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+        )
+    pos = cms_positions(tokens, d, w)
+    cnt = np.asarray(counts, dtype=np.int64)
+    cells = (np.arange(d, dtype=np.int64)[:, None] * w + pos).ravel()
+    weights = np.broadcast_to(cnt, (d, len(cnt))).ravel()
+    acc = np.bincount(cells, weights=weights, minlength=d * w).astype(np.int64)
+    nz = np.flatnonzero(acc)
+    return pd.DataFrame({"cell": nz, "cnt": acc[nz]})
+
+
+def cms_table_from_cells(df: pd.DataFrame, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    table = np.zeros(d * w, dtype=np.int64)
+    if len(df):
+        table[df["cell"].to_numpy(np.int64)] = df["cnt"].to_numpy(np.int64)
+    return table.reshape(d, w)
+
+
+def cms_query(table: np.ndarray, probes, w: int = CMS_W) -> np.ndarray:
+    """Estimated counts (min over rows) — never under-estimates."""
+    pos = cms_positions(probes, table.shape[0], w)
+    return table[np.arange(table.shape[0])[:, None], pos].min(axis=0)
+
+
+def cms_sequential(tokens, counts, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """Single-process sketch — the golden-oracle path."""
+    return cms_table_from_cells(cms_cells(tokens, counts, d, w), d, w)
+
+
+# Fixed probe vocabulary for the CMS demo query + its golden oracle (one
+# deliberately-absent term exercises the no-false-negative floor of 0).
+CMS_PROBE_TERMS = (
+    "join", "hash", "scan", "batch", "spark", "window", "zzz_absent_term",
+)

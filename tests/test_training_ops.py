@@ -368,3 +368,100 @@ def test_mixture_interleave_weight_proportions(ray_session):
     ratio = per["n"] / per["w"]
     assert ratio.max() - ratio.min() <= 1.0
     pd.testing.assert_frame_equal(out, mixture_interleave(SF_DIR))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_bounded_overestimate():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        CMS_W,
+        cms_query,
+        cms_sequential,
+    )
+
+    rng = np.random.default_rng(11)
+    # zipf-ish counts over 50k distinct terms — heavier than CMS_W cells
+    terms = np.array([f"term-{i}" for i in range(50_000)], dtype=object)
+    counts = (rng.zipf(1.3, size=50_000) % 1000 + 1).astype(np.int64)
+    table = cms_sequential(terms, counts)
+    est = cms_query(table, terms)
+    assert (est >= counts).all()  # one-sided error: never undercounts
+    # standard CM bound: err ≤ e·N/w with prob 1-(1/2)^d per probe;
+    # assert the 99th-percentile error is within 2·N/w (loose, stable)
+    err = est - counts
+    assert np.quantile(err, 0.99) <= 2 * counts.sum() / CMS_W
+
+
+def test_cms_cell_merge_is_associative():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        cms_cells,
+        cms_sequential,
+        cms_table_from_cells,
+    )
+
+    terms = np.array([f"t{i}" for i in range(10_000)], dtype=object)
+    counts = np.arange(1, 10_001, dtype=np.int64)
+    whole = cms_sequential(terms, counts)
+    parts = pd.concat(
+        [
+            cms_cells(terms[:3000], counts[:3000]),
+            cms_cells(terms[3000:7000], counts[3000:7000]),
+            cms_cells(terms[7000:], counts[7000:]),
+        ]
+    )
+    merged = cms_table_from_cells(
+        parts.groupby("cell", as_index=False)["cnt"].sum()
+    )
+    assert np.array_equal(whole, merged)
+
+
+def test_cms_absent_term_is_zero():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        cms_query,
+        cms_sequential,
+    )
+
+    # a term never inserted can only collide upward from 0; with a small
+    # vocabulary the sketch is exact and the absent probe must return 0
+    table = cms_sequential(
+        np.array(["a", "b", "c"], dtype=object), np.array([5, 7, 9])
+    )
+    est = cms_query(table, np.array(["a", "b", "c", "never"], dtype=object))
+    assert list(est) == [5, 7, 9, 0]
+
+
+def test_cms_empty_batch_keeps_schema():
+    from knowledge_graph_construction_ray.stages.sketch import cms_cells
+
+    out = cms_cells(np.array([], dtype=object), np.array([], dtype=np.int64))
+    assert list(out.columns) == ["cell", "cnt"]
+    assert len(out) == 0
+
+
+def test_cms_distributed_query_matches_sequential_golden(ray_session):
+    from knowledge_graph_construction_ray.golden import cms_terms_golden
+    from knowledge_graph_construction_ray.query.relational import (
+        corpus_cms_term_counts,
+    )
+
+    out = corpus_cms_term_counts(SF_DIR).reset_index(drop=True)
+    gold = cms_terms_golden(SF_DIR).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, gold)
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        EVENTS_TYPE_QUANTILES_SQL,
+        events_type_quantiles,
+    )
+
+    out = events_type_quantiles(SF_DIR).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    gold = con.execute(EVENTS_TYPE_QUANTILES_SQL).df()
+    pd.testing.assert_frame_equal(out, gold, check_dtype=False)
