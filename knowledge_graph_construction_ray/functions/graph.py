@@ -1,0 +1,256 @@
+"""Distributed connected components over an edge Dataset.
+
+Min-label propagation with POINTER JUMPING: every iteration runs three
+bucketed all-to-all exchanges over tables bounded by |V| + 2|E| rows —
+
+1. *propagate*: co-locate each node's current label with the edges that
+   leave it (hash bucket on the source key), emit one per-bucket
+   partial-min candidate label per destination;
+2. *combine*: co-locate candidates with the node's own label, take the
+   min → ``new``;
+3. *jump*: label[v] ← label[label[v]] (one more co-locating exchange),
+   which halves the pointer-chain depth every round, so convergence is
+   O(log(diameter)) rounds instead of O(diameter) for plain hash-min —
+   the difference between 40 and 6 exchange rounds on a path graph, and
+   the standard trick from the MapReduce CC literature (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond").
+
+Per-iteration state is ONLY the (node, label) table — |V| rows, hash
+partitioned; it is re-``materialize()``d each round (the documented
+exception to no-mid-pipeline-materialization: without it, the lazy
+lineage would re-execute every prior round per iteration, turning
+O(log n) rounds into O(log² n) work).  Edges are materialized once,
+bidirectional and deduped, and re-streamed from the object store each
+round.  Nothing ever lands on the driver except the scalar
+changed-count used for the convergence test, so the loop holds at any
+|V| that fits the cluster's aggregate store.
+
+The kernel inside every bucket is a vectorized pandas merge/groupby —
+no per-node or per-edge Python.  Labels are monotone non-increasing and
+bounded below by the component minimum, so the fixpoint (changed == 0)
+is exactly "every node carries its component's minimum node id".
+
+No reference counterpart (the reference's only graph state is the
+Neo4j sink); this is the custom-operator family from the build brief —
+the same union-find semantics as stages/link.py canonicalization, but
+for arbitrary edge tables at cluster scale rather than the driver-side
+alias forest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .groupby import hash_bucket
+
+_SCHEMA = ["key", "a", "b", "role"]
+
+
+def _frame(key, a, b, role) -> pd.DataFrame:
+    """Index-free builder: everything through numpy (a pandas Series
+    argument would align on its leftover index and NaN-fill), scalars
+    broadcast to the key length."""
+    k = np.asarray(key, dtype=np.int64)
+
+    def col(x, dtype):
+        arr = np.asarray(getattr(x, "to_numpy", lambda: x)(), dtype=dtype)
+        return np.broadcast_to(arr, k.shape).copy() if arr.ndim == 0 else arr
+
+    return pd.DataFrame(
+        {
+            "key": k,
+            "a": col(a, np.int64),
+            "b": col(b, np.int64),
+            "role": col(role, np.int8),
+        }
+    )
+
+
+def _bucket_exchange(ds, kernel, num_buckets: int):
+    """One co-locating exchange: hash-bucket on ``key``, sort-shuffle,
+    run ``kernel`` once per bucket (vectorized)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_bucket=hash_bucket(df, ["key"], num_buckets))
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(df.drop(columns=["_bucket"]))
+        if out.empty:  # empty Ray blocks drop schema downstream — keep it
+            return _frame([], [], [], [])
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .sort("_bucket")
+        .map_batches(run_bucket, batch_format="pandas")
+    )
+
+
+def undirect_edges(edges_ds, src: str = "src", dst: str = "dst"):
+    """Both directions, self-loops dropped, exact-deduped (bucketed, so
+    the dedup exchange carries at most one row per distinct directed
+    edge out of each combiner)."""
+    from .groupby import bucketed_agg
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src].to_numpy(np.int64)
+        d = df[dst].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([s, d]),
+                "dst": np.concatenate([d, s]),
+            }
+        ).drop_duplicates()
+
+    return bucketed_agg(
+        edges_ds.map_batches(both, batch_format="pandas"),
+        ["src", "dst"],
+        {"_n": ("src", "size")},
+    ).select_columns(["src", "dst"])
+
+
+def _local_components(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
+    """Driver-side vectorized min-label propagation with pointer
+    jumping (numpy only — no per-node Python).  ``np.unique`` sorts
+    ascending, so index order == id order and the index-space minimum
+    maps back to the id-space minimum."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    if not len(nodes):
+        return pd.DataFrame({"node": nodes, "component": nodes})
+    e_src, e_dst = inv[: len(src)], inv[len(src) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = label.copy()
+        np.minimum.at(label, e_dst, label[e_src])
+        np.minimum.at(label, e_src, label[e_dst])
+        while True:  # full path compression
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, old):
+            break
+    return pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+
+def connected_components(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int = 16,
+    max_iters: int = 64,
+    local_threshold: int = 5_000_000,
+    force_distributed: bool = False,
+) -> "pd.DataFrame | object":
+    """Label every node with the MINIMUM node id of its component.
+
+    Returns a Ray Dataset of (node int64, component int64).  Raises if
+    the fixpoint is not reached within ``max_iters`` rounds (pointer
+    jumping makes that bound generous: 64 covers diameters up to 2^64).
+
+    Size dispatch (same pattern as stages/embed.py::cosine_pairs): at or
+    below ``local_threshold`` deduped directed edges the graph is pulled
+    to the driver (bounded: 5M edges ≈ 80 MB) and solved with the
+    vectorized numpy kernel — the distributed loop's per-round exchange
+    overhead (3 sort-shuffles × O(log d) rounds) only pays for itself
+    when |V|+|E| exceeds a single worker's memory.  ``force_distributed``
+    exercises the scale path in tests regardless of size.
+    """
+    import ray.data as rd
+
+    edges = undirect_edges(edges_ds, src, dst).materialize()
+
+    if not force_distributed and edges.count() <= local_threshold:
+        df = edges.to_pandas()
+        if df.empty:
+            out = pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")}
+            )
+        else:
+            out = _local_components(
+                df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+            )
+        return rd.from_pandas(out)
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["src"].to_numpy(np.int64))
+        return _frame(u, u, u, 0)
+
+    # per-block distinct → one exchange dedups nodes and seeds label=self
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False).first()
+        return _frame(g["key"], g["key"], g["key"], 0)
+
+    labels = _bucket_exchange(
+        edges.map_batches(init_labels, batch_format="pandas"), seed, num_buckets
+    ).materialize()
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _frame(df["src"], df["dst"], 0, 1)
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == 0]
+        out = [_frame(lab["key"], lab["a"], 0, 0)]  # labels pass through
+        e = df[df["role"] == 1]
+        if len(e) and len(lab):
+            m = e.merge(
+                lab[["key", "a"]].rename(columns={"a": "_lbl"}), on="key", how="inner"
+            )
+            # partial min per destination WITHIN this bucket — the combine
+            # exchange sees ≤ num_buckets candidate rows per node
+            cand = m.groupby("a", as_index=False)["_lbl"].min()
+            out.append(_frame(cand["a"], cand["_lbl"], 0, 1))
+        return pd.concat(out, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.groupby("key", as_index=False)["a"].min()
+        old = df.loc[df["role"] == 0, ["key", "a"]].rename(columns={"a": "_old"})
+        g = new.merge(old, on="key", how="inner")
+        # emit the jump exchange's two roles: the label table keyed by
+        # node (role 0) and one lookup request keyed by the new label
+        # (role 1, carrying node + old label for the change test)
+        return pd.concat(
+            [_frame(g["key"], g["a"], 0, 0), _frame(g["a"], g["key"], g["_old"], 1)],
+            ignore_index=True,
+        )
+
+    def jump(df: pd.DataFrame) -> pd.DataFrame:
+        tab = df.loc[df["role"] == 0, ["key", "a"]].rename(columns={"a": "_t"})
+        req = df[df["role"] == 1]
+        m = req.merge(tab, on="key", how="left")
+        # a label always names a live node, so _t is never null; the
+        # fillna is belt-and-braces against an empty bucket slice
+        lbl = m["_t"].fillna(m["key"]).astype(np.int64)
+        return _frame(m["a"], lbl, (lbl.to_numpy() != m["b"].to_numpy()).astype(np.int64), 0)
+
+    for _ in range(max_iters):
+        stream = labels.union(edge_tagged)
+        cand = _bucket_exchange(stream, propagate, num_buckets)
+        staged = _bucket_exchange(cand, combine, num_buckets)
+        new_labels = _bucket_exchange(staged, jump, num_buckets).materialize()
+        changed = new_labels.sum("b")
+        labels = (
+            new_labels.map_batches(
+                lambda df: _frame(df["key"], df["a"], 0, 0), batch_format="pandas"
+            ).materialize()
+        )
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["key"].astype("int64"),
+                "component": df["a"].astype("int64"),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -2515,6 +2515,61 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def graph_components(sf_dir: str):
+    """Distributed connected components (functions/graph.py: min-label
+    propagation + pointer jumping, three bucketed exchanges per round,
+    O(log diameter) rounds, per-round state = the |V|-row label table)
+    over a deterministic part-co-occurrence graph: consecutive distinct
+    parts per order (chain, not clique — |E| stays linear in lineitem),
+    hash-sparsified to ~2% with int64 modular arithmetic that is
+    identical in numpy and DuckDB BIGINT.  Oracle: recursive-CTE
+    min-label closure."""
+    from ..functions.graph import connected_components
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        starts, lens, pos = _segments(df["l_orderkey"])
+        p = df["l_partkey"].to_numpy(np.int64)
+        nxt = np.empty_like(p)
+        nxt[:-1] = p[1:]
+        last = pos == np.repeat(lens - 1, lens)  # segment tails have no LEAD
+        src, dst = p[~last], nxt[~last]
+        keep = ((src * 100003 + dst) % 1000003) % 100 < 2
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    return connected_components(edges).sort("node").to_pandas()
+
+
+GRAPH_COMPONENTS_SQL = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), chain AS (
+  SELECT l_partkey AS src,
+         LEAD(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS dst
+  FROM items
+), sel AS (
+  SELECT src, dst FROM chain
+  WHERE dst IS NOT NULL AND ((src*100003 + dst) % 1000003) % 100 < 2
+), ed AS (
+  SELECT src, dst FROM sel UNION SELECT dst, src FROM sel
+), nodes AS (SELECT DISTINCT src AS node FROM ed),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN ed e ON r.node = e.src
+  WHERE r.label < e.dst
+)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2583,4 +2638,5 @@ QUERIES: dict[str, tuple] = {
     "mixture_interleave": (mixture_interleave, MIXTURE_INTERLEAVE_SQL),
     "corpus_cms_term_counts": (corpus_cms_term_counts, CMS_TERMS_SQL),
     "events_type_quantiles": (events_type_quantiles, EVENTS_TYPE_QUANTILES_SQL),
+    "graph_components": (graph_components, GRAPH_COMPONENTS_SQL),
 }

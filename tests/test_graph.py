@@ -1,0 +1,126 @@
+"""Connected-components operator (functions/graph.py).
+
+Covers both dispatch arms: the driver-local vectorized numpy kernel and
+the distributed pointer-jumping loop (``force_distributed=True``), which
+must agree exactly.  The path-graph case is the pointer-jumping
+stress: a chain of length L converges in O(log L) rounds, so the
+``max_iters=8`` budget only passes if jumping actually compresses."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from knowledge_graph_construction_ray.functions.graph import (
+    _local_components,
+    connected_components,
+    undirect_edges,
+)
+
+
+def _edges(pairs):
+    if not pairs:
+        return rd.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")})
+        )
+    src, dst = zip(*pairs)
+    return rd.from_pandas(pd.DataFrame({"src": list(src), "dst": list(dst)}))
+
+
+def _solve(ds, **kw):
+    out = connected_components(ds, **kw).to_pandas()
+    if out.empty:  # empty Ray results drop their schema
+        out = out.reindex(columns=["node", "component"]).astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _expected(pairs):
+    """Independent brute-force closure over the node set."""
+    nodes = sorted({n for p in pairs for n in p})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to roots, then label with the min id per root
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    lab = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            lab[n] = m
+    return pd.DataFrame({"node": nodes, "component": [lab[n] for n in nodes]})
+
+
+CASES = {
+    "two_triangles_and_bridge": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)],
+    "self_loops_and_dups": [(5, 5), (1, 2), (2, 1), (1, 2), (7, 8)],
+    "star": [(100, i) for i in range(1, 9)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_local_matches_bruteforce(ray_session, name):
+    pairs = CASES[name]
+    got = _solve(_edges(pairs))
+    # self-loop-only nodes with no other edge are dropped with the loop
+    exp = _expected([p for p in pairs if p[0] != p[1]])
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_distributed_matches_local(ray_session, name):
+    pairs = CASES[name]
+    local = _solve(_edges(pairs))
+    dist = _solve(_edges(pairs), force_distributed=True, num_buckets=4)
+    pd.testing.assert_frame_equal(dist, local)
+
+
+def test_path_graph_pointer_jumping(ray_session):
+    """A 200-node chain has diameter 199; plain hash-min needs ~100
+    exchange rounds.  Pointer jumping must land it within 10."""
+    pairs = [(i, i + 1) for i in range(200)]
+    got = _solve(_edges(pairs), force_distributed=True, num_buckets=4, max_iters=10)
+    assert (got["component"] == 0).all()
+    assert len(got) == 201
+
+
+def test_empty_edges(ray_session):
+    got = _solve(_edges([]))
+    assert got.empty
+    assert list(got.columns) == ["node", "component"]
+
+
+def test_undirect_edges_dedupes(ray_session):
+    ds = _edges([(1, 2), (2, 1), (1, 2), (3, 3)])
+    df = undirect_edges(ds).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    exp = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+    pd.testing.assert_frame_equal(df, exp.astype({"src": "int64", "dst": "int64"}))
+
+
+def test_local_kernel_random_graphs():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = int(rng.integers(5, 120))
+        m = int(rng.integers(1, 4 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        keep = src != dst
+        pairs = list(zip(src[keep].tolist(), dst[keep].tolist()))
+        if not pairs:
+            continue
+        s = np.array([p[0] for p in pairs] + [p[1] for p in pairs], dtype=np.int64)
+        d = np.array([p[1] for p in pairs] + [p[0] for p in pairs], dtype=np.int64)
+        got = _local_components(s, d).reset_index(drop=True)
+        exp = _expected(pairs).astype("int64").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
