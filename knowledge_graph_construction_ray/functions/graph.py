@@ -68,8 +68,12 @@ def _frame(key, a, b, role) -> pd.DataFrame:
 
 
 def _bucket_exchange(ds, kernel, num_buckets: int):
-    """One co-locating exchange: hash-bucket on ``key``, sort-shuffle,
-    run ``kernel`` once per bucket (vectorized)."""
+    """One co-locating exchange: hash-bucket on ``key``, then
+    ``groupby('_bucket').map_groups`` — groupby's semantic contract (the
+    kernel sees ALL rows of a bucket in one call) is what a plain
+    ``sort('_bucket')`` + per-block map does NOT give once a bucket
+    outgrows one output block, and the combine/jump kernels below are
+    only correct over whole buckets."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_bucket=hash_bucket(df, ["key"], num_buckets))
@@ -82,8 +86,8 @@ def _bucket_exchange(ds, kernel, num_buckets: int):
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
-        .sort("_bucket")
-        .map_batches(run_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pandas")
     )
 
 
@@ -134,6 +138,135 @@ def _local_components(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
         if np.array_equal(label, old):
             break
     return pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+
+def _pairs_within_segments(seg: np.ndarray):
+    """Index pairs (i, j), i < j, within each run of equal ``seg`` values
+    (input must be sorted by ``seg``).  Pure index arithmetic — no per-
+    segment Python: for element ``i`` with ``f`` followers in its run,
+    emit ``f`` pairs (i, i+1..i+f)."""
+    n = len(seg)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(seg[1:], seg[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+    seg_end = np.repeat(starts + lens, lens)  # exclusive run end, per element
+    following = seg_end - np.arange(n) - 1
+    left = np.repeat(np.arange(n, dtype=np.int64), following)
+    cum = np.concatenate([[0], np.cumsum(following)])
+    within = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], following)
+    return left, left + 1 + within
+
+
+def triangle_counts(edges_ds, src: str = "src", dst: str = "dst", *, num_buckets: int = 16):
+    """Per-node triangle participation counts (nodes in ≥1 triangle).
+
+    Degree-ordered wedge counting — the standard skew-bounded plan
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer"): orient every undirected edge from its lower-rank to
+    its higher-rank endpoint where rank = (degree, id), so every node's
+    out-degree is O(sqrt(2|E|)) regardless of hub skew; enumerate each
+    node's out-neighbor pairs (wedges, sorted so v precedes w in rank);
+    a wedge (u; v, w) closes a triangle iff the oriented edge (v, w)
+    exists.  Every triangle is found exactly once, at its lowest-rank
+    corner.
+
+    Shuffle plan: two hash joins attach endpoint degrees, one coarse-
+    bucket exchange co-locates out-edges per source for vectorized pair
+    enumeration, one role-tagged coarse-bucket exchange on the (v, w)
+    pair probes wedges against the oriented edge set (NOT a native Arrow
+    join: the wedge kernel legitimately emits zero rows for degree-1
+    buckets, and ``map_groups`` output partitions that end up all-empty
+    lose their schema, which poisons Arrow join partitions that receive
+    no rows — "No match for FieldRef"), and one ``bucketed_agg`` sums
+    the three corner increments.  Wedge volume is Σ d_out² ≤ O(|E|^1.5)
+    — the algorithm's known bound — and no stage materializes on the
+    driver.
+    """
+    from .groupby import bucketed_agg, bucketed_groups
+
+    def _ren(ds, mapping):
+        # Dataset.rename_columns assumes Arrow blocks; these are pandas
+        return ds.map_batches(
+            lambda df: df.rename(columns=mapping), batch_format="pandas"
+        )
+
+    # Each JoinOperator spawns num_partitions aggregator actors and this
+    # plan chains THREE joins — size to the session like stages/dedupe.py
+    # ::_default_join_partitions or small (test) sessions deadlock.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    jp = max(2, min(num_buckets, cpus))
+
+    edges = undirect_edges(edges_ds, src, dst).materialize()
+    deg = bucketed_agg(edges, ["src"], {"deg": ("dst", "size")})
+
+    with_sdeg = _ren(
+        edges.join(deg, join_type="inner", num_partitions=jp, on=("src",)),
+        {"deg": "_ds"},
+    )
+    with_bdeg = _ren(
+        with_sdeg.join(
+            _ren(deg, {"src": "dst"}),
+            join_type="inner",
+            num_partitions=jp,
+            on=("dst",),
+        ),
+        {"deg": "_dd"},
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        ds_, dd = df["_ds"].to_numpy(np.int64), df["_dd"].to_numpy(np.int64)
+        s, d = df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+        keep = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        return pd.DataFrame({"src": s[keep], "dst": d[keep], "_dd": dd[keep]})
+
+    oriented = with_bdeg.map_batches(orient, batch_format="pandas").materialize()
+
+    _W_COLS = ("k1", "k2", "u", "role")
+
+    def _wframe(k1, k2, u, role) -> pd.DataFrame:
+        return pd.DataFrame(
+            dict(zip(_W_COLS, (np.asarray(x, dtype=np.int64) for x in (k1, k2, u, role))))
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # neighbors sorted by rank within each source so v precedes w
+        df = df.sort_values(["src", "_dd", "dst"], kind="mergesort")
+        u = df["src"].to_numpy(np.int64)
+        nb = df["dst"].to_numpy(np.int64)
+        li, ri = _pairs_within_segments(u)
+        return _wframe(nb[li], nb[ri], u[li], np.ones(len(li), np.int64))
+
+    wedge_ds = bucketed_groups(oriented, ["src"], wedges, num_buckets=num_buckets)
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return _wframe(df["src"], df["dst"], np.zeros(n, np.int64), np.zeros(n, np.int64))
+
+    tagged = wedge_ds.union(oriented.map_batches(edge_keys, batch_format="pandas"))
+
+    def close_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df.loc[df["role"] == 0, ["k1", "k2"]]
+        wd = df[df["role"] == 1]
+        m = wd.merge(ed, on=["k1", "k2"], how="inner")  # each match = one triangle
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [m[c].to_numpy(np.int64) for c in ("u", "k1", "k2")]
+                )
+            }
+        )
+
+    corner_ds = bucketed_groups(
+        tagged, ["k1", "k2"], close_and_count, num_buckets=num_buckets
+    )
+
+    return bucketed_agg(corner_ds, ["node"], {"n_triangles": ("node", "size")})
 
 
 def connected_components(

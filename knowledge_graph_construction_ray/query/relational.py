@@ -2570,6 +2570,55 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+def graph_triangles(sf_dir: str):
+    """Per-node triangle counts (functions/graph.py::triangle_counts —
+    degree-ordered wedge counting, skew-bounded out-degree O(sqrt 2|E|))
+    over the per-order part co-purchase clique graph: every pair of
+    distinct parts in one order is an edge.  Group size is bounded by
+    TPC-H's ≤7 lineitems/order, so the clique expansion stays linear;
+    triangles arise from orders with ≥3 parts plus cross-order overlaps.
+    Oracle: id-ordered three-way self-join (same triangle set — only the
+    corner each triangle is counted at differs)."""
+    from ..functions.graph import _pairs_within_segments, triangle_counts
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def clique_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        li_, ri_ = _pairs_within_segments(o)
+        return pd.DataFrame({"src": p[li_], "dst": p[ri_]})
+
+    edges = bucketed_groups(items, ["l_orderkey"], clique_edges)
+    return triangle_counts(edges).sort("node").to_pandas()
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT DISTINCT i1.l_partkey AS a, i2.l_partkey AS b
+  FROM items i1 JOIN items i2
+    ON i1.l_orderkey = i2.l_orderkey AND i1.l_partkey < i2.l_partkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+), corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2639,4 +2688,5 @@ QUERIES: dict[str, tuple] = {
     "corpus_cms_term_counts": (corpus_cms_term_counts, CMS_TERMS_SQL),
     "events_type_quantiles": (events_type_quantiles, EVENTS_TYPE_QUANTILES_SQL),
     "graph_components": (graph_components, GRAPH_COMPONENTS_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
 }

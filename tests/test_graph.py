@@ -108,6 +108,72 @@ def test_undirect_edges_dedupes(ray_session):
     pd.testing.assert_frame_equal(df, exp.astype({"src": "int64", "dst": "int64"}))
 
 
+def _tri_expected(pairs):
+    """Brute-force per-node triangle counts over the undirected simple
+    graph (self-loops/dup edges dropped)."""
+    import itertools
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                counts[n] = counts.get(n, 0) + 1
+    nodes = sorted(counts)
+    return pd.DataFrame(
+        {"node": nodes, "n_triangles": [counts[n] for n in nodes]}
+    ).astype("int64")
+
+
+def _tri_solve(pairs, **kw):
+    from knowledge_graph_construction_ray.functions.graph import triangle_counts
+
+    out = triangle_counts(_edges(pairs), **kw).to_pandas()
+    if out.empty:  # empty Ray results drop their schema
+        out = out.reindex(columns=["node", "n_triangles"]).astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_triangles_k4_plus_chain(ray_session):
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)]
+    got = _tri_solve(pairs, num_buckets=4)
+    pd.testing.assert_frame_equal(got, _tri_expected(pairs))
+
+
+def test_triangles_none(ray_session):
+    got = _tri_solve([(1, 2), (2, 3), (3, 4)])
+    assert got.empty
+
+
+def test_triangles_hub_skew(ray_session):
+    """A hub star plus a rim cycle: every rim edge closes a triangle at
+    the hub, and the hub's raw degree (12) far exceeds its oriented
+    out-degree — exercises the degree-ordering."""
+    rim = list(range(1, 13))
+    pairs = [(0, r) for r in rim] + [
+        (rim[i], rim[(i + 1) % len(rim)]) for i in range(len(rim))
+    ]
+    got = _tri_solve(pairs, num_buckets=4)
+    pd.testing.assert_frame_equal(got, _tri_expected(pairs))
+
+
+def test_triangles_random_graphs(ray_session):
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(n, 5 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        pairs = list(zip(src.tolist(), dst.tolist()))
+        got = _tri_solve(pairs, num_buckets=4)
+        pd.testing.assert_frame_equal(got, _tri_expected(pairs))
+
+
 def test_local_kernel_random_graphs():
     rng = np.random.default_rng(7)
     for trial in range(5):
