@@ -116,6 +116,155 @@ def undirect_edges(edges_ds, src: str = "src", dst: str = "dst"):
     ).select_columns(["src", "dst"])
 
 
+def pagerank(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 10,
+    scale: int = 10**9,
+    num_buckets: int = 16,
+):
+    """PageRank over a directed edge Dataset, in EXACT int64 arithmetic.
+
+    Ranks are integers in units of ``1/scale`` (init = ``scale`` per
+    node, damping 17/20 = 0.85, teleport 3·scale//20).  Every per-edge
+    share is ``(rank * 17) // (20 * outdeg)`` and every combine is an
+    int64 sum — associative and commutative, so the result is
+    bit-identical regardless of partitioning, block order or summation
+    order.  That determinism is the point: a sequential single-process
+    reimplementation (golden.py) reproduces the distributed result
+    hash-exactly, which no float formulation can promise.  Truncation
+    mass simply leaks (total mass decays slightly per round) —
+    deterministic and shared with the oracle.  Dangling (out-degree-0)
+    mass is redistributed uniformly: ``(17·Σr_dangling // 20) // N``
+    added to every node, with the scalar Σ computed by a streaming
+    ``Dataset.sum`` per round (the only driver-side value, like the
+    connected-components changed-count).
+
+    Overflow bound: N·scale·17 must stay under 2^63 — scale=1e9 is safe
+    to ~5·10^8 nodes; lower ``scale`` beyond that.
+
+    Per-iteration plan: ONE co-locating exchange on the source key
+    (rank+outdeg rows meet out-edges; per-bucket partial sums of
+    destination contributions), ONE exchange on the node key (partials
+    + node table → new rank), |V|-row state re-materialized per round
+    exactly as in :func:`connected_components`.  Duplicate directed
+    edges are exact-deduped first; self-loops are kept.
+
+    Returns a Ray Dataset of (node int64, rank_scaled int64).
+    """
+    from .groupby import bucketed_agg
+
+    teleport = (3 * scale) // 20
+
+    def dedup_dir(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src].to_numpy(np.int64),
+                "dst": df[dst].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    edges = bucketed_agg(
+        edges_ds.map_batches(dedup_dir, batch_format="pandas"),
+        ["src", "dst"],
+        {"_n": ("src", "size")},
+    ).select_columns(["src", "dst"]).materialize()
+
+    # node table with out-degree (sinks appear with outdeg 0)
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([s, d]),
+                "a": np.concatenate(
+                    [np.ones(len(s), np.int64), np.zeros(len(d), np.int64)]
+                ),
+            }
+        )
+
+    nodes = bucketed_agg(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["key"],
+        {"out": ("a", "sum")},
+    ).materialize()
+    n_nodes = nodes.count()
+    if not n_nodes:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="int64"),
+                    "rank_scaled": pd.Series(dtype="int64"),
+                }
+            )
+        )
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].to_numpy(np.int64)
+        return _frame(k, np.full(len(k), scale, np.int64), df["out"], 0)
+
+    # state rows: key=node, a=rank, b=outdeg, role=0
+    state = nodes.map_batches(seed, batch_format="pandas").materialize()
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _frame(df["src"], df["dst"], 0, 1)
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    def dangling_partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.loc[df["b"] == 0, "a"].to_numpy(np.int64)
+        return pd.DataFrame({"d": np.array([r.sum()], dtype=np.int64)})
+
+    for _ in range(iters):
+        dang = state.map_batches(dangling_partial, batch_format="pandas").sum("d")
+        dang_share = ((17 * int(dang)) // 20) // n_nodes
+
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["role"] == 0]
+            out = [lab[_SCHEMA]]
+            e = df[df["role"] == 1]
+            spread = lab[lab["b"] > 0]
+            if len(e) and len(spread):
+                share = (spread["a"].to_numpy(np.int64) * 17) // (
+                    20 * spread["b"].to_numpy(np.int64)
+                )
+                m = e.merge(
+                    pd.DataFrame(
+                        {"key": spread["key"].to_numpy(np.int64), "_s": share}
+                    ),
+                    on="key",
+                    how="inner",
+                )
+                # per-bucket partial sum per destination
+                part = m.groupby("a", as_index=False)["_s"].sum()
+                out.append(_frame(part["a"], part["_s"], 0, 1))
+            return pd.concat(out, ignore_index=True)
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            node_rows = df[df["role"] == 0]
+            contrib = df[df["role"] == 1].groupby("key", as_index=False)["a"].sum()
+            g = node_rows[["key", "b"]].merge(contrib, on="key", how="left")
+            c = g["a"].fillna(0).astype(np.int64).to_numpy()
+            return _frame(g["key"], teleport + c + dang_share, g["b"], 0)
+
+        staged = _bucket_exchange(state.union(edge_tagged), propagate, num_buckets)
+        state = _bucket_exchange(staged, combine, num_buckets).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["key"].astype("int64"),
+                "rank_scaled": df["a"].astype("int64"),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pandas")
+
+
 def _local_components(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
     """Driver-side vectorized min-label propagation with pointer
     jumping (numpy only — no per-node Python).  ``np.unique`` sorts

@@ -200,6 +200,65 @@ def media_features_golden() -> pa.Table:
     )
 
 
+def pagerank_golden_arrays(
+    src: np.ndarray, dst: np.ndarray, *, iters: int = 10, scale: int = 10**9
+) -> pd.DataFrame:
+    """Sequential integer PageRank — the same int64 formulas as
+    functions/graph.py::pagerank (share = r·17 // (20·out), teleport
+    3·scale//20, uniform dangling redistribution with double floor
+    division).  Integer sums are order-independent, so this matches the
+    distributed result bit-for-bit."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    if not n:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "rank_scaled": pd.Series(dtype="int64")}
+        )
+    es, ed = inv[: len(src)], inv[len(src) :]
+    uniq = np.unique(es * np.int64(n) + ed)  # exact dedup of directed edges
+    es, ed = uniq // n, uniq % n
+    out = np.zeros(n, np.int64)
+    np.add.at(out, es, 1)
+    r = np.full(n, scale, np.int64)
+    teleport = (3 * scale) // 20
+    for _ in range(iters):
+        dang_share = ((17 * int(r[out == 0].sum())) // 20) // n
+        share = np.zeros(n, np.int64)
+        nz = out > 0
+        share[nz] = (r[nz] * 17) // (20 * out[nz])
+        contrib = np.zeros(n, np.int64)
+        np.add.at(contrib, ed, share[es])
+        r = teleport + contrib + dang_share
+    return pd.DataFrame({"node": nodes, "rank_scaled": r})
+
+
+def _order_chain_edges(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Directed consecutive-distinct-part edges per order — sequentially,
+    mirroring query/relational.py::graph_pagerank's distributed builder."""
+    li = pd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    ).drop_duplicates()
+    li = li.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+    o = li["l_orderkey"].to_numpy(np.int64)
+    p = li["l_partkey"].to_numpy(np.int64)
+    same = o[:-1] == o[1:]
+    return p[:-1][same], p[1:][same]
+
+
+# Iterations for the graph_pagerank QUERY (both sides): 5 keeps the
+# driver's sf0.01 gate wall at ~20 s — the per-round cost is two shuffle
+# barriers of pure coordination at toy scale, not data volume.
+PAGERANK_QUERY_ITERS = 5
+
+
+def pagerank_golden(sf_dir: str) -> pd.DataFrame:
+    src, dst = _order_chain_edges(sf_dir)
+    return pagerank_golden_arrays(src, dst, iters=PAGERANK_QUERY_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -260,6 +319,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         media_features_golden(),
         os.path.join(GOLDEN_DIR, "media_features.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(pagerank_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"graph_pagerank_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

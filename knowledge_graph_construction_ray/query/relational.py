@@ -2619,6 +2619,44 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node ORDER BY node
 """
 
 
+def graph_pagerank(sf_dir: str):
+    """Integer-arithmetic PageRank (functions/graph.py::pagerank — int64
+    shares/sums are order-independent, so the distributed result is
+    bit-identical to the sequential golden) over the DIRECTED
+    consecutive-distinct-part chain per order.  Oracle: golden parquet
+    from golden.py::pagerank_golden (same formulas, one process)."""
+    from ..functions.graph import pagerank
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        same = o[:-1] == o[1:]
+        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
+
+    from ..golden import PAGERANK_QUERY_ITERS
+
+    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    return (
+        pagerank(edges, iters=PAGERANK_QUERY_ITERS, num_buckets=8)
+        .sort("node")
+        .to_pandas()
+    )
+
+
+GRAPH_PAGERANK_SQL = """
+SELECT node, rank_scaled
+FROM read_parquet('/tmp/kg_oracle_golden/graph_pagerank_sf0.01.parquet')
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2689,4 +2727,5 @@ QUERIES: dict[str, tuple] = {
     "events_type_quantiles": (events_type_quantiles, EVENTS_TYPE_QUANTILES_SQL),
     "graph_components": (graph_components, GRAPH_COMPONENTS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
 }

@@ -174,6 +174,50 @@ def test_triangles_random_graphs(ray_session):
         pd.testing.assert_frame_equal(got, _tri_expected(pairs))
 
 
+def test_pagerank_matches_sequential_golden(ray_session):
+    """Distributed integer PageRank must be BIT-identical to the
+    sequential golden — the determinism claim the int64 formulation
+    exists for.  Graph includes a sink, a self-loop, duplicate edges
+    and an isolated 2-cycle."""
+    from knowledge_graph_construction_ray.functions.graph import pagerank
+    from knowledge_graph_construction_ray.golden import pagerank_golden_arrays
+
+    src = np.array([1, 1, 2, 3, 3, 3, 5, 1, 7, 8])
+    dst = np.array([2, 3, 4, 4, 3, 1, 5, 2, 8, 7])
+    ds = _edges(list(zip(src.tolist(), dst.tolist())))
+    for nb in (3, 16):
+        got = (
+            pagerank(ds, num_buckets=nb)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        exp = pagerank_golden_arrays(src, dst).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pagerank_mass_and_order(ray_session):
+    """Rank mass stays near N·scale (truncation only leaks downward) and
+    the hub of a star out-ranks the leaves."""
+    from knowledge_graph_construction_ray.functions.graph import pagerank
+
+    pairs = [(i, 0) for i in range(1, 9)]  # all leaves point at the hub
+    out = pagerank(_edges(pairs), num_buckets=4).to_pandas()
+    total = out["rank_scaled"].sum()
+    n, scale = len(out), 10**9
+    assert total <= n * scale
+    assert total > int(n * scale * 0.95)
+    hub = out.loc[out["node"] == 0, "rank_scaled"].iloc[0]
+    assert (hub > out.loc[out["node"] != 0, "rank_scaled"]).all()
+
+
+def test_pagerank_empty(ray_session):
+    from knowledge_graph_construction_ray.functions.graph import pagerank
+
+    out = pagerank(_edges([])).to_pandas()
+    assert out.empty
+
+
 def test_local_kernel_random_graphs():
     rng = np.random.default_rng(7)
     for trial in range(5):
