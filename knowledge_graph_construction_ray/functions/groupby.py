@@ -80,6 +80,77 @@ def bucketed_agg(
     )
 
 
+def rollup_agg(
+    ds,
+    keys: list[str],
+    spec: Mapping[str, tuple[str, str]],
+    *,
+    num_buckets: int = 64,
+    all_token: str = "ALL",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: one result row set per key
+    PREFIX, from the full key list down to the grand total.
+
+    The finest level is a :func:`bucketed_agg` over the raw stream; every
+    coarser level RE-AGGREGATES the previous level's partials (sum of
+    sums, sum of counts, min of mins, …) instead of re-scanning the
+    input — the rollup costs one full-data exchange plus exponentially
+    shrinking partial exchanges, not ``len(keys)+1`` full scans.
+
+    Rolled-up key columns carry ``all_token`` and every key column is
+    string-cast, so the result needs no NULL marker — sidestepping the
+    NaN-vs-None-vs-<NA> representation mismatch between pandas and a SQL
+    oracle (match with ``CASE WHEN GROUPING(k)=1 THEN 'ALL' ELSE
+    CAST(k AS VARCHAR) END``).  Only mergeable aggregations ('sum',
+    'size', 'min', 'max') are accepted, same contract as bucketed_agg.
+    """
+    for out, (_c, how) in spec.items():
+        if how not in ("sum", "size", "min", "max"):
+            raise ValueError(f"rollup_agg: non-mergeable aggregation {how!r} for {out!r}")
+
+    def stringify(level_keys):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for k in keys:
+                df[k] = (
+                    df[k].astype(str) if k in level_keys else all_token
+                )
+            return df[keys + list(spec)]
+
+        return fn
+
+    merge_spec = {
+        out: (out, "sum" if how in ("sum", "size") else how)
+        for out, (_c, how) in spec.items()
+    }
+
+    finest = bucketed_agg(ds, keys, spec, num_buckets=num_buckets)
+    levels = [finest.map_batches(stringify(keys), batch_format="pandas")]
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        level_keys = keys[:i]
+        if level_keys:
+            prev = bucketed_agg(prev, level_keys, merge_spec, num_buckets=num_buckets)
+        else:
+            # grand total: per-batch partials → ONE tiny reduce
+            def partial(df: pd.DataFrame) -> pd.DataFrame:
+                return _agg_frame(df.assign(_g=0), ["_g"], merge_spec)
+
+            def total(df: pd.DataFrame) -> pd.DataFrame:
+                return _agg_frame(df, ["_g"], merge_spec).drop(columns=["_g"])
+
+            prev = (
+                prev.map_batches(partial, batch_format="pandas")
+                .repartition(1)
+                .map_batches(total, batch_size=None, batch_format="pandas")
+            )
+        levels.append(prev.map_batches(stringify(level_keys), batch_format="pandas"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
     """Per-key grouped transform with ONE Python dispatch per coarse hash
     bucket instead of one per key — the shared discipline behind the merge

@@ -2657,6 +2657,49 @@ ORDER BY node
 """
 
 
+def events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour-of-day): one full-data exchange
+    for the finest level, then re-aggregated partials per coarser prefix
+    (functions/groupby.py::rollup_agg).  Rolled-up keys carry 'ALL' as
+    string — no NULL marker, so pandas/SQL null representations can't
+    diverge; the oracle mirrors with CASE WHEN GROUPING(k)."""
+    from ..functions.groupby import rollup_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        es_us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hod": ((es_us // 3_600_000_000) % 24).astype("int64"),
+                "value": df["value"],
+            }
+        )
+
+    out = rollup_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "hod"],
+        {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "hod"]).reset_index(drop=True)
+
+
+EVENTS_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+         value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(hod) = 1 THEN 'ALL' ELSE CAST(hod AS VARCHAR) END AS hod,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM base GROUP BY ROLLUP(event_type, hod) ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2728,4 +2771,5 @@ QUERIES: dict[str, tuple] = {
     "graph_components": (graph_components, GRAPH_COMPONENTS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
 }

@@ -119,3 +119,71 @@ def test_temporal_joins_equal_bruteforce(ray_session, inputs, num_buckets):
     }
     assert set(zip(band["lid"], band["rid"])) == want_pairs
     assert len(band) == len(want_pairs)
+
+
+def test_rollup_agg_three_keys_vs_pandas(ray_session):
+    """rollup_agg at 3 keys == pandas groupby per prefix level, with
+    'ALL' markers and string-cast keys; exercises the re-aggregation
+    path (sum of sums, min of mins) across two coarsening steps."""
+    import numpy as np
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import rollup_agg
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 3, 200),
+            "b": rng.choice(["x", "y"], 200),
+            "c": rng.integers(0, 4, 200),
+            "v": rng.integers(-50, 50, 200).astype("int64"),
+        }
+    )
+    got = (
+        rollup_agg(
+            rd.from_pandas(df),
+            ["a", "b", "c"],
+            {"n": ("v", "size"), "s": ("v", "sum"), "mn": ("v", "min")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+
+    levels = []
+    for i in (3, 2, 1):
+        keys = ["a", "b", "c"][:i]
+        lv = df.groupby(keys, as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), mn=("v", "min")
+        )
+        for k in ["a", "b", "c"]:
+            lv[k] = lv[k].astype(str) if k in keys else "ALL"
+        levels.append(lv[["a", "b", "c", "n", "s", "mn"]])
+    total = pd.DataFrame(
+        {
+            "a": ["ALL"], "b": ["ALL"], "c": ["ALL"],
+            "n": [len(df)], "s": [df["v"].sum()], "mn": [df["v"].min()],
+        }
+    )
+    exp = (
+        pd.concat(levels + [total], ignore_index=True)
+        .sort_values(["a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    exp["n"] = exp["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.astype({"s": "int64", "mn": "int64"}))
+
+
+def test_rollup_agg_rejects_non_mergeable(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import rollup_agg
+
+    with pytest.raises(ValueError, match="non-mergeable"):
+        rollup_agg(
+            rd.from_pandas(pd.DataFrame({"a": [1], "v": [1.0]})),
+            ["a"],
+            {"m": ("v", "mean")},
+        )
