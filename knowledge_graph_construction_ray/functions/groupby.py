@@ -80,6 +80,38 @@ def bucketed_agg(
     )
 
 
+def scrub_empty_blocks(ds):
+    """Drop 0-row blocks whose schema may be lost before a native Arrow
+    join.
+
+    ``groupby().map_groups`` output partitions that end up ALL-empty
+    become schema-less empty pandas blocks; map_batches/filter UDFs are
+    never invoked on empty blocks, so they cannot be repaired in-stream,
+    and ``Dataset.join`` over a stream containing one fails with "No
+    match or multiple matches for FieldRef" on any join partition that
+    receives zero rows (functions/graph.py::triangle_counts docstring).
+    This scrub materializes (callers sit after a shuffle barrier anyway)
+    and rebuilds the dataset from the non-empty block refs — metadata
+    only, no data moves; one block is fetched to pick the ref
+    constructor.  An all-empty input is returned as-is (nothing to
+    join)."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if (meta.num_rows or 0) > 0
+    ]
+    if not refs:
+        return mat
+    if isinstance(ray.get(refs[0]), pd.DataFrame):
+        return rd.from_pandas_refs(refs)
+    return rd.from_arrow_refs(refs)
+
+
 def rollup_agg(
     ds,
     keys: list[str],

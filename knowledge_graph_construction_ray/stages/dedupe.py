@@ -278,6 +278,13 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
     verify and the embedding-cosine verify."""
     if num_partitions is None:
         num_partitions = _default_join_partitions()
+    from ..functions.groupby import scrub_empty_blocks
+
+    # the candidate-pair kernels legitimately emit 0 rows for many
+    # buckets; if a map_groups output partition ends up all-empty its
+    # block loses its schema and poisons the Arrow join (see
+    # scrub_empty_blocks) — scrub at this already-barriered point
+    pairs_ds = scrub_empty_blocks(pairs_ds)
     payload = payload_ds.select_columns([id_col, payload_col])
 
     def rename(df: pd.DataFrame, suffix: str) -> pd.DataFrame:

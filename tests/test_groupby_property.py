@@ -187,3 +187,30 @@ def test_rollup_agg_rejects_non_mergeable(ray_session):
             ["a"],
             {"m": ("v", "mean")},
         )
+
+
+def test_scrub_empty_blocks_unpoisons_native_join(ray_session):
+    """A schema-less empty block (what map_groups emits for an all-empty
+    output partition) poisons Dataset.join; scrub_empty_blocks must make
+    the join safe without changing the rows."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import scrub_empty_blocks
+    from knowledge_graph_construction_ray.stages.dedupe import attach_pair_payloads
+
+    pairs = rd.from_pandas(pd.DataFrame({"a": ["d1"], "b": ["d2"]}))
+    # schema-less empty FIRST: the join infers its left schema from the
+    # first block, so this ordering is the one that actually fails
+    # ("No match ... for FieldRef") without the scrub
+    poisoned = rd.from_pandas(pd.DataFrame()).union(pairs)
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": ["d1", "d2", "d3"], "text": ["x", "y", "z"]})
+    )
+    out = attach_pair_payloads(
+        poisoned, docs, id_col="doc_id", payload_col="text", num_partitions=8
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "text_a"] == "x" and out.loc[0, "text_b"] == "y"
+
+    clean = scrub_empty_blocks(poisoned)
+    assert clean.count() == 1 and "a" in clean.schema().names
