@@ -183,6 +183,70 @@ def rollup_agg(
     return out
 
 
+def cube_agg(
+    ds,
+    keys: list[str],
+    spec: Mapping[str, tuple[str, str]],
+    *,
+    num_buckets: int = 64,
+    all_token: str = "ALL",
+):
+    """SQL ``GROUP BY CUBE(keys...)``: one result row set per key
+    SUBSET (2^len(keys) grouping sets).
+
+    The full key set is ONE bucketed exchange over the raw stream; every
+    proper subset re-aggregates the finest level's partials (any subset
+    is derivable from the full grouping, unlike ROLLUP's prefix chain) —
+    so the cube costs one full-data exchange plus 2^k−1 exchanges over
+    the already-aggregated (far smaller) finest table.  Same mergeable-
+    aggregation contract and 'ALL'-marker string keys as
+    :func:`rollup_agg`."""
+    from itertools import combinations
+
+    for out, (_c, how) in spec.items():
+        if how not in ("sum", "size", "min", "max"):
+            raise ValueError(f"cube_agg: non-mergeable aggregation {how!r} for {out!r}")
+
+    merge_spec = {
+        out: (out, "sum" if how in ("sum", "size") else how)
+        for out, (_c, how) in spec.items()
+    }
+
+    def stringify(level_keys):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for k in keys:
+                df[k] = df[k].astype(str) if k in level_keys else all_token
+            return df[keys + list(spec)]
+
+        return fn
+
+    finest = bucketed_agg(ds, keys, spec, num_buckets=num_buckets).materialize()
+    levels = [finest.map_batches(stringify(keys), batch_format="pandas")]
+    for r in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, r):
+            level_keys = list(subset)
+            if level_keys:
+                lv = bucketed_agg(finest, level_keys, merge_spec, num_buckets=num_buckets)
+            else:
+                def partial(df: pd.DataFrame) -> pd.DataFrame:
+                    return _agg_frame(df.assign(_g=0), ["_g"], merge_spec)
+
+                def total(df: pd.DataFrame) -> pd.DataFrame:
+                    return _agg_frame(df, ["_g"], merge_spec).drop(columns=["_g"])
+
+                lv = (
+                    finest.map_batches(partial, batch_format="pandas")
+                    .repartition(1)
+                    .map_batches(total, batch_size=None, batch_format="pandas")
+                )
+            levels.append(lv.map_batches(stringify(level_keys), batch_format="pandas"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
     """Per-key grouped transform with ONE Python dispatch per coarse hash
     bucket instead of one per key — the shared discipline behind the merge

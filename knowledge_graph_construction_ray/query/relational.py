@@ -2700,6 +2700,45 @@ FROM base GROUP BY ROLLUP(event_type, hod) ORDER BY 1, 2
 """
 
 
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day-of-week): the full grouping is one
+    exchange; all 2^k−1 proper subsets re-aggregate its partials
+    (functions/groupby.py::cube_agg)."""
+    from ..functions.groupby import cube_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        es_us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                # epoch day 0 (1970-01-01) was a Thursday = ISO dow 4
+                "dow": ((es_us // 86_400_000_000 + 3) % 7 + 1).astype("int64"),
+                "value": df["value"],
+            }
+        )
+
+    out = cube_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "dow"],
+        {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+EVENTS_CUBE_SQL = """
+WITH base AS (
+  SELECT event_type, isodow(ts) AS dow, value FROM events
+)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(dow) = 1 THEN 'ALL' ELSE CAST(dow AS VARCHAR) END AS dow,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM base GROUP BY CUBE(event_type, dow) ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -2772,4 +2811,5 @@ QUERIES: dict[str, tuple] = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }

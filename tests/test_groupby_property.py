@@ -214,3 +214,51 @@ def test_scrub_empty_blocks_unpoisons_native_join(ray_session):
 
     clean = scrub_empty_blocks(poisoned)
     assert clean.count() == 1 and "a" in clean.schema().names
+
+
+def test_cube_agg_vs_pandas(ray_session):
+    """cube_agg == pandas groupby per key SUBSET — including the
+    suffix-only subsets ROLLUP never produces."""
+    import numpy as np
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import cube_agg
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 3, 150),
+            "b": rng.choice(["x", "y", "z"], 150),
+            "v": rng.integers(-20, 20, 150).astype("int64"),
+        }
+    )
+    got = (
+        cube_agg(
+            rd.from_pandas(df),
+            ["a", "b"],
+            {"n": ("v", "size"), "s": ("v", "sum"), "mx": ("v", "max")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    levels = []
+    for keys in (["a", "b"], ["a"], ["b"], []):
+        if keys:
+            lv = df.groupby(keys, as_index=False).agg(
+                n=("v", "size"), s=("v", "sum"), mx=("v", "max")
+            )
+        else:
+            lv = pd.DataFrame({"n": [len(df)], "s": [df["v"].sum()], "mx": [df["v"].max()]})
+        for k in ("a", "b"):
+            lv[k] = lv[k].astype(str) if k in keys else "ALL"
+        levels.append(lv[["a", "b", "n", "s", "mx"]])
+    exp = (
+        pd.concat(levels, ignore_index=True)
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"n": "int64", "s": "int64", "mx": "int64"})
+    )
+    got["n"] = got["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
