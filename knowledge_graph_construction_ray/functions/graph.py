@@ -116,6 +116,168 @@ def undirect_edges(edges_ds, src: str = "src", dst: str = "dst"):
     ).select_columns(["src", "dst"])
 
 
+def peel_core_numbers(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
+    """Exact core numbers by minimum-degree peeling (Matula–Beck /
+    Batagelj–Zaveršnik bucket order), sequential and vectorized-setup:
+    the independent algorithm the distributed h-index iteration is
+    tested against.  Input: BOTH directions of every undirected edge,
+    no self-loops."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    if not n:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "core": pd.Series(dtype="int64")}
+        )
+    e_src, e_dst = inv[: len(src)], inv[len(src) :]
+    order = np.argsort(e_src, kind="stable")
+    nbr = e_dst[order]
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, e_src, 1)
+    offs = np.concatenate([[0], np.cumsum(deg)])
+
+    import heapq
+
+    cur = deg.copy()
+    core = np.zeros(n, np.int64)
+    removed = np.zeros(n, dtype=bool)
+    heap = [(int(cur[v]), int(v)) for v in range(n)]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if removed[v] or d != cur[v]:
+            continue  # stale entry
+        k = max(k, d)
+        core[v] = k
+        removed[v] = True
+        for u in nbr[offs[v] : offs[v + 1]]:
+            if not removed[u]:
+                cur[u] -= 1
+                heapq.heappush(heap, (int(cur[u]), int(u)))
+    return pd.DataFrame({"node": nodes, "core": core})
+
+
+def core_numbers(
+    edges_ds,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    num_buckets: int = 16,
+    max_iters: int = 128,
+    local_threshold: int = 5_000_000,
+    force_distributed: bool = False,
+):
+    """Core number (largest k with v inside the k-core) for every node.
+
+    Distributed plan: synchronous H-INDEX ITERATION (Lü, Zhou, Zhang &
+    Stanley, "The H-index of a network node and its relation to degree
+    and coreness", Nat. Commun. 2016) — init c(v) = degree(v), then
+    c(v) ← min(c(v), H(neighbor c-values)) until no change, where H is
+    the h-index (largest h with ≥h neighbors valued ≥h).  The sequence
+    is monotone non-increasing and bounded below by the core number, so
+    the fixpoint is exact; each round is TWO bucketed exchanges (c-values
+    meet out-edges on the source key → neighbor-value stream keyed by
+    destination → per-bucket vectorized h-index), per-round volume
+    \\|V\\| + 2\\|E\\| rows, driver sees only the changed-count scalar.
+    The per-bucket h-index is pure index arithmetic: values sorted
+    descending within each node, h = #{i : v_i ≥ i} (prefix-closed, so a
+    plain count works).
+
+    At or below ``local_threshold`` deduped directed edges the graph is
+    pulled to the driver and solved by :func:`peel_core_numbers` —
+    min-degree peeling, a DIFFERENT algorithm, which is also the test
+    oracle for the distributed path (``force_distributed``).
+    """
+    import ray.data as rd
+
+    edges = undirect_edges(edges_ds, src, dst).materialize()
+
+    if not force_distributed and edges.count() <= local_threshold:
+        df = edges.to_pandas()
+        if df.empty:
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {"node": pd.Series(dtype="int64"), "core": pd.Series(dtype="int64")}
+                )
+            )
+        return rd.from_pandas(
+            peel_core_numbers(
+                df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
+            )
+        )
+
+    from .groupby import bucketed_agg
+
+    deg = bucketed_agg(edges, ["src"], {"deg": ("dst", "size")})
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        return _frame(df["src"], df["deg"], 0, 0)
+
+    state = deg.map_batches(seed, batch_format="pandas").materialize()
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _frame(df["src"], df["dst"], 0, 1)
+
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pandas").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["role"] == 0]
+        out = [lab[_SCHEMA]]
+        e = df[df["role"] == 1]
+        if len(e) and len(lab):
+            m = e.merge(
+                lab[["key", "a"]].rename(columns={"a": "_c"}), on="key", how="inner"
+            )
+            # neighbor c-values keyed by DESTINATION (h-index needs the
+            # full multiset — not pre-reducible like a min/sum)
+            out.append(_frame(m["a"], m["_c"], 0, 1))
+        return pd.concat(out, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[df["role"] == 1]
+        old = df.loc[df["role"] == 0, ["key", "a"]]
+        if len(vals):
+            v = vals.sort_values(["key", "a"], ascending=[True, False], kind="mergesort")
+            k = v["key"].to_numpy(np.int64)
+            change = np.empty(len(k), dtype=bool)
+            change[0] = True
+            np.not_equal(k[1:], k[:-1], out=change[1:])
+            seg_start = np.flatnonzero(change)
+            lens = np.diff(np.append(seg_start, len(k)))
+            pos = np.arange(len(k), dtype=np.int64) - np.repeat(seg_start, lens) + 1
+            hit = (v["a"].to_numpy(np.int64) >= pos).astype(np.int64)
+            h = pd.DataFrame({"key": k, "_h": hit}).groupby("key", as_index=False)[
+                "_h"
+            ].sum()
+            g = old.merge(h, on="key", how="left")
+            hv = g["_h"].fillna(0).astype(np.int64).to_numpy()
+        else:
+            g = old.copy()
+            hv = np.zeros(len(g), np.int64)
+        oldc = g["a"].to_numpy(np.int64)
+        newc = np.minimum(oldc, hv)
+        return _frame(g["key"], newc, (newc != oldc).astype(np.int64), 0)
+
+    for _ in range(max_iters):
+        staged = _bucket_exchange(state.union(edge_tagged), propagate, num_buckets)
+        new_state = _bucket_exchange(staged, combine, num_buckets).materialize()
+        changed = new_state.sum("b")
+        state = new_state.map_batches(
+            lambda df: _frame(df["key"], df["a"], 0, 0), batch_format="pandas"
+        ).materialize()
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"core_numbers did not converge in {max_iters} rounds")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["key"].astype("int64"), "core": df["a"].astype("int64")}
+        )
+
+    return state.map_batches(finish, batch_format="pandas")
+
+
 def pagerank(
     edges_ds,
     src: str = "src",

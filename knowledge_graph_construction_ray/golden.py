@@ -259,6 +259,26 @@ def pagerank_golden(sf_dir: str) -> pd.DataFrame:
     return pagerank_golden_arrays(src, dst, iters=PAGERANK_QUERY_ITERS)
 
 
+def core_golden(sf_dir: str) -> pd.DataFrame:
+    """Core numbers over the order-chain graph viewed UNDIRECTED, by
+    sequential min-degree peeling (functions/graph.py::peel_core_numbers)
+    — a different algorithm from the distributed h-index iteration the
+    graph_core query runs, so the parity check is algorithm-independent."""
+    from .functions.graph import peel_core_numbers
+
+    src, dst = _order_chain_edges(sf_dir)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # both directions, exact-deduped — the contract peel_core_numbers wants
+    pair = np.unique(
+        np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])], axis=1
+        ),
+        axis=0,
+    )
+    return peel_core_numbers(pair[:, 0], pair[:, 1])
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -323,6 +343,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(pagerank_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"graph_pagerank_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(core_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"graph_core_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -2657,6 +2657,43 @@ ORDER BY node
 """
 
 
+def graph_core(sf_dir: str):
+    """k-core decomposition (functions/graph.py::core_numbers) of the
+    UNDIRECTED order-chain part graph — same edge builder as
+    graph_pagerank.  Runs the DISTRIBUTED h-index fixpoint
+    (force_distributed), so the oracle — a golden parquet from
+    golden.py::core_golden, which peels by minimum degree in one process
+    — checks it against an independent algorithm."""
+    from ..functions.graph import core_numbers
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        same = o[:-1] == o[1:]
+        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
+
+    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    return (
+        core_numbers(edges, force_distributed=True, num_buckets=8)
+        .sort("node")
+        .to_pandas()
+    )
+
+
+GRAPH_CORE_SQL = """
+SELECT node, core
+FROM read_parquet('/tmp/kg_oracle_golden/graph_core_sf0.01.parquet')
+ORDER BY node
+"""
+
+
 def events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, hour-of-day): one full-data exchange
     for the finest level, then re-aggregated partials per coarser prefix
@@ -2810,6 +2847,7 @@ QUERIES: dict[str, tuple] = {
     "graph_components": (graph_components, GRAPH_COMPONENTS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_core": (graph_core, GRAPH_CORE_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }

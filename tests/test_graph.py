@@ -218,6 +218,99 @@ def test_pagerank_empty(ray_session):
     assert out.empty
 
 
+def _core_expected(pairs):
+    """Brute-force core numbers by DEFINITION: for each k, repeatedly
+    strip nodes of degree < k; survivors have core ≥ k.  Independent of
+    both the peeling-order oracle and the h-index iteration."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {n: 0 for n in adj}
+    k = 1
+    while True:
+        alive = {n: set(v) for n, v in adj.items()}
+        changed = True
+        while changed:
+            drop = [n for n, v in alive.items() if len(v) < k]
+            changed = bool(drop)
+            for n in drop:
+                for u in alive[n]:
+                    alive[u].discard(n)
+                del alive[n]
+        if not alive:
+            break
+        for n in alive:
+            core[n] = k
+        k += 1
+    nodes = sorted(core)
+    return pd.DataFrame({"node": nodes, "core": [core[n] for n in nodes]}).astype(
+        "int64"
+    )
+
+
+def _core_solve(pairs, **kw):
+    from knowledge_graph_construction_ray.functions.graph import core_numbers
+
+    out = core_numbers(_edges(pairs), **kw).to_pandas()
+    if out.empty:  # empty Ray results drop their schema
+        out = out.reindex(columns=["node", "core"]).astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_core_k4_plus_chain(ray_session):
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)]
+    exp = _core_expected(pairs)
+    pd.testing.assert_frame_equal(_core_solve(pairs), exp)
+    pd.testing.assert_frame_equal(
+        _core_solve(pairs, force_distributed=True, num_buckets=4), exp
+    )
+
+
+def test_core_nested_shells(ray_session):
+    """K5 nucleus, a rim cycle through one nucleus node, and a pendant
+    path: cores 4, 2 and 1 coexist, and the h-index iteration needs
+    several rounds to erode the high initial degrees."""
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    rim = [(0, 10), (10, 11), (11, 12), (12, 0)]
+    path = [(12, 20), (20, 21)]
+    pairs = k5 + rim + path
+    exp = _core_expected(pairs)
+    pd.testing.assert_frame_equal(_core_solve(pairs), exp)
+    pd.testing.assert_frame_equal(
+        _core_solve(pairs, force_distributed=True, num_buckets=3), exp
+    )
+
+
+def test_core_random_graphs(ray_session):
+    from knowledge_graph_construction_ray.functions.graph import peel_core_numbers
+
+    rng = np.random.default_rng(19)
+    for trial in range(3):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(n, 5 * n))
+        src = rng.integers(0, n, size=m)
+        dst = rng.integers(0, n, size=m)
+        pairs = [(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b]
+        if not pairs:
+            continue
+        exp = _core_expected(pairs)
+        # sequential peel (local arm)
+        pd.testing.assert_frame_equal(_core_solve(pairs), exp)
+        # distributed h-index arm
+        pd.testing.assert_frame_equal(
+            _core_solve(pairs, force_distributed=True, num_buckets=4), exp
+        )
+
+
+def test_core_empty(ray_session):
+    got = _core_solve([])
+    assert got.empty
+    assert list(got.columns) == ["node", "core"]
+
+
 def test_local_kernel_random_graphs():
     rng = np.random.default_rng(7)
     for trial in range(5):

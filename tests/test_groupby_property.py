@@ -206,8 +206,10 @@ def test_scrub_empty_blocks_unpoisons_native_join(ray_session):
     docs = rd.from_pandas(
         pd.DataFrame({"doc_id": ["d1", "d2", "d3"], "text": ["x", "y", "z"]})
     )
+    # 4 partitions: the test session has 4 CPUs and each join spawns
+    # num_partitions aggregator actors
     out = attach_pair_payloads(
-        poisoned, docs, id_col="doc_id", payload_col="text", num_partitions=8
+        poisoned, docs, id_col="doc_id", payload_col="text", num_partitions=4
     ).to_pandas()
     assert len(out) == 1
     assert out.loc[0, "text_a"] == "x" and out.loc[0, "text_b"] == "y"
