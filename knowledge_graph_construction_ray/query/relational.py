@@ -1429,6 +1429,156 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+_PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+
+
+def profile_events(sf_dir: str):
+    """ANALYZE-style distributed table profile: per column, row count,
+    null count and EXACT distinct count, in two streaming passes.
+
+    1. nulls/rows: one tiny per-batch partial (columns × blocks rows) →
+       driver sum.
+    2. distinct: values are rendered to injective strings per batch
+       (numpy shortest-repr for floats, microsecond timestamps — the
+       rendering never leaves the engine, it only has to be injective,
+       NOT match SQL), deduped per batch (combiner), then ONE bucketed
+       exchange keyed (column, value) — each distinct value crosses once
+       — and per-block count partials sum on the driver (≤ columns ×
+       blocks rows).  No column's whole value set is ever collected.
+
+    Caveat (documented, not hit by this data): float NaN/-0.0 group under
+    pandas-null/IEEE rules here vs DuckDB's NaN-is-a-value, -0.0 == 0.0."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", _PROFILE_COLS)
+
+    def null_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col_name": _PROFILE_COLS,
+                "n_rows": np.int64(len(df)),
+                "n_nulls": [np.int64(df[c].isna().sum()) for c in _PROFILE_COLS],
+            }
+        )
+
+    nulls = (
+        ds.map_batches(null_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("col_name", as_index=False)[["n_rows", "n_nulls"]]
+        .sum()
+    )
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for c in _PROFILE_COLS:
+            vals = df[c].dropna().astype(str).drop_duplicates()
+            out.append(pd.DataFrame({"col_name": c, "val": vals.to_numpy(object)}))
+        return pd.concat(out, ignore_index=True)
+
+    pairs = bucketed_agg(
+        ds.map_batches(distinct_partial, batch_format="pandas"),
+        ["col_name", "val"],
+        {"_n": ("val", "size")},
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["col_name"].value_counts()
+        return pd.DataFrame(
+            {"col_name": vc.index.to_numpy(), "n_distinct": vc.to_numpy(np.int64)}
+        )
+
+    dist = pairs.map_batches(count_partial, batch_format="pandas").to_pandas()
+    dist = (
+        dist.groupby("col_name", as_index=False)["n_distinct"].sum()
+        if len(dist)
+        else pd.DataFrame({"col_name": [], "n_distinct": []})
+    )
+    out = nulls.merge(dist, on="col_name", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+PROFILE_EVENTS_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in _PROFILE_COLS
+) + " ORDER BY col_name"
+
+
+def events_key_skew(sf_dir: str):
+    """Key-skew diagnostic — the profile you run BEFORE picking a
+    partitioning key: per-key counts via one combiner-backed exchange
+    (functions/groupby.py::bucketed_agg), then a count-of-counts
+    histogram partial per block, so what reaches the driver is bounded
+    by (distinct count VALUES × blocks) — the hottest key's count, never
+    key cardinality.  Exact discrete percentiles (quantile_disc
+    convention, element at rank ceil(p·K)) are read off the histogram
+    cumsum; the max/mean ratio is integer-scaled ×1000 so the oracle
+    comparison is int64-exact (DuckDB `//` == numpy `//` on
+    non-negative ints)."""
+    import math
+
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_key = bucketed_agg(ds, ["user_id"], {"n": ("user_id", "size")})
+
+    def coc(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        return pd.DataFrame(
+            {"n": vc.index.to_numpy(np.int64), "freq": vc.to_numpy(np.int64)}
+        )
+
+    small = per_key.map_batches(coc, batch_format="pandas").to_pandas()
+    cols = ["n_keys", "n_rows", "max_n", "p50_n", "p90_n", "p99_n",
+            "max_over_mean_x1000"]
+    if small.empty:
+        return pd.DataFrame({c: pd.Series([0], dtype="int64") for c in cols})
+    hist = small.groupby("n", as_index=False)["freq"].sum().sort_values("n")
+    nvals = hist["n"].to_numpy(np.int64)
+    freq = hist["freq"].to_numpy(np.int64)
+    cum = np.cumsum(freq)
+    n_keys = int(cum[-1])
+    n_rows = int((nvals * freq).sum())
+
+    def pct(p: float) -> int:
+        r = max(1, math.ceil(p * n_keys))
+        return int(nvals[np.searchsorted(cum, r)])
+
+    max_n = int(nvals[-1])
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([n_keys], dtype="int64"),
+            "n_rows": pd.Series([n_rows], dtype="int64"),
+            "max_n": pd.Series([max_n], dtype="int64"),
+            "p50_n": pd.Series([pct(0.5)], dtype="int64"),
+            "p90_n": pd.Series([pct(0.9)], dtype="int64"),
+            "p99_n": pd.Series([pct(0.99)], dtype="int64"),
+            "max_over_mean_x1000": pd.Series(
+                [max_n * 1000 * n_keys // n_rows], dtype="int64"
+            ),
+        }
+    )
+
+
+EVENTS_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
+       CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90_n,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+       CAST(MAX(n) * 1000 * COUNT(*) // SUM(n) AS BIGINT) AS max_over_mean_x1000
+FROM per_key
+"""
+
+
 def events_value_percentiles(sf_dir: str, ps=(0.5, 0.95, 0.99)):
     """EXACT distributed percentiles (discrete: the actual element at
     rank ``ceil(p·n)``, DuckDB ``quantile_disc`` convention) without a
@@ -2848,6 +2998,8 @@ QUERIES: dict[str, tuple] = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_core": (graph_core, GRAPH_CORE_SQL),
+    "profile_events": (profile_events, PROFILE_EVENTS_SQL),
+    "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }

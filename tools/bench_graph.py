@@ -114,6 +114,36 @@ def main() -> None:
         "bit_exact_vs_golden": bool(pr.equals(gold)),
     }
 
+    # --- core numbers, forced down the distributed h-index path -----------
+    from knowledge_graph_construction_ray.functions.graph import (
+        core_numbers,
+        peel_core_numbers,
+    )
+
+    t0 = time.time()
+    core = (
+        core_numbers(edges, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    t_core = time.time() - t0
+    und = pd.DataFrame(
+        {
+            "src": np.concatenate([edges_pd["src"], edges_pd["dst"]]),
+            "dst": np.concatenate([edges_pd["dst"], edges_pd["src"]]),
+        }
+    )
+    und = und[und["src"] != und["dst"]].drop_duplicates()
+    peel = peel_core_numbers(
+        und["src"].to_numpy(np.int64), und["dst"].to_numpy(np.int64)
+    ).sort_values("node").reset_index(drop=True)
+    report["core"] = {
+        "sec": round(t_core, 2),
+        "max_core": int(core["core"].max()),
+        "exact_vs_peel": bool(core.equals(peel)),
+    }
+
     # --- triangles --------------------------------------------------------
     t0 = time.time()
     tri = triangle_counts(edges).to_pandas()
