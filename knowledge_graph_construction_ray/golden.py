@@ -128,6 +128,27 @@ def hll_users_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def hll_types_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential per-group HLL over events (distinct user_id per
+    event_type) — each group's registers are a pure function of its value
+    multiset, so the distributed grouped merge must match EXACTLY."""
+    from .stages.sketch import hll_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    rows = [
+        (g, hll_sequential(sub["user_id"].to_numpy()))
+        for g, sub in df.groupby("event_type", sort=True)
+    ]
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "n_est": pd.Series([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def cms_terms_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential Count-Min sketch over the whole corpus vocabulary,
     probed at the fixed term list — integer cell addition is
@@ -347,6 +368,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(core_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"graph_core_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(hll_types_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"events_type_hll_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -1429,6 +1429,25 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+def events_type_hll(sf_dir: str):
+    """GROUPED approximate distinct count: one HyperLogLog per event
+    type (stages/sketch.py::hll_grouped_cardinality — exchange bounded
+    by groups × 2^p register rows at ANY user cardinality).  Golden
+    oracle = the sequential per-group sketch; estimate accuracy is
+    pytest-bounded.  Exact companion: ``events_distinct_users``."""
+    from ..stages.sketch import hll_grouped_cardinality
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_grouped_cardinality(ds, "event_type", "user_id")
+
+
+EVENTS_TYPE_HLL_SQL = """
+SELECT event_type, n_est
+FROM read_parquet('/tmp/kg_oracle_golden/events_type_hll_sf0.01.parquet')
+ORDER BY event_type
+"""
+
+
 _PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
 
 
@@ -2999,6 +3018,7 @@ QUERIES: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_core": (graph_core, GRAPH_CORE_SQL),
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
+    "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),

@@ -126,6 +126,65 @@ def hll_cardinality(ds, col: str, p: int = P_DEFAULT) -> int:
     return hll_estimate(regs)
 
 
+def hll_grouped_cardinality(
+    ds, group_col: str, col: str, p: int = P_DEFAULT
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT col) GROUP BY group_col — one sketch
+    per group.  Exchange cost is bounded by groups × 2^p (register,
+    rho-max) rows, independent of value cardinality; the per-batch
+    pandas groupby dispatch is per GROUP, so this is the LOW-group-
+    cardinality arm (event types, languages, sources — not user ids).
+    The exact high-cardinality companion is
+    query/relational.py::events_distinct_users (pair-dedup exchange).
+
+    Register maxima are a pure function of each group's value multiset,
+    so the distributed merge equals the sequential per-group sketch
+    bit-for-bit (golden.py::hll_types_golden checks the estimates)."""
+    from ..functions.groupby import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group_col, dropna=False, sort=False):
+            regs = hll_partial_registers(sub[col].to_numpy(), p)
+            nz = np.flatnonzero(regs)
+            out.append(
+                pd.DataFrame(
+                    {
+                        group_col: g,
+                        "register": nz.astype(np.int64),
+                        "rho": regs[nz].astype(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype=object),
+                    "register": pd.Series(dtype="int64"),
+                    "rho": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    small = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "register"],
+        {"rho": ("rho", "max")},
+        num_buckets=8,
+    ).to_pandas()
+    rows = []
+    for g, sub in small.groupby(group_col, sort=True):
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[sub["register"].to_numpy(np.int64)] = sub["rho"].to_numpy(np.int64)
+        rows.append((g, hll_estimate(regs)))
+    return pd.DataFrame(
+        {
+            group_col: [r[0] for r in rows],
+            "n_est": pd.Series([r[1] for r in rows], dtype="int64"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: point frequency queries without a term-keyed exchange
 # ---------------------------------------------------------------------------

@@ -241,6 +241,35 @@ def test_hll_distributed_equals_sequential(ray_session):
     assert hll_cardinality(ds, "user_id") == hll_sequential(df["user_id"].to_numpy())
 
 
+def test_hll_grouped_equals_sequential_per_group(ray_session):
+    """The grouped sketch must equal running the sequential sketch on
+    each group's slice — register max is a pure function of the group's
+    multiset regardless of batch partitioning — and stay within the HLL
+    error bound of the true per-group distinct counts."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        hll_grouped_cardinality,
+        hll_sequential,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 120_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]),
+            "v": rng.integers(0, 40_000, size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = hll_grouped_cardinality(ds, "g", "v").set_index("g")["n_est"]
+    for g, sub in df.groupby("g"):
+        seq = hll_sequential(sub["v"].to_numpy())
+        assert got[g] == seq, (g, got[g], seq)
+        true = sub["v"].nunique()
+        assert abs(got[g] - true) / true < 0.05, (g, got[g], true)
+
+
 def test_percentiles_constant_column(ray_session, tmp_path):
     """Degenerate histogram (lo == hi): every value lands in the clipped
     last bin; selection must still return the constant exactly."""
