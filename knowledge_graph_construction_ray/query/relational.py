@@ -2584,6 +2584,58 @@ def mixture_interleave(sf_dir: str):
     return head[["position", "doc_id", "source"]]
 
 
+def mixture_epochs(sf_dir: str):
+    """Epoch-weighted mixture oversampling — the data-recipe op that
+    repeats high-value sources fractionally (e.g. 2.75 epochs) and
+    subsamples low-value ones (0.5 epochs) deterministically.  Per-source
+    weight in permille (500/1250/2000/2750, a fixed function of the
+    source id); every doc gets ``wt//1000`` whole copies plus one more
+    iff its modular hash (the same engine-portable ``_split_hash`` int64
+    arithmetic as the train/val/test split) lands under the fractional
+    part.  Embarrassingly parallel — one vectorized np.repeat per batch,
+    NO shuffle; the epoch boundary is reconstructible from copy_idx."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        src_num = df["source"].str.slice(3).astype("int64").to_numpy()
+        wt_mil = 500 + ((src_num * 7) % 4) * 750
+        h = _split_hash(ids, 1000)
+        copies = wt_mil // 1000 + (h < wt_mil % 1000)
+        rep = np.repeat(np.arange(len(df), dtype=np.int64), copies)
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        copy_idx = np.arange(len(rep), dtype=np.int64) - np.repeat(starts, copies) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": ids[rep],
+                "source": df["source"].to_numpy(object)[rep],
+                "copy_idx": copy_idx,
+            }
+        )
+
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+
+
+MIXTURE_EPOCHS_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         500 + ((CAST(substr(source, 4) AS BIGINT) * 7) % 4) * 750 AS wt_mil,
+         ((((doc_id % 100000007) + 100000007) % 100000007) * 2654435761)
+           % 1000 AS h
+  FROM documents
+)
+SELECT doc_id, source, CAST(u + 1 AS BIGINT) AS copy_idx
+FROM (
+  SELECT doc_id, source,
+         unnest(range(wt_mil // 1000
+                      + CASE WHEN h < wt_mil % 1000 THEN 1 ELSE 0 END)) AS u
+  FROM t
+)
+ORDER BY doc_id, copy_idx
+"""
+
+
 MIXTURE_INTERLEAVE_SQL = """
 WITH t AS (SELECT doc_id, source,
                   1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w,
@@ -3019,6 +3071,7 @@ QUERIES: dict[str, tuple] = {
     "graph_core": (graph_core, GRAPH_CORE_SQL),
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
+    "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
