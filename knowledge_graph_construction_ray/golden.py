@@ -149,6 +149,38 @@ def hll_types_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential product-quantization train+encode over the embeddings
+    table — sample semantics, k-center/Lloyd float ops and argmin order
+    identical to the distributed path (stages/pq.py), so the distributed
+    codes must match byte-for-byte at any partitioning."""
+    from .stages.embed import _matrix
+    from .stages.pq import (
+        codes_to_hex,
+        pq_codebooks_from_matrix,
+        pq_encode_kernel,
+    )
+
+    df = (
+        pd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sample_df = df
+    if len(df) > 65536:  # mirror sample_vectors' hash cutoff above target
+        h = pd.util.hash_pandas_object(df["vec_id"], index=False).to_numpy()
+        cutoff = np.uint64(int((65536 / len(df)) * (1 << 64)))
+        sample_df = df[h.astype(np.uint64) < cutoff]
+    cb = pq_codebooks_from_matrix(_matrix(sample_df["embedding"]))
+    codes = pq_encode_kernel(_matrix(df["embedding"]), cb)
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].to_numpy(), "code_hex": codes_to_hex(codes)}
+    )
+
+
 def cms_terms_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential Count-Min sketch over the whole corpus vocabulary,
     probed at the fixed term list — integer cell addition is
@@ -372,6 +404,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(hll_types_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"events_type_hll_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(pq_codes_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"pq_codes_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

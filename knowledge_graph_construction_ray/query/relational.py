@@ -1429,6 +1429,45 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+def pq_codes(sf_dir: str):
+    """Product-quantization encode of the embeddings table
+    (stages/pq.py): distributed deterministic hash-sample → per-subspace
+    k-center+Lloyd codebooks (tiny, broadcast) → vectorized per-batch
+    argmin encode to fixed_size_binary codes (32× smaller than the fp32
+    column).  Oracle: golden parquet from the SEQUENTIAL same-kernel
+    train+encode — codes are a pure row-independent function of the
+    (deterministic) codebook, so they must match byte-for-byte at any
+    partitioning.  Search quality (ADC recall, rerank exactness) is
+    pytest-bounded in tests/test_training_ops.py."""
+    import pyarrow as pa
+
+    from ..stages.pq import (
+        _codes_matrix,
+        codes_to_hex,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=8)
+    cb = train_pq_codebooks(ds)
+
+    def hexify(batch: pa.Table) -> pa.Table:
+        hexes = codes_to_hex(_codes_matrix(batch["code"], cb.shape[0]))
+        return pa.table(
+            {"vec_id": batch["vec_id"], "code_hex": pa.array(hexes)}
+        )
+
+    out = pq_encode(ds, cb).map_batches(hexify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+PQ_CODES_SQL = """
+SELECT vec_id, code_hex
+FROM read_parquet('/tmp/kg_oracle_golden/pq_codes_sf0.01.parquet')
+ORDER BY vec_id
+"""
+
+
 def events_type_hll(sf_dir: str):
     """GROUPED approximate distinct count: one HyperLogLog per event
     type (stages/sketch.py::hll_grouped_cardinality — exchange bounded
@@ -3072,6 +3111,7 @@ QUERIES: dict[str, tuple] = {
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
+    "pq_codes": (pq_codes, PQ_CODES_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),

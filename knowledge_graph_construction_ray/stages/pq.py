@@ -1,0 +1,235 @@
+"""Product quantization (PQ) for embedding columns — the memory-side
+scale path for ANN, complementing the I/O-side IVF index (embed.py).
+
+At 100 TB an fp32 embedding column dominates storage and object-store
+traffic: 64-d float32 = 256 B/vector, while an m=8 PQ code is 8 B — a
+32× compression that turns a cluster-wide similarity scan from
+bandwidth-bound into compute-trivial (Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Plan shape (all Dataset-native):
+- ``train_pq_codebooks``: one distributed hash-sample (embed.py::
+  sample_vectors — unbiased, deterministic, no RNG) pulled once to the
+  driver, then per-subspace k-center init + Lloyd.  Codebook is tiny
+  (m × k × dsub floats) and is BROADCAST into encode/search tasks.
+- ``pq_encode``: per-batch vectorized argmin over subspace centroids —
+  embarrassingly parallel map_batches, codes emitted as fixed-width
+  ``binary`` (m bytes/row; Arrow joins/shuffles handle binary fine,
+  list columns they do not — same trick as embed.py's verify join).
+- ``pq_topk``: asymmetric distance computation — the query builds one
+  (m × k) lookup table, each batch scores its codes with two fancy
+  indexes and a row sum, keeps a local top-k, and only blocks × k
+  candidate rows reach the driver (same reduce discipline as
+  brute_force_topk).
+
+Determinism contract (what the golden oracle checks): sample → codebook
+→ code is a pure function of the table content — row-independent argmin
+per vector — so the distributed encode must equal the sequential
+single-process encode byte-for-byte at any partitioning.
+
+No reference counterpart (the reference has no vector search at all);
+this is the similarity-search family from the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .embed import _matrix, sample_vectors
+
+_HEXD = np.frombuffer(b"0123456789abcdef", dtype="S1")
+
+
+def _kmeans_subspace(sub: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic L2 k-means on one subspace: greedy farthest-point
+    (k-center) init — spreads centroids across modes, no RNG — then
+    Lloyd.  Empty cells keep their previous centroid (never NaN)."""
+    k = min(k, len(sub))
+    cents = np.empty((k, sub.shape[1]), dtype=np.float64)
+    cents[0] = sub[0]
+    d = ((sub - cents[0]) ** 2).sum(axis=1)
+    for c in range(1, k):
+        far = int(np.argmax(d))
+        cents[c] = sub[far]
+        d = np.minimum(d, ((sub - cents[c]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        # ||x-c||² argmin == argmax(x·c - ||c||²/2); one matmul per pass
+        assign = np.argmax(sub @ cents.T - 0.5 * (cents * cents).sum(1), axis=1)
+        for c in range(k):
+            members = sub[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_codebooks_from_matrix(
+    sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 5
+) -> np.ndarray:
+    """(m, k, d/m) codebooks from an in-memory sample matrix — the pure
+    trainer shared by the distributed path and the sequential golden
+    oracle (identical float ops in identical order ⇒ identical codes)."""
+    sample = np.asarray(sample, dtype=np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [_kmeans_subspace(sample[:, s * dsub:(s + 1) * dsub], k, iters)
+         for s in range(m)]
+    )
+
+
+def train_pq_codebooks(
+    embeddings_ds,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    sample_limit: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Codebooks from a distributed deterministic hash-sample (id-sorted,
+    so training order — and therefore the codebook — is independent of
+    block layout)."""
+    sample = _matrix(
+        sample_vectors(embeddings_ds, sample_limit, id_col=id_col,
+                       vec_col=vec_col)[vec_col]
+    )
+    return pq_codebooks_from_matrix(sample, m, k, iters)
+
+
+def pq_encode_kernel(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes — per-subspace argmin, fully vectorized."""
+    m, _k, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.uint8)
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        cb = codebooks[s]
+        codes[:, s] = np.argmax(sub @ cb.T - 0.5 * (cb * cb).sum(1), axis=1)
+    return codes
+
+
+def codes_to_hex(codes: np.ndarray) -> np.ndarray:
+    """Vectorized hex rendering (no per-row Python) — the oracle-facing
+    presentation of a binary code column."""
+    n, m = codes.shape
+    out = np.empty((n, 2 * m), dtype="S1")
+    out[:, 0::2] = _HEXD[codes >> 4]
+    out[:, 1::2] = _HEXD[codes & 0xF]
+    return out.view(f"S{2 * m}").ravel().astype(str)
+
+
+def pq_encode(
+    embeddings_ds,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Dataset of (id, code: fixed_size_binary(m)) — one vectorized
+    kernel per batch, the code column built straight from the (n, m)
+    uint8 buffer (no per-row Python); the codebook rides the task
+    closure (broadcast once, tiny)."""
+    import pyarrow as pa
+
+    m = codebooks.shape[0]
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        codes = np.ascontiguousarray(pq_encode_kernel(_matrix(df[vec_col]), codebooks))
+        code_arr = pa.Array.from_buffers(
+            pa.binary(m), len(df), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({id_col: pa.array(df[id_col].to_numpy()), "code": code_arr})
+
+    return embeddings_ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pandas"
+    )
+
+
+def _codes_matrix(arr, m: int) -> np.ndarray:
+    """(n, m) uint8 view of a fixed_size_binary(m) Arrow array — reads
+    the data buffer directly, rebased on the array offset (a sliced
+    array's buffer does not start at its own row 0)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * m
+    return buf[start:start + len(arr) * m].reshape(-1, m)
+
+
+def pq_topk(
+    codes_ds,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k by approximate inner product: one
+    (m × k_codes) lookup table per query, per-batch local top-k, tiny
+    driver reduce (blocks × k rows)."""
+    m, _kc, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack(
+        [codebooks[s] @ q[s * dsub:(s + 1) * dsub] for s in range(m)]
+    )  # (m, k_codes)
+
+    def score(batch) -> pd.DataFrame:
+        codes = _codes_matrix(batch["code"], m)
+        if not len(codes):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "score_adc": pd.Series(dtype="float64")})
+        s = table[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1)
+        top = np.argsort(-s, kind="stable")[:k]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[top], "score_adc": s[top]}
+        )
+
+    local = codes_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        local.sort_values(["score_adc", id_col], ascending=[False, True],
+                          kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def pq_topk_rerank(
+    embeddings_ds,
+    codes_ds,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Two-stage search: PQ/ADC shortlist of ``rerank`` candidates over
+    the compressed codes (cheap, bandwidth-light), then EXACT inner
+    product on just those vectors — fetched with a broadcast ``isin``
+    filter over the fp32 table, never a shuffle.  At scale the exact
+    stage touches rerank rows regardless of corpus size."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    shortlist = pq_topk(codes_ds, codebooks, q, k=rerank, id_col=id_col)
+    ids = shortlist[id_col].to_numpy()
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[id_col].isin(ids)]
+
+    cand = (
+        embeddings_ds.select_columns([id_col, vec_col])
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    s = _matrix(cand[vec_col]).astype(np.float64) @ q
+    out = pd.DataFrame({id_col: cand[id_col].to_numpy(), "score": s})
+    return (
+        out.sort_values(["score", id_col], ascending=[False, True],
+                        kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

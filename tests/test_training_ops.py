@@ -270,6 +270,85 @@ def test_hll_grouped_equals_sequential_per_group(ray_session):
         assert abs(got[g] - true) / true < 0.05, (g, got[g], true)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_synth(n=2000, d=64, n_clusters=20, seed=5):
+    """Well-separated seeded Gaussian clusters (unit-normalized)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, d)) * 4.0
+    lab = rng.integers(0, n_clusters, size=n)
+    X = cents[lab] + rng.normal(size=(n, d))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X.astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+    )
+    # the sequential reference must see exactly what the engine sees:
+    # the float32-stored vectors re-normalized in float64 (embed._matrix)
+    from knowledge_graph_construction_ray.stages.embed import _matrix
+
+    return df, _matrix(df["embedding"])
+
+
+def test_pq_encode_partition_invariant(ray_session):
+    """Distributed encode must equal the sequential kernel byte-for-byte
+    at any block layout (codes are row-independent argmins under one
+    deterministic codebook)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.pq import (
+        pq_codebooks_from_matrix,
+        pq_encode,
+        pq_encode_kernel,
+        train_pq_codebooks,
+    )
+
+    df, X = _pq_synth(n=600)
+    for blocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(blocks)
+        cb = train_pq_codebooks(ds, m=8, k=16)
+        seq_cb = pq_codebooks_from_matrix(X, m=8, k=16)
+        assert np.array_equal(cb, seq_cb)
+        enc = pq_encode(ds, cb).to_pandas().sort_values("vec_id")
+        got = np.frombuffer(b"".join(enc["code"]), dtype=np.uint8).reshape(-1, 8)
+        assert np.array_equal(got, pq_encode_kernel(X, cb))
+
+
+def test_pq_rerank_recall(ray_session):
+    """ADC shortlist + exact rerank must recover ≥0.9 of the true top-10
+    on clustered data, and the rerank scores must be the EXACT inner
+    products (the lossy step only selects, never scores)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.pq import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    df, X = _pq_synth()
+    ds = rd.from_pandas(df).repartition(8)
+    cb = train_pq_codebooks(ds, m=8, k=32)
+    codes = pq_encode(ds, cb)
+    recalls = []
+    for qi in (0, 500, 1500):
+        q = X[qi]
+        got = pq_topk_rerank(ds, codes, cb, q, k=10, rerank=100)
+        exact_scores = X @ q
+        exact10 = set(np.argsort(-exact_scores, kind="stable")[:10].tolist())
+        recalls.append(len(set(got["vec_id"]) & exact10) / 10)
+        # scores are exact inner products for the ids returned
+        np.testing.assert_allclose(
+            got["score"].to_numpy(),
+            exact_scores[got["vec_id"].to_numpy()],
+            rtol=1e-6,
+        )
+    assert np.mean(recalls) >= 0.9, recalls
+
+
 def test_percentiles_constant_column(ray_session, tmp_path):
     """Degenerate histogram (lo == hi): every value lands in the clipped
     last bin; selection must still return the constant exactly."""
