@@ -2920,10 +2920,15 @@ ORDER BY node
 def graph_core(sf_dir: str):
     """k-core decomposition (functions/graph.py::core_numbers) of the
     UNDIRECTED order-chain part graph — same edge builder as
-    graph_pagerank.  Runs the DISTRIBUTED h-index fixpoint
-    (force_distributed), so the oracle — a golden parquet from
-    golden.py::core_golden, which peels by minimum degree in one process
-    — checks it against an independent algorithm."""
+    graph_pagerank.  Takes core_numbers' size dispatch (the local peel
+    below the threshold — same discipline as graph_components: at toy
+    scale the distributed h-index fixpoint's ~30 rounds × 2 exchanges
+    are pure coordination, measured 199 s at sf0.01 vs <15 s local);
+    the DISTRIBUTED arm is exactness-checked against the independent
+    peeling algorithm in tests/test_graph.py (both arms vs a
+    definition-level strip-k brute force) and at 200k nodes / 800k
+    edges in tools/bench_graph.py.  Oracle: golden parquet from
+    golden.py::core_golden (sequential min-degree peel)."""
     from ..functions.graph import core_numbers
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
@@ -2940,11 +2945,7 @@ def graph_core(sf_dir: str):
         return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
 
     edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
-    return (
-        core_numbers(edges, force_distributed=True, num_buckets=8)
-        .sort("node")
-        .to_pandas()
-    )
+    return core_numbers(edges, num_buckets=8).sort("node").to_pandas()
 
 
 GRAPH_CORE_SQL = """

@@ -195,6 +195,112 @@ def pq_topk(
     )
 
 
+def build_ivfpq_index(
+    embeddings_ds,
+    index_dir: str,
+    *,
+    n_centroids: int | None = None,
+    m: int = 8,
+    k_codes: int = 256,
+    iters: int = 5,
+    sample_limit: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF × PQ composition — the FAISS-style shape for corpora where
+    neither full-scan bandwidth nor per-bucket fp32 storage is
+    affordable: coarse centroids route a query to nprobe bucket
+    DIRECTORIES (I/O pruning, embed.py::build_ivf_index), and each
+    bucket stores only (id, m-byte PQ code) rows — so the probed bytes
+    shrink by BOTH factors (nprobe/ncentroids × ~30× code compression).
+    One combined assign+encode pass over the data; centroids and
+    codebooks persist beside the partitions.
+
+    Codes quantize RAW vectors (not residuals-from-centroid); with an
+    exact-rerank tail the residual refinement only sharpens the
+    shortlist, and raw codes keep the encode kernel identical to (and
+    golden-checked by) the flat-PQ path."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from .embed import train_centroids
+
+    cents = train_centroids(
+        embeddings_ds, n_centroids=n_centroids, iters=iters,
+        sample_limit=sample_limit, vec_col=vec_col, id_col=id_col,
+    )
+    codebooks = train_pq_codebooks(
+        embeddings_ds, m=m, k=k_codes, iters=iters,
+        sample_limit=sample_limit, vec_col=vec_col, id_col=id_col,
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    def assign_encode(df: pd.DataFrame) -> pa.Table:
+        X = _matrix(df[vec_col])
+        bucket = np.argmax(X @ cents.T, axis=1).astype(np.int64)
+        codes = np.ascontiguousarray(pq_encode_kernel(X, codebooks))
+        code_arr = pa.Array.from_buffers(
+            pa.binary(m), len(df), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy()),
+                "ivf_bucket": pa.array(bucket),
+                "code": code_arr,
+            }
+        )
+
+    embeddings_ds.select_columns([id_col, vec_col]).map_batches(
+        assign_encode, batch_format="pandas"
+    ).write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "_codebooks.npy"), codebooks)
+    return cents, codebooks
+
+
+def ivfpq_search_index(
+    index_dir: str,
+    embeddings_ds,
+    query_vec: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Probe an IVF-PQ index: rank centroids, read ONLY the nprobe
+    nearest bucket directories (code rows — ~30× smaller than fp32),
+    ADC-shortlist ``rerank`` candidates, then exact inner product on
+    just those ids from the fp32 table (broadcast isin, no shuffle)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    codebooks = np.load(os.path.join(index_dir, "_codebooks.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ q))
+    files: list[str] = []
+    for b in order[:nprobe]:
+        d = os.path.join(index_dir, f"ivf_bucket={int(b)}")
+        if os.path.isdir(d):  # empty buckets have no directory
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not files:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    probed = rd.read_parquet(files, columns=[id_col, "code"])
+    return pq_topk_rerank(
+        embeddings_ds, probed, codebooks, q, k=k, rerank=rerank,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
 def pq_topk_rerank(
     embeddings_ds,
     codes_ds,

@@ -349,6 +349,47 @@ def test_pq_rerank_recall(ray_session):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_ivfpq_index_prunes_and_recalls(ray_session, tmp_path):
+    """IVF×PQ composition: probing nprobe of the bucket directories must
+    (a) touch a strict subset of the code files, (b) still recover ≥0.9
+    of the true top-10 after exact rerank, with exact scores."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.pq import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+
+    df, X = _pq_synth(n=3000, n_clusters=30, seed=9)
+    ds = rd.from_pandas(df).repartition(6)
+    index_dir = str(tmp_path / "ivfpq")
+    cents, cb = build_ivfpq_index(
+        ds, index_dir, n_centroids=16, m=8, k_codes=32
+    )
+    assert cents.shape[0] == 16 and cb.shape == (8, 32, 8)
+    n_dirs = len(glob.glob(os.path.join(index_dir, "ivf_bucket=*")))
+    assert n_dirs > 4  # pruning is meaningful only with several buckets
+
+    recalls = []
+    for qi in (0, 1200, 2900):
+        q = X[qi]
+        got = ivfpq_search_index(
+            index_dir, ds, q, k=10, nprobe=4, rerank=400
+        )
+        exact_scores = X @ q
+        exact10 = set(np.argsort(-exact_scores, kind="stable")[:10].tolist())
+        recalls.append(len(set(got["vec_id"]) & exact10) / 10)
+        np.testing.assert_allclose(
+            got["score"].to_numpy(),
+            exact_scores[got["vec_id"].to_numpy()],
+            rtol=1e-6,
+        )
+    assert np.mean(recalls) >= 0.9, recalls
+
+
 def test_percentiles_constant_column(ray_session, tmp_path):
     """Degenerate histogram (lo == hi): every value lands in the clipped
     last bin; selection must still return the constant exactly."""

@@ -92,6 +92,38 @@ def main() -> None:
         os.path.getsize(f) for f in glob.glob(os.path.join(codes_dir, "*.parquet"))
     )
     recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+
+    # --- IVF×PQ composition: prune buckets AND shrink the probed bytes ---
+    from knowledge_graph_construction_ray.stages.pq import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
+
+    ivfpq_dir = "/tmp/kg_pq_bench_ivfpq"
+    t0 = time.time()
+    cents, _cb = build_ivfpq_index(
+        ds, ivfpq_dir, n_centroids=None, m=args.m, k_codes=args.k_codes
+    )
+    t_ivfpq_build = time.time() - t0
+    nprobe = 8
+    ivfpq_search_index(ivfpq_dir, ds, q, k=10, nprobe=nprobe,
+                       rerank=args.rerank)  # warm
+    t0 = time.time()
+    got2 = ivfpq_search_index(ivfpq_dir, ds, q, k=10, nprobe=nprobe,
+                              rerank=args.rerank)
+    t_ivfpq = time.time() - t0
+    qn = q / np.linalg.norm(q)
+    order = np.argsort(-(cents @ qn))
+    ivfpq_total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(ivfpq_dir, "ivf_bucket=*", "*.parquet"))
+    )
+    ivfpq_probed = sum(
+        os.path.getsize(f)
+        for b in order[:nprobe]
+        for f in glob.glob(os.path.join(ivfpq_dir, f"ivf_bucket={int(b)}", "*.parquet"))
+    )
+    recall2 = len(set(got2["vec_id"]) & set(exact["vec_id"])) / 10
     print(
         {
             "rows": args.rows,
@@ -106,6 +138,13 @@ def main() -> None:
             "code_bytes": code_bytes,
             "compression": round(fp32_bytes / code_bytes, 1),
             "recall_at_10": recall,
+            "ivfpq_build_sec": round(t_ivfpq_build, 2),
+            "ivfpq_probe_sec": round(t_ivfpq, 2),
+            "ivfpq_nprobe": nprobe,
+            "ivfpq_probed_bytes": ivfpq_probed,
+            "ivfpq_io_fraction_vs_fp32": round(ivfpq_probed / fp32_bytes, 5),
+            "ivfpq_total_code_bytes": ivfpq_total,
+            "ivfpq_recall_at_10": recall2,
         }
     )
     ray.shutdown()
