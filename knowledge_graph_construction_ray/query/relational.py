@@ -1566,6 +1566,61 @@ FROM events"""
 ) + " ORDER BY col_name"
 
 
+def lineitem_qty_variance(sf_dir: str):
+    """EXACT grouped mean/variance over a decimal measure without float
+    summation-order sensitivity: quantities become int64 hundredths
+    (2-decimal floats ×100 land within 1e-9 of an integer, so numpy and
+    SQL round identically), per-batch groupby partials carry (n, Σq,
+    Σq²) — int64-safe inside one batch — and the tiny driver combine
+    (groups × blocks rows) runs in PYTHON ints, so n·Σq² − (Σq)² never
+    wraps at any corpus size; the SQL oracle mirrors with HUGEINT.  The
+    returned moments are floor-divided integers — bit-comparable, no
+    float variance contract needed."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(df["l_quantity"].to_numpy(np.float64) * 100).astype(np.int64)
+        t = pd.DataFrame({"g": df["l_returnflag"].to_numpy(), "q": q, "qq": q * q})
+        out = t.groupby("g", as_index=False).agg(
+            n=("q", "size"), s=("q", "sum"), ss=("qq", "sum")
+        )
+        return out
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for g, sub in small.groupby("g", sort=True):
+        # exact arbitrary-precision combine — bounded driver state
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])
+        ss = sum(int(v) for v in sub["ss"])
+        rows.append((g, n, s // n, (n * ss - s * s) // (n * n)))
+    return pd.DataFrame(
+        {
+            "l_returnflag": [r[0] for r in rows],
+            "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+            "mean_q100": pd.Series([r[2] for r in rows], dtype="int64"),
+            "varpop_q100": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+LINEITEM_QTY_VARIANCE_SQL = """
+WITH t AS (
+  SELECT l_returnflag, CAST(ROUND(l_quantity * 100) AS HUGEINT) AS q
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(q) AS s, SUM(q * q) AS ss
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s // n AS BIGINT) AS mean_q100,
+       CAST((n * ss - s * s) // (n * n) AS BIGINT) AS varpop_q100
+FROM a ORDER BY l_returnflag
+"""
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew diagnostic — the profile you run BEFORE picking a
     partitioning key: per-key counts via one combiner-backed exchange
@@ -3114,6 +3169,7 @@ QUERIES: dict[str, tuple] = {
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
+    "lineitem_qty_variance": (lineitem_qty_variance, LINEITEM_QTY_VARIANCE_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }
