@@ -1571,20 +1571,38 @@ def lineitem_qty_variance(sf_dir: str):
     summation-order sensitivity: quantities become int64 hundredths
     (2-decimal floats ×100 land within 1e-9 of an integer, so numpy and
     SQL round identically), per-batch groupby partials carry (n, Σq,
-    Σq²) — int64-safe inside one batch — and the tiny driver combine
-    (groups × blocks rows) runs in PYTHON ints, so n·Σq² − (Σq)² never
-    wraps at any corpus size; the SQL oracle mirrors with HUGEINT.  The
-    returned moments are floor-divided integers — bit-comparable, no
-    float variance contract needed."""
+    Σq²) and the tiny driver combine (groups × blocks rows) runs in
+    PYTHON ints, so n·Σq² − (Σq)² never wraps at any corpus size; the
+    SQL oracle mirrors with HUGEINT.  The returned moments are
+    floor-divided integers — bit-comparable, no float variance contract
+    needed.
+
+    Per-batch Σq² is itself wrap-proof by TWO-LIMB decomposition: each
+    q² ≤ 2^62 splits into hi = q² >> 31 and lo = q² & (2^31−1), and each
+    limb sums safely over up to 2^31 batch rows — valid for any
+    |q₁₀₀| < 2^31 (quantity < 2.1×10^7), guarded with a loud ValueError
+    instead of a silent wrap."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    _LIMB = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         q = np.round(df["l_quantity"].to_numpy(np.float64) * 100).astype(np.int64)
-        t = pd.DataFrame({"g": df["l_returnflag"].to_numpy(), "q": q, "qq": q * q})
-        out = t.groupby("g", as_index=False).agg(
-            n=("q", "size"), s=("q", "sum"), ss=("qq", "sum")
+        if len(q) and int(np.abs(q).max()) >= (1 << 31):
+            raise ValueError("quantity*100 >= 2^31: q*q would wrap int64")
+        qq = q * q
+        t = pd.DataFrame(
+            {
+                "g": df["l_returnflag"].to_numpy(),
+                "q": q,
+                "hi": qq >> _LIMB,
+                "lo": qq & _MASK,
+            }
         )
-        return out
+        return t.groupby("g", as_index=False).agg(
+            n=("q", "size"), s=("q", "sum"),
+            ss_hi=("hi", "sum"), ss_lo=("lo", "sum"),
+        )
 
     small = ds.map_batches(partial, batch_format="pandas").to_pandas()
     rows = []
@@ -1592,7 +1610,8 @@ def lineitem_qty_variance(sf_dir: str):
         # exact arbitrary-precision combine — bounded driver state
         n = int(sub["n"].sum())
         s = sum(int(v) for v in sub["s"])
-        ss = sum(int(v) for v in sub["ss"])
+        ss = sum(int(h) * (1 << 31) + int(lo)
+                 for h, lo in zip(sub["ss_hi"], sub["ss_lo"]))
         rows.append((g, n, s // n, (n * ss - s * s) // (n * n)))
     return pd.DataFrame(
         {
