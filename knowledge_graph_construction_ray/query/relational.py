@@ -1527,6 +1527,15 @@ def profile_events(sf_dir: str):
     )
 
     def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty OBJECT columns become null-typed Arrow
+            # blocks that poison the downstream schema; StringDtype maps
+            # to Arrow string even at 0 rows
+            return pd.DataFrame(
+                {
+                    "col_name": pd.Series(dtype="string"),
+                    "val": pd.Series(dtype="string"),
+                }
+            )
         out = []
         for c in _PROFILE_COLS:
             vals = df[c].dropna().astype(str).drop_duplicates()
@@ -1701,12 +1710,13 @@ WITH per_key AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-       CAST(SUM(n) AS BIGINT) AS n_rows,
-       CAST(MAX(n) AS BIGINT) AS max_n,
-       CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
-       CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90_n,
-       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
-       CAST(MAX(n) * 1000 * COUNT(*) // SUM(n) AS BIGINT) AS max_over_mean_x1000
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_n,
+       CAST(COALESCE(quantile_disc(n, 0.5), 0) AS BIGINT) AS p50_n,
+       CAST(COALESCE(quantile_disc(n, 0.90), 0) AS BIGINT) AS p90_n,
+       CAST(COALESCE(quantile_disc(n, 0.99), 0) AS BIGINT) AS p99_n,
+       CAST(COALESCE(MAX(n) * 1000 * COUNT(*) // SUM(n), 0) AS BIGINT)
+         AS max_over_mean_x1000
 FROM per_key
 """
 
@@ -2710,6 +2720,14 @@ def mixture_epochs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # np.repeat would broadcast-fail on 0 rows
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="string"),
+                    "copy_idx": pd.Series(dtype="int64"),
+                }
+            )
         ids = df["doc_id"].to_numpy(np.int64)
         src_num = df["source"].str.slice(3).astype("int64").to_numpy()
         wt_mil = 500 + ((src_num * 7) % 4) * 750

@@ -70,6 +70,8 @@ def pq_codebooks_from_matrix(
     trainer shared by the distributed path and the sequential golden
     oracle (identical float ops in identical order ⇒ identical codes)."""
     sample = np.asarray(sample, dtype=np.float64)
+    if sample.ndim != 2 or not len(sample):
+        raise ValueError("PQ training needs a non-empty 2-D sample matrix")
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -135,6 +137,13 @@ def pq_encode(
     m = codebooks.shape[0]
 
     def encode(df: pd.DataFrame) -> pa.Table:
+        if not len(df):  # _matrix can't stack zero rows
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "code": pa.array([], type=pa.binary(m)),
+                }
+            )
         codes = np.ascontiguousarray(pq_encode_kernel(_matrix(df[vec_col]), codebooks))
         code_arr = pa.Array.from_buffers(
             pa.binary(m), len(df), [None, pa.py_buffer(codes.tobytes())]
@@ -239,6 +248,14 @@ def build_ivfpq_index(
     os.makedirs(index_dir, exist_ok=True)
 
     def assign_encode(df: pd.DataFrame) -> pa.Table:
+        if not len(df):  # _matrix can't stack zero rows
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "ivf_bucket": pa.array([], type=pa.int64()),
+                    "code": pa.array([], type=pa.binary(m)),
+                }
+            )
         X = _matrix(df[vec_col])
         bucket = np.argmax(X @ cents.T, axis=1).astype(np.int64)
         codes = np.ascontiguousarray(pq_encode_kernel(X, codebooks))

@@ -157,9 +157,15 @@ def hll_grouped_cardinality(
                 )
             )
         if not out:
+            # preserve the group column's dtype — an all-object empty
+            # frame becomes a null-typed Arrow block that poisons the
+            # downstream schema
+            g0 = df[group_col].iloc[:0]
+            if g0.dtype == object:  # empty object → Arrow null type
+                g0 = g0.astype("string")
             return pd.DataFrame(
                 {
-                    group_col: pd.Series(dtype=object),
+                    group_col: g0,
                     "register": pd.Series(dtype="int64"),
                     "rho": pd.Series(dtype="int64"),
                 }

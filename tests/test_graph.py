@@ -305,6 +305,16 @@ def test_core_random_graphs(ray_session):
         )
 
 
+def test_core_high_diameter_fallback(ray_session):
+    """A long path erodes the h-index by ~one node per round (O(diameter)
+    rounds); when max_iters is exhausted the loop must finish EXACTLY via
+    the driver peel instead of raising."""
+    pairs = [(i, i + 1) for i in range(300)]
+    got = _core_solve(pairs, force_distributed=True, num_buckets=4, max_iters=5)
+    assert len(got) == 301
+    assert (got["core"] == 1).all()
+
+
 def test_core_empty(ray_session):
     got = _core_solve([])
     assert got.empty
