@@ -1429,6 +1429,39 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+def text_normalize(sf_dir: str):
+    """Corpus-hygiene normalization (stages/normalize.py): lower-case →
+    punctuation→space → whitespace collapse → trim, as a chain of
+    zero-copy Arrow RE2 kernels — the pass run before shingling/dedup so
+    case/punct noise can't split identical content.  Oracle: the SAME
+    steps as nested DuckDB lower/regexp_replace (both utf8proc/RE2),
+    byte-for-byte."""
+    from ..stages.normalize import normalize_columns_kernel
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    out = ds.map_batches(
+        normalize_columns_kernel(["p_brand", "p_type"]), batch_format="pyarrow"
+    ).to_pandas()
+    return (
+        out.rename(columns={"p_brand": "brand_norm", "p_type": "type_norm"})
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def _text_normalize_sql() -> str:
+    from ..stages.normalize import sql_normalize_expr
+
+    return f"""
+SELECT p_partkey, {sql_normalize_expr('p_brand')} AS brand_norm,
+       {sql_normalize_expr('p_type')} AS type_norm
+FROM part ORDER BY p_partkey
+"""
+
+
+TEXT_NORMALIZE_SQL = _text_normalize_sql()
+
+
 def pq_codes(sf_dir: str):
     """Product-quantization encode of the embeddings table
     (stages/pq.py): distributed deterministic hash-sample → per-subspace
@@ -3205,6 +3238,7 @@ QUERIES: dict[str, tuple] = {
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
+    "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "lineitem_qty_variance": (lineitem_qty_variance, LINEITEM_QTY_VARIANCE_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
