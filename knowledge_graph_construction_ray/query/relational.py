@@ -1429,6 +1429,37 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_users_hll_sf0.01.parquet')
 """
 
 
+def customer_name_editjoin(sf_dir: str):
+    """Typo-tolerant entity matching: all distinct customer-name pairs
+    at Levenshtein distance ≤ 1, via FastSS deletion-variant blocking +
+    vectorized byte-matrix verification (functions/editjoin.py) — never
+    the quadratic scan the SQL oracle runs.  Complete recall by
+    construction (any distance-1 pair shares a deletion key), exactness
+    by the one-sided verify."""
+    from ..functions.editjoin import edit1_self_join
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    out = edit1_self_join(ds, "c_name", num_buckets=16).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"name_a": pd.Series(dtype=object), "name_b": pd.Series(dtype=object)}
+        )
+    return (
+        out.astype({"name_a": object, "name_b": object})
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+
+
+CUSTOMER_NAME_EDITJOIN_SQL = """
+WITH n AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM n a JOIN n b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 def text_normalize(sf_dir: str):
     """Corpus-hygiene normalization (stages/normalize.py): lower-case →
     punctuation→space → whitespace collapse → trim, as a chain of
@@ -3239,6 +3270,7 @@ QUERIES: dict[str, tuple] = {
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
+    "customer_name_editjoin": (customer_name_editjoin, CUSTOMER_NAME_EDITJOIN_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "lineitem_qty_variance": (lineitem_qty_variance, LINEITEM_QTY_VARIANCE_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
