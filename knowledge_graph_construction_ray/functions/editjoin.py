@@ -172,29 +172,30 @@ def edit1_self_join(names_ds, col: str, *, num_buckets: int = 16):
     keyed = distinct.map_batches(keys_batch, batch_format="pyarrow")
 
     def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _k, sub in df.groupby("key", sort=False):
-            names = np.sort(sub["name"].astype(object).unique())
-            if len(names) < 2:
-                continue
-            ii, jj = np.triu_indices(len(names), k=1)
-            out.append(pd.DataFrame({"name_a": names[ii], "name_b": names[jj]}))
-        if not out:
-            return pd.DataFrame(
-                {"name_a": pd.Series(dtype="string"),
-                 "name_b": pd.Series(dtype="string")}
-            )
-        cand = pd.concat(out, ignore_index=True).drop_duplicates()
+        empty = pd.DataFrame(
+            {"name_a": pd.Series(dtype="string"),
+             "name_b": pd.Series(dtype="string")}
+        )
+        # vectorized within-key pair generation — sort by (key, name),
+        # factorize the key, emit ordered index pairs per run via pure
+        # index arithmetic (graph.py::_pairs_within_segments): millions
+        # of tiny variant groups never hit a per-group Python loop
+        from .graph import _pairs_within_segments
+
+        d = df.drop_duplicates().sort_values(["key", "name"], kind="mergesort")
+        codes, _ = pd.factorize(d["key"], sort=False)
+        li, ri = _pairs_within_segments(codes.astype(np.int64))
+        if not len(li):
+            return empty
+        names = d["name"].to_numpy(object)
+        cand = pd.DataFrame(
+            {"name_a": names[li], "name_b": names[ri]}
+        ).drop_duplicates()
         keep = verify_edit1_pairs(
             cand["name_a"].to_numpy(object), cand["name_b"].to_numpy(object)
         )
         res = cand[keep]
-        if not len(res):
-            return pd.DataFrame(
-                {"name_a": pd.Series(dtype="string"),
-                 "name_b": pd.Series(dtype="string")}
-            )
-        return res.astype("string")
+        return res.astype("string") if len(res) else empty
 
     cand = bucketed_groups(keyed, ["key"], pairs_in_group, num_buckets=num_buckets)
     # a pair can arise from several shared keys — global pair dedup
