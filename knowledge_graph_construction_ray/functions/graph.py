@@ -320,8 +320,18 @@ def pagerank(
     iters: int = 10,
     scale: int = 10**9,
     num_buckets: int = 16,
+    seeds: np.ndarray | None = None,
 ):
     """PageRank over a directed edge Dataset, in EXACT int64 arithmetic.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the same total teleport
+    and dangling mass is directed ONLY at the seed nodes (per-seed
+    teleport ``(3·scale·N)//(20·|S|)``, dangling ``(17·Σr//20)//|S|``)
+    instead of uniformly — rank then measures proximity to the seed set.
+    The seed array rides the task closures (assumed small — hundreds to
+    thousands; a huge personalization vector would need a broadcast
+    join instead).  Seeds absent from the graph are ignored identically
+    on both the distributed and golden side.
 
     Ranks are integers in units of ``1/scale`` (init = ``scale`` per
     node, damping 17/20 = 0.85, teleport 3·scale//20).  Every per-edge
@@ -339,7 +349,10 @@ def pagerank(
     connected-components changed-count).
 
     Overflow bound: N·scale·17 must stay under 2^63 — scale=1e9 is safe
-    to ~5·10^8 nodes; lower ``scale`` beyond that.
+    to ~5·10^8 nodes; lower ``scale`` beyond that.  Seeded mode
+    concentrates mass: the bound becomes N·scale·17/|S| < 2^63 (a seed's
+    rank approaches N·scale/|S|), so lower ``scale`` accordingly for
+    tiny seed sets on huge graphs.
 
     Per-iteration plan: ONE co-locating exchange on the source key
     (rank+outdeg rows meet out-edges; per-bucket partial sums of
@@ -353,6 +366,9 @@ def pagerank(
     from .groupby import bucketed_agg
 
     teleport = (3 * scale) // 20
+    seeds_arr = (
+        None if seeds is None else np.unique(np.asarray(seeds, dtype=np.int64))
+    )
 
     def dedup_dir(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -417,7 +433,14 @@ def pagerank(
 
     for _ in range(iters):
         dang = state.map_batches(dangling_partial, batch_format="pandas").sum("d")
-        dang_share = ((17 * int(dang)) // 20) // n_nodes
+        if seeds_arr is None:
+            dang_share = ((17 * int(dang)) // 20) // n_nodes
+            seed_boost = 0
+        else:
+            dang_share = 0  # all teleport+dangling mass goes to the seeds
+            seed_boost = (3 * scale * n_nodes) // (20 * len(seeds_arr)) + (
+                (17 * int(dang)) // 20
+            ) // len(seeds_arr)
 
         def propagate(df: pd.DataFrame) -> pd.DataFrame:
             lab = df[df["role"] == 0]
@@ -445,7 +468,15 @@ def pagerank(
             contrib = df[df["role"] == 1].groupby("key", as_index=False)["a"].sum()
             g = node_rows[["key", "b"]].merge(contrib, on="key", how="left")
             c = g["a"].fillna(0).astype(np.int64).to_numpy()
-            return _frame(g["key"], teleport + c + dang_share, g["b"], 0)
+            if seeds_arr is None:
+                tele = teleport + dang_share
+            else:
+                tele = np.where(
+                    np.isin(g["key"].to_numpy(np.int64), seeds_arr),
+                    seed_boost,
+                    0,
+                ).astype(np.int64)
+            return _frame(g["key"], tele + c, g["b"], 0)
 
         staged = _bucket_exchange(state.union(edge_tagged), propagate, num_buckets)
         state = _bucket_exchange(staged, combine, num_buckets).materialize()

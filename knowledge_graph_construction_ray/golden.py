@@ -254,13 +254,16 @@ def media_features_golden() -> pa.Table:
 
 
 def pagerank_golden_arrays(
-    src: np.ndarray, dst: np.ndarray, *, iters: int = 10, scale: int = 10**9
+    src: np.ndarray, dst: np.ndarray, *, iters: int = 10, scale: int = 10**9,
+    seeds: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Sequential integer PageRank — the same int64 formulas as
     functions/graph.py::pagerank (share = r·17 // (20·out), teleport
     3·scale//20, uniform dangling redistribution with double floor
-    division).  Integer sums are order-independent, so this matches the
-    distributed result bit-for-bit."""
+    division; with ``seeds``, teleport+dangling mass goes only to the
+    seed nodes exactly as in the distributed kernel).  Integer sums are
+    order-independent, so this matches the distributed result
+    bit-for-bit."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -276,14 +279,23 @@ def pagerank_golden_arrays(
     np.add.at(out, es, 1)
     r = np.full(n, scale, np.int64)
     teleport = (3 * scale) // 20
+    is_seed = None
+    if seeds is not None:
+        seeds_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+        is_seed = np.isin(nodes, seeds_arr)
+        n_seeds = len(seeds_arr)
     for _ in range(iters):
-        dang_share = ((17 * int(r[out == 0].sum())) // 20) // n
+        dang = int(r[out == 0].sum())
         share = np.zeros(n, np.int64)
         nz = out > 0
         share[nz] = (r[nz] * 17) // (20 * out[nz])
         contrib = np.zeros(n, np.int64)
         np.add.at(contrib, ed, share[es])
-        r = teleport + contrib + dang_share
+        if is_seed is None:
+            r = teleport + contrib + ((17 * dang) // 20) // n
+        else:
+            boost = (3 * scale * n) // (20 * n_seeds) + ((17 * dang) // 20) // n_seeds
+            r = contrib + np.where(is_seed, boost, 0).astype(np.int64)
     return pd.DataFrame({"node": nodes, "rank_scaled": r})
 
 
@@ -310,6 +322,16 @@ PAGERANK_QUERY_ITERS = 5
 def pagerank_golden(sf_dir: str) -> pd.DataFrame:
     src, dst = _order_chain_edges(sf_dir)
     return pagerank_golden_arrays(src, dst, iters=PAGERANK_QUERY_ITERS)
+
+
+PPR_QUERY_SEEDS = np.arange(5, dtype=np.int64)  # part keys 0..4
+
+
+def ppr_golden(sf_dir: str) -> pd.DataFrame:
+    src, dst = _order_chain_edges(sf_dir)
+    return pagerank_golden_arrays(
+        src, dst, iters=PAGERANK_QUERY_ITERS, seeds=PPR_QUERY_SEEDS
+    )
 
 
 def core_golden(sf_dir: str) -> pd.DataFrame:
@@ -408,6 +430,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(pq_codes_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"pq_codes_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"graph_ppr_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -3104,6 +3104,44 @@ def graph_core(sf_dir: str):
     return core_numbers(edges, num_buckets=8).sort("node").to_pandas()
 
 
+def graph_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (functions/graph.py::pagerank with seeds):
+    all teleport + dangling mass flows to part keys 0-4, so rank is
+    proximity-to-seeds — the recommendation/expansion primitive.  Same
+    int64-exact contract as graph_pagerank; oracle = golden parquet
+    from the sequential same-formula kernel (golden.py::ppr_golden)."""
+    from ..functions.graph import pagerank
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+    from ..golden import PAGERANK_QUERY_ITERS, PPR_QUERY_SEEDS
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        same = o[:-1] == o[1:]
+        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
+
+    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    return (
+        pagerank(edges, iters=PAGERANK_QUERY_ITERS, num_buckets=8,
+                 seeds=PPR_QUERY_SEEDS)
+        .sort("node")
+        .to_pandas()
+    )
+
+
+GRAPH_PPR_SQL = """
+SELECT node, rank_scaled
+FROM read_parquet('/tmp/kg_oracle_golden/graph_ppr_sf0.01.parquet')
+ORDER BY node
+"""
+
+
 GRAPH_CORE_SQL = """
 SELECT node, core
 FROM read_parquet('/tmp/kg_oracle_golden/graph_core_sf0.01.parquet')
@@ -3265,6 +3303,7 @@ QUERIES: dict[str, tuple] = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_core": (graph_core, GRAPH_CORE_SQL),
+    "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),

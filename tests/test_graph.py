@@ -211,6 +211,31 @@ def test_pagerank_mass_and_order(ray_session):
     assert (hub > out.loc[out["node"] != 0, "rank_scaled"]).all()
 
 
+def test_personalized_pagerank_matches_golden_and_concentrates(ray_session):
+    """Seeded mode: bit-identical to the sequential golden (same graph
+    as the uniform test — sinks, self-loop, dups, isolated 2-cycle),
+    absent seeds ignored identically, and seed nodes out-rank comparable
+    non-seeds (all mass teleports to them)."""
+    from knowledge_graph_construction_ray.functions.graph import pagerank
+    from knowledge_graph_construction_ray.golden import pagerank_golden_arrays
+
+    src = np.array([1, 1, 2, 3, 3, 3, 5, 1, 7, 8])
+    dst = np.array([2, 3, 4, 4, 3, 1, 5, 2, 8, 7])
+    ds = _edges(list(zip(src.tolist(), dst.tolist())))
+    seeds = np.array([3, 7, 999], dtype=np.int64)  # 999 not in the graph
+    got = (
+        pagerank(ds, num_buckets=4, seeds=seeds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = pagerank_golden_arrays(src, dst, seeds=seeds).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    r = got.set_index("node")["rank_scaled"]
+    # seeds dominate their non-seed peers
+    assert r[3] > r[1] and r[3] > r[4] and r[7] > r[8]
+
+
 def test_pagerank_empty(ray_session):
     from knowledge_graph_construction_ray.functions.graph import pagerank
 
