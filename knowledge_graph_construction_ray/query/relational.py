@@ -1713,6 +1713,78 @@ FROM a ORDER BY l_returnflag
 """
 
 
+def _skyline_minmin(price_c: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Boolean mask: the min-min Pareto skyline of DISTINCT (price_c,
+    day) pairs — no other pair is ≤ in both coordinates.  Vectorized:
+    sort by (price, day); a point survives iff its day is strictly
+    below the running min of all PRECEDING days (classic 2-D sweep)."""
+    order = np.lexsort((day, price_c))
+    d_sorted = day[order]
+    prev_min = np.minimum.accumulate(
+        np.concatenate([[np.iinfo(np.int64).max], d_sorted[:-1]])
+    )
+    keep_sorted = d_sorted < prev_min
+    keep = np.zeros(len(day), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def orders_price_date_skyline(sf_dir: str):
+    """Pareto-skyline operator (multi-objective filtering): the orders
+    not dominated in (totalprice, orderdate) — no other order is both
+    cheaper-or-equal AND earlier-or-equal.  Skyline is a SELECTIVE
+    reduction — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — so
+    the plan is the combiner shape: distinct integer pairs (cents,
+    epoch-day), per-block vectorized 2-D sweep, driver final sweep over
+    ≤ blocks × |local skyline| rows.  Integer coordinates make the
+    oracle comparison exact; the SQL mirrors the sweep with a window
+    running-min instead of the quadratic NOT EXISTS."""
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = np.round(df["o_totalprice"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        day = (
+            df["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        ).to_numpy()
+        t = pd.DataFrame({"price_c": price_c, "day": day}).drop_duplicates()
+        m = _skyline_minmin(
+            t["price_c"].to_numpy(np.int64), t["day"].to_numpy(np.int64)
+        )
+        return t[m]
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if small.empty:
+        return pd.DataFrame(
+            {"price_c": pd.Series(dtype="int64"), "day": pd.Series(dtype="int64")}
+        )
+    t = small.drop_duplicates()
+    m = _skyline_minmin(t["price_c"].to_numpy(np.int64), t["day"].to_numpy(np.int64))
+    return (
+        t[m].sort_values(["price_c", "day"]).reset_index(drop=True)
+    )
+
+
+ORDERS_SKYLINE_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day
+  FROM orders
+), w AS (
+  SELECT price_c, day,
+         MIN(day) OVER (ORDER BY price_c, day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_min
+  FROM d
+)
+SELECT price_c, day FROM w
+WHERE prev_min IS NULL OR day < prev_min
+ORDER BY price_c, day
+"""
+
+
 def events_key_skew(sf_dir: str):
     """Key-skew diagnostic — the profile you run BEFORE picking a
     partitioning key: per-key counts via one combiner-backed exchange
@@ -3312,6 +3384,7 @@ QUERIES: dict[str, tuple] = {
     "customer_name_editjoin": (customer_name_editjoin, CUSTOMER_NAME_EDITJOIN_SQL),
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "lineitem_qty_variance": (lineitem_qty_variance, LINEITEM_QTY_VARIANCE_SQL),
+    "orders_price_date_skyline": (orders_price_date_skyline, ORDERS_SKYLINE_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }

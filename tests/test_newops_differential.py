@@ -89,6 +89,46 @@ def test_mixture_epochs_differential(ray_session, tmp_path, seed):
     _run(tmp_path, "mixture_epochs", {"documents": docs})
 
 
+@pytest.mark.parametrize("seed", [13, 14, 15])
+def test_skyline_differential(ray_session, tmp_path, seed):
+    """Dense tie structure (few distinct prices/dates) so domination
+    with equal coordinates is exercised; also brute-force-checked."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 50, size=n).astype(np.int64),
+            "o_orderstatus": rng.choice(["O", "F", "P"], size=n),
+            "o_totalprice": np.round(rng.integers(1, 30, size=n) * 10.07, 2),
+            "o_orderdate": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 25, size=n), unit="D"),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH"], size=n),
+        }
+    )
+    _run(tmp_path, "orders_price_date_skyline", {"orders": orders})
+    # brute-force non-domination check on the engine output
+    fn, _ = QUERIES["orders_price_date_skyline"]
+    got = fn(str(tmp_path))
+    pts = set(
+        zip(
+            np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64),
+            (
+                orders["o_orderdate"].astype("datetime64[us]").astype("int64")
+                // 86_400_000_000
+            ).to_numpy(),
+        )
+    )
+    sky = {
+        p
+        for p in pts
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in pts
+        )
+    }
+    assert set(zip(got["price_c"], got["day"])) == sky
+
+
 @pytest.mark.parametrize("seed", [10, 11, 12])
 def test_qty_variance_differential(ray_session, tmp_path, seed):
     """2-decimal quantities at adversarial magnitudes (up to 10^7) —
