@@ -132,10 +132,12 @@ def verify_edit1_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
     gap1 = np.abs(la - lb) == 1
     if gap1.any():
-        # orient: S = shorter, L = longer
-        swap = lb < la
-        S = np.where(swap[:, None], B, A)[gap1]
-        L = np.where(swap[:, None], A, B)[gap1]
+        # orient: S = shorter, L = longer (subset FIRST — most candidates
+        # are equal-length, don't build full-size swapped temporaries)
+        sw = (lb < la)[gap1][:, None]
+        Ag, Bg = A[gap1], B[gap1]
+        S = np.where(sw, Bg, Ag)
+        L = np.where(sw, Ag, Bg)
         eq = S == L
         # first mismatching column per row (w if none — L == S + pad char)
         mism = ~eq

@@ -169,6 +169,7 @@ def core_numbers(
     max_iters: int = 128,
     local_threshold: int = 2_000_000,
     force_distributed: bool = False,
+    exhaustion_fallback: bool = True,
 ):
     """Core number (largest k with v inside the k-core) for every node.
 
@@ -288,20 +289,20 @@ def core_numbers(
         # vertex-centric exact k-core.  Rather than fail, finish EXACTLY
         # on the driver: the peel is a different algorithm and needs only
         # the edge list (~16 B/edge), which is feasible far above the
-        # dispatch threshold.
-        if edges.count() <= 20 * local_threshold:
+        # dispatch threshold.  Parity/scale tests pass
+        # ``exhaustion_fallback=False`` so a stalled distributed kernel
+        # can never be silently graded against its own oracle.
+        if exhaustion_fallback and edges.count() <= 20 * local_threshold:
             df = edges.to_pandas()
-            import ray.data as rd
-
             return rd.from_pandas(
                 peel_core_numbers(
                     df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)
                 )
             )
         raise RuntimeError(
-            f"core_numbers did not converge in {max_iters} rounds and the "
-            "graph is too large for the driver-peel fallback; raise "
-            "max_iters (rounds needed ~ graph diameter)"
+            f"core_numbers did not converge in {max_iters} rounds "
+            "(rounds needed ~ graph diameter); raise max_iters or enable "
+            "exhaustion_fallback"
         )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -369,6 +370,8 @@ def pagerank(
     seeds_arr = (
         None if seeds is None else np.unique(np.asarray(seeds, dtype=np.int64))
     )
+    if seeds_arr is not None and not len(seeds_arr):
+        raise ValueError("personalized pagerank needs a non-empty seed set")
 
     def dedup_dir(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -282,6 +282,8 @@ def pagerank_golden_arrays(
     is_seed = None
     if seeds is not None:
         seeds_arr = np.unique(np.asarray(seeds, dtype=np.int64))
+        if not len(seeds_arr):
+            raise ValueError("personalized pagerank needs a non-empty seed set")
         is_seed = np.isin(nodes, seeds_arr)
         n_seeds = len(seeds_arr)
     for _ in range(iters):

@@ -3114,23 +3114,9 @@ def graph_pagerank(sf_dir: str):
     consecutive-distinct-part chain per order.  Oracle: golden parquet
     from golden.py::pagerank_golden (same formulas, one process)."""
     from ..functions.graph import pagerank
-    from ..functions.groupby import bucketed_agg, bucketed_groups
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    items = bucketed_agg(
-        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
-    ).select_columns(["l_orderkey", "l_partkey"])
-
-    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-        o = df["l_orderkey"].to_numpy(np.int64)
-        p = df["l_partkey"].to_numpy(np.int64)
-        same = o[:-1] == o[1:]
-        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
-
     from ..golden import PAGERANK_QUERY_ITERS
 
-    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    edges = _order_chain_edges_ds(sf_dir)
     return (
         pagerank(edges, iters=PAGERANK_QUERY_ITERS, num_buckets=8)
         .sort("node")
@@ -3158,6 +3144,17 @@ def graph_core(sf_dir: str):
     edges in tools/bench_graph.py.  Oracle: golden parquet from
     golden.py::core_golden (sequential min-degree peel)."""
     from ..functions.graph import core_numbers
+
+    edges = _order_chain_edges_ds(sf_dir)
+    return core_numbers(edges, num_buckets=8).sort("node").to_pandas()
+
+
+def _order_chain_edges_ds(sf_dir: str):
+    """The DIRECTED consecutive-distinct-part chain per order — the ONE
+    distributed edge builder shared by graph_pagerank / graph_core /
+    graph_ppr (golden.py::_order_chain_edges is the sequential mirror;
+    keeping a single distributed copy means an edit here cannot
+    desynchronize one query's edges from its golden)."""
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -3172,8 +3169,7 @@ def graph_core(sf_dir: str):
         same = o[:-1] == o[1:]
         return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
 
-    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
-    return core_numbers(edges, num_buckets=8).sort("node").to_pandas()
+    return bucketed_groups(items, ["l_orderkey"], chain_edges)
 
 
 def graph_ppr(sf_dir: str):
@@ -3183,22 +3179,9 @@ def graph_ppr(sf_dir: str):
     int64-exact contract as graph_pagerank; oracle = golden parquet
     from the sequential same-formula kernel (golden.py::ppr_golden)."""
     from ..functions.graph import pagerank
-    from ..functions.groupby import bucketed_agg, bucketed_groups
     from ..golden import PAGERANK_QUERY_ITERS, PPR_QUERY_SEEDS
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    items = bucketed_agg(
-        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
-    ).select_columns(["l_orderkey", "l_partkey"])
-
-    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-        o = df["l_orderkey"].to_numpy(np.int64)
-        p = df["l_partkey"].to_numpy(np.int64)
-        same = o[:-1] == o[1:]
-        return pd.DataFrame({"src": p[:-1][same], "dst": p[1:][same]})
-
-    edges = bucketed_groups(items, ["l_orderkey"], chain_edges)
+    edges = _order_chain_edges_ds(sf_dir)
     return (
         pagerank(edges, iters=PAGERANK_QUERY_ITERS, num_buckets=8,
                  seeds=PPR_QUERY_SEEDS)

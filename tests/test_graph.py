@@ -290,7 +290,8 @@ def test_core_k4_plus_chain(ray_session):
     exp = _core_expected(pairs)
     pd.testing.assert_frame_equal(_core_solve(pairs), exp)
     pd.testing.assert_frame_equal(
-        _core_solve(pairs, force_distributed=True, num_buckets=4), exp
+        _core_solve(pairs, force_distributed=True, num_buckets=4,
+                    exhaustion_fallback=False), exp
     )
 
 
@@ -305,7 +306,8 @@ def test_core_nested_shells(ray_session):
     exp = _core_expected(pairs)
     pd.testing.assert_frame_equal(_core_solve(pairs), exp)
     pd.testing.assert_frame_equal(
-        _core_solve(pairs, force_distributed=True, num_buckets=3), exp
+        _core_solve(pairs, force_distributed=True, num_buckets=3,
+                    exhaustion_fallback=False), exp
     )
 
 
@@ -326,7 +328,8 @@ def test_core_random_graphs(ray_session):
         pd.testing.assert_frame_equal(_core_solve(pairs), exp)
         # distributed h-index arm
         pd.testing.assert_frame_equal(
-            _core_solve(pairs, force_distributed=True, num_buckets=4), exp
+            _core_solve(pairs, force_distributed=True, num_buckets=4,
+                    exhaustion_fallback=False), exp
         )
 
 

@@ -122,7 +122,7 @@ def main() -> None:
 
     t0 = time.time()
     core = (
-        core_numbers(edges, force_distributed=True)
+        core_numbers(edges, force_distributed=True, exhaustion_fallback=False)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
