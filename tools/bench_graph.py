@@ -1,5 +1,6 @@
 """Scale check for the graph family (functions/graph.py): distributed
-connected components, PageRank and triangle counting on a deterministic
+connected components, PageRank, k-core numbers and triangle counting on
+a deterministic
 synthetic graph big enough that per-round coordination stops dominating.
 
 Graph: ``--nodes`` vertices in ``--clusters`` equal dense-ish clusters
@@ -11,6 +12,9 @@ Checks, not just walls:
 - CC with ``force_distributed`` recovers exactly ``--clusters``
   components (bridges off) and labels match the numpy local kernel.
 - PageRank distributed == sequential golden BIT-exactly at this scale.
+- core numbers (h-index fixpoint, exhaustion_fallback=False so the
+  distributed kernel cannot be graded against its own peel oracle)
+  == sequential min-degree peeling exactly.
 - triangles: per-node counts sum to 3× the (counted) triangle total.
 
 Run:  python tools/bench_graph.py --nodes 200000 [--cpus 16]
