@@ -1729,6 +1729,78 @@ def _skyline_minmin(price_c: np.ndarray, day: np.ndarray) -> np.ndarray:
     return keep
 
 
+def events_hour_regression(sf_dir: str):
+    """EXACT grouped OLS slope (value vs hour-of-day per event type)
+    from integer moments: y = milli-value int64, x = hour 0-23; per-batch
+    partials carry (n, Σx, Σy, Σxy, Σx²) — int64-safe per batch — and
+    the driver combines in PYTHON ints, so n·Σxy − Σx·Σy can never wrap.
+    slope ×10⁶ is reported with TRUNCATING division (DuckDB ``//``
+    truncates toward zero on negatives while Python floors — both sides
+    truncate explicitly so a negative slope stays bit-comparable);
+    zero x-variance groups report 0.  The float regr_slope aggregate
+    could not be hash-compared; integer moments can."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            (df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000)
+            % 24
+        ).to_numpy()
+        y = np.round(df["value"].to_numpy(np.float64) * 1000).astype(np.int64)
+        t = pd.DataFrame(
+            {"g": df["event_type"].to_numpy(), "x": x, "y": y,
+             "xy": x * y, "xx": x * x}
+        )
+        return t.groupby("g", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        )
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for g, sub in small.groupby("g", sort=True):
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sy = sum(int(v) for v in sub["sy"])
+        sxy = sum(int(v) for v in sub["sxy"])
+        sxx = sum(int(v) for v in sub["sxx"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = 0
+        else:
+            q = (abs(num) * 1_000_000) // den  # den > 0 always
+            slope = q if num >= 0 else -q
+        rows.append((g, n, slope))
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+            "slope_milli_x1e6": pd.Series([r[2] for r in rows], dtype="int64"),
+        }
+    )
+
+
+EVENTS_HOUR_REGRESSION_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS HUGEINT) AS x,
+         CAST(ROUND(value * 1000) AS HUGEINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM t GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_milli_x1e6
+FROM a ORDER BY event_type
+"""
+
+
 def orders_price_date_skyline(sf_dir: str):
     """Pareto-skyline operator (multi-objective filtering): the orders
     not dominated in (totalprice, orderdate) — no other order is both
@@ -3368,6 +3440,7 @@ QUERIES: dict[str, tuple] = {
     "events_key_skew": (events_key_skew, EVENTS_KEY_SKEW_SQL),
     "lineitem_qty_variance": (lineitem_qty_variance, LINEITEM_QTY_VARIANCE_SQL),
     "orders_price_date_skyline": (orders_price_date_skyline, ORDERS_SKYLINE_SQL),
+    "events_hour_regression": (events_hour_regression, EVENTS_HOUR_REGRESSION_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
 }

@@ -89,6 +89,25 @@ def test_mixture_epochs_differential(ray_session, tmp_path, seed):
     _run(tmp_path, "mixture_epochs", {"documents": docs})
 
 
+@pytest.mark.parametrize("seed", [16, 17, 18])
+def test_hour_regression_differential(ray_session, tmp_path, seed):
+    """Random event streams (trend direction varies with seed, including
+    constant-hour degenerate groups) — the truncating-division slope
+    must match DuckDB's HUGEINT `//` exactly, negatives included."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 500))
+    ev = _events(rng, n)
+    # inject a trend so slopes are decisively non-zero in both signs
+    hod = (ev["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000) % 24
+    ev["value"] = np.round(
+        ev["value"] + np.where(ev["event_type"] == "buy", 1.0, -1.0) * hod * 3.5, 3
+    )
+    # a degenerate group: every 'click' at the same hour (zero x-variance)
+    base = pd.Timestamp("2024-06-01 07:00:00")
+    ev.loc[ev["event_type"] == "click", "ts"] = base
+    _run(tmp_path, "events_hour_regression", {"events": ev})
+
+
 @pytest.mark.parametrize("seed", [13, 14, 15])
 def test_skyline_differential(ray_session, tmp_path, seed):
     """Dense tie structure (few distinct prices/dates) so domination
