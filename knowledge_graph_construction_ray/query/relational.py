@@ -1371,6 +1371,312 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def bm25_search(sf_dir: str, k: int = 10):
+    """BM25 ranked search (k1=1.2, b=0.75), integer-exact end to end.
+
+    Same two-phase shape as ``tfidf_search`` — tiny global-statistics
+    pass, broadcast, vectorized per-batch scoring, ``local_topk`` head —
+    but with the real BM25 saturation/length normalization.  The float
+    formula tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is cleared of ALL
+    divisions by multiplying through by 20·A (A = corpus token count,
+    avgdl = A/Nd):
+
+        term(tf, dl) = (44·A·tf·1000) // (20·A·tf + 6·A + 18·dl·Nd)
+        score        = Σ_q  ((Nd·1000)//df_q) · term(tf_q, dl)
+
+    — one truncating division per (doc, term), identical in int64/numpy
+    and DuckDB ``//``, so the oracle hash-matches with no float contract.
+    The batch kernel stays in int64 while 44000·A·max_tf and
+    20·A·max_tf + 6A + 18·max_dl·Nd fit (checked per batch) and falls
+    back to Python-int object arrays beyond — the same wrap-proof
+    discipline as ``lineitem_qty_variance``; the SQL mirror casts the
+    products to HUGEINT.  Docs matching ≥1 query term are ranked even at
+    score 0 (truncation can zero a term), mirroring the SQL tf join."""
+    from ..functions.groupby import local_topk
+
+    terms = list(_BM25_TERMS)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df["text"].str.strip()
+        keep = stripped.str.len() > 0
+        ex = stripped[keep].str.split().explode()
+        pairs = pd.DataFrame({"d": ex.index, "t": ex.to_numpy()})
+        hits = pairs[pairs["t"].isin(terms)].drop_duplicates()
+        vc = hits["t"].value_counts()
+        # sentinels must differ in their FIRST byte: pandas' groupby
+        # hashtable compares object strings as C strings, so two keys
+        # sharing a '\x00' prefix would merge ('\x00a' == '\x00b' to it)
+        return pd.DataFrame(
+            {
+                "term": list(vc.index) + ["\x00ndocs", "\x01ntoks"],
+                "n": list(vc.to_numpy(np.int64))
+                + [np.int64(keep.sum()), np.int64(len(ex))],
+            }
+        )
+
+    small = ds.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    agg = (
+        small.groupby("term")["n"].sum()
+        if not small.empty
+        else pd.Series(dtype=np.int64)
+    )
+    n_docs = int(agg.get("\x00ndocs", 0))
+    a_toks = int(agg.get("\x01ntoks", 0))
+    idf = {
+        t: (n_docs * 1000) // int(agg[t]) for t in terms if int(agg.get(t, 0)) > 0
+    }
+    if not idf or a_toks == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="int64")}
+        )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="int64")}
+        )
+        stripped = df["text"].str.strip()
+        keep = (stripped.str.len() > 0).to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)[keep]
+        if len(ids) == 0:
+            return empty
+        toks = stripped[keep].str.split()
+        dl = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode()
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
+        sc = np.zeros(len(ids), dtype=object)
+        sc[:] = 0
+        matched = np.zeros(len(ids), dtype=bool)
+        tvals = flat.to_numpy()
+        for t, w in idf.items():
+            tf = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(tf, didx, (tvals == t).astype(np.int64))
+            hit = tf > 0
+            if not hit.any():
+                continue
+            matched |= hit
+            sc[hit] = sc[hit] + _bm25_contrib(
+                tf[hit], dl[hit], a_toks, n_docs, w
+            )
+        if not matched.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": ids[matched],
+                "score": np.asarray(sc[matched], dtype=np.int64),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    out = local_topk(scored, ["score", "doc_id"], k, descending=[True, False])
+    if out.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="int64")}
+        )
+    return out[["doc_id", "score"]]
+
+
+_BM25_TERMS = ("join", "filter", "scan")
+
+
+def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, a_toks: int, n_docs: int, w: int):
+    """w · (44·A·tf·1000) // (20·A·tf + 6·A + 18·dl·Nd), exact.
+
+    int64 numpy fast path while neither side of the division can wrap at
+    this batch's extremes; Python-int object arrays beyond (the
+    ``lineitem_qty_variance`` wrap-proof discipline).  Returns an object
+    ndarray either way — the caller accumulates into an object score
+    column and casts to int64 once at the end."""
+    max_tf = int(tf.max()) if len(tf) else 0
+    max_dl = int(dl.max()) if len(dl) else 0
+    if (
+        44_000 * a_toks * max_tf < 2**62
+        and 20 * a_toks * max_tf + 6 * a_toks + 18 * max_dl * n_docs < 2**62
+    ):
+        num = 44 * a_toks * tf * 1000
+        den = 20 * a_toks * tf + 6 * a_toks + 18 * dl * n_docs
+        return (w * (num // den)).astype(object)
+    tfo = tf.astype(object)
+    dlo = dl.astype(object)
+    return w * (
+        (44 * a_toks * tfo * 1000)
+        // (20 * a_toks * tfo + 6 * a_toks + 18 * dlo * n_docs)
+    )
+
+
+BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS a,
+               (SELECT COUNT(*) FROM documents
+                WHERE length(trim(text)) > 0) AS nd
+        FROM tok),
+q(term) AS (VALUES ('join'), ('filter'), ('scan')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(SUM(((tot.nd * 1000) // dfq.dfq) *
+            ((44 * CAST(tot.a AS HUGEINT) * tf.tf * 1000) //
+             (20 * CAST(tot.a AS HUGEINT) * tf.tf
+              + 6 * tot.a + 18 * CAST(dl.dl AS HUGEINT) * tot.nd)))
+            AS BIGINT) AS score
+FROM tf
+CROSS JOIN tot
+JOIN dfq ON tf.term = dfq.term
+JOIN dl ON tf.doc_id = dl.doc_id
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+"""
+
+
+def docs_chunk_windows(sf_dir: str, width: int = 200, stride: int = 150):
+    """RAG-style chunking: every document split into overlapping
+    codepoint windows (width 200, stride 150) — the retrieval-chunk /
+    context-window fan-out step of a training-data pipeline.
+
+    Stateless zero-copy Arrow kernel: one ``utf8_slice_codeunits`` call
+    per chunk ORDINAL (≤ ceil(maxlen/stride) calls per batch — bounded
+    by document length, never by row count), so all per-row work runs
+    inside Arrow's UTF-8 kernels.  Arrow's "codeunits" for utf8 arrays
+    are codepoints, matching DuckDB ``substr``/``length`` exactly, so
+    the parity holds for non-ASCII text too.  Empty documents still
+    emit their single empty chunk, mirroring the SQL
+    ``greatest(length, 1)`` range."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.combine_chunks()
+        lens = pc.utf8_length(tbl["text"])
+        mx = pc.max(lens).as_py()
+        mx = int(mx) if mx is not None else 0
+        out = []
+        k = 0
+        while k * stride < max(mx, 1):
+            sub = tbl if k == 0 else tbl.filter(pc.greater(lens, k * stride))
+            n = sub.num_rows
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "chunk_id": pa.array(np.full(n, k, np.int64)),
+                        "chunk_start": pa.array(np.full(n, k * stride, np.int64)),
+                        "chunk": pc.utf8_slice_codeunits(
+                            sub["text"], start=k * stride, stop=k * stride + width
+                        ),
+                    }
+                )
+            )
+            k += 1
+        if not out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    return (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_id"])
+        .to_pandas()
+    )
+
+
+DOCS_CHUNK_SQL = """
+SELECT doc_id, s // 150 AS chunk_id, s AS chunk_start,
+       substr(text, s + 1, 200) AS chunk
+FROM documents, unnest(range(0, greatest(length(text), 1), 150)) AS t(s)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def corpus_heavy_terms(sf_dir: str, denom: int = 200):
+    """Frequent-item mining with BOUNDED exchange volume at ANY
+    vocabulary size: every whitespace token with corpus frequency
+    ≥ max(1, N // 200), exact.
+
+    ``corpus_top_terms`` pays one exchange carrying every distinct term;
+    here the exchange carries only CANDIDATES.  Pass 1 keeps, per batch,
+    the local heavy hitters (count c_i with 400·c_i > n_i — at most 400
+    rows per block whatever the vocabulary).  Superset guarantee (the
+    Misra-Gries argument): if a term is a local heavy hitter nowhere,
+    C = Σc_i ≤ N/400 < max(1, N//200) — for N < 400 the left side is
+    < 1, for N ≥ 400 N//200 ≥ (N−199)/200 > N/400 — so every term
+    passing the global threshold is a candidate somewhere.  Pass 2
+    exact-counts only the broadcast candidate set (``ray.put``, read
+    once per task) plus a token-total sentinel row ('\\x00total' cannot
+    collide with a whitespace-split token of the printable corpus)."""
+    import ray
+
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def cand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode().dropna()
+        vc = toks.value_counts()
+        keep = vc[(400 * vc.to_numpy(np.int64)) > len(toks)]
+        return pd.DataFrame({"term": keep.index.to_numpy(object)})
+
+    cand_df = ds.map_batches(cand_partial, batch_format="pandas").to_pandas()
+    cand = (
+        np.unique(cand_df["term"].to_numpy(object))
+        if not cand_df.empty
+        else np.array([], dtype=object)
+    )
+    cand_ref = ray.put(cand)
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms = ray.get(cand_ref)
+        toks = df["text"].str.split().explode().dropna()
+        vc = toks[toks.isin(terms)].value_counts()
+        return pd.DataFrame(
+            {
+                "term": np.concatenate([vc.index.to_numpy(object), ["\x00total"]]),
+                "n": np.concatenate([vc.to_numpy(np.int64), [np.int64(len(toks))]]),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(exact_partial, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {"term": pd.Series(dtype=object), "n": pd.Series(dtype="int64")}
+    )
+    if counts.empty:
+        return empty
+    total = int(counts.loc[counts["term"] == "\x00total", "n"].sum())
+    thresh = max(1, total // denom)
+    out = counts[(counts["term"] != "\x00total") & (counts["n"] >= thresh)]
+    if out.empty:
+        return empty
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .reset_index(drop=True)[["term", "n"]]
+    )
+
+
+HEAVY_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tot AS (SELECT COUNT(*) AS n_tok FROM tok WHERE term <> '')
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok CROSS JOIN tot WHERE term <> ''
+GROUP BY term, tot.n_tok
+HAVING COUNT(*) >= greatest(1, tot.n_tok // 200)
+ORDER BY n DESC, term
+"""
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user_id) per event type: per-batch
     pair-dedup combiner → ONE bucketed exchange keyed (event_type,
@@ -3443,4 +3749,7 @@ QUERIES: dict[str, tuple] = {
     "events_hour_regression": (events_hour_regression, EVENTS_HOUR_REGRESSION_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "bm25_search": (bm25_search, BM25_SQL),
+    "docs_chunk_windows": (docs_chunk_windows, DOCS_CHUNK_SQL),
+    "corpus_heavy_terms": (corpus_heavy_terms, HEAVY_TERMS_SQL),
 }

@@ -1,0 +1,165 @@
+"""Unit tests for the search/chunk operator batch: BM25 ranked search
+(integer-exact contribution kernel, both the int64 fast arm and the
+Python-int wide arm), codepoint window chunking, and bounded-state heavy
+terms.  (End-to-end oracle parity for the three queries() entries is
+covered by test_driver_parity.py.)"""
+
+from fractions import Fraction
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from knowledge_graph_construction_ray.query.relational import (
+    _bm25_contrib,
+    bm25_search,
+    corpus_heavy_terms,
+    docs_chunk_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# BM25 contribution kernel
+# ---------------------------------------------------------------------------
+
+
+def _contrib_reference(tf, dl, a, nd, w):
+    """Independent exact-rational reference: the cleared-fraction formula
+    recomputed with Fraction, floored at the end — the single truncating
+    division is the only rounding point in the contract."""
+    out = []
+    for t, d in zip(tf, dl):
+        num = Fraction(44 * a * int(t) * 1000)
+        den = Fraction(20 * a * int(t) + 6 * a + 18 * int(d) * nd)
+        out.append(w * (num // den))
+    return np.array(out, dtype=object)
+
+
+def test_bm25_contrib_int64_arm_matches_fraction_reference():
+    tf = np.array([1, 3, 17, 200], dtype=np.int64)
+    dl = np.array([10, 55, 480, 553], dtype=np.int64)
+    got = _bm25_contrib(tf, dl, a_toks=27_165, n_docs=500, w=1666)
+    want = _contrib_reference(tf, dl, 27_165, 500, 1666)
+    assert got.dtype == object
+    assert list(got) == list(want)
+
+
+def test_bm25_contrib_wide_arm_is_exact_beyond_int64():
+    # corpus stats big enough that 44_000·A·tf wraps int64: the kernel
+    # must take the object-int arm and still be exact
+    a = 10**15  # 1e15 tokens
+    nd = 10**12
+    tf = np.array([1, 7, 2200], dtype=np.int64)
+    dl = np.array([100, 100_000, 1], dtype=np.int64)
+    w = (nd * 1000) // 3
+    assert 44_000 * a * int(tf.max()) >= 2**62  # precondition: wide arm
+    got = _bm25_contrib(tf, dl, a, nd, w)
+    want = _contrib_reference(tf, dl, a, nd, w)
+    assert list(got) == list(want)
+    assert all(isinstance(v, int) for v in got)
+
+
+def test_bm25_contrib_arms_agree_at_the_dispatch_boundary():
+    tf = np.array([5, 50], dtype=np.int64)
+    dl = np.array([20, 2000], dtype=np.int64)
+    for a in (10**6, 10**13):  # straddles the int64-fast-path condition
+        got = _bm25_contrib(tf, dl, a, 10**6, 31)
+        want = _contrib_reference(tf, dl, a, 10**6, 31)
+        assert list(got) == list(want)
+
+
+def test_bm25_search_ranks_and_is_deterministic(ray_session):
+    out1 = bm25_search(SF_DIR)
+    out2 = bm25_search(SF_DIR)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert list(out1.columns) == ["doc_id", "score"]
+    assert len(out1) == 10
+    # descending by score with doc_id tiebreak
+    s = out1["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+
+# ---------------------------------------------------------------------------
+# Window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_reconstruct_documents(ray_session):
+    """Stitching chunk prefixes (the first `stride` chars of each chunk,
+    all of the last) reproduces every document byte-for-byte — no text is
+    lost or duplicated by the windowing."""
+    out = docs_chunk_windows(SF_DIR)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    rebuilt = (
+        out.sort_values(["doc_id", "chunk_id"])
+        .groupby("doc_id")["chunk"]
+        .apply(lambda ch: "".join(c[:150] for c in ch[:-1]) + ch.iloc[-1])
+    )
+    ref = docs.set_index("doc_id")["text"]
+    assert rebuilt.to_dict() == ref.to_dict()
+
+
+def test_chunk_windows_overlap_contract(ray_session):
+    """Consecutive chunks of one doc overlap by width−stride chars: the
+    tail of chunk k equals the head of chunk k+1."""
+    out = docs_chunk_windows(SF_DIR)
+    some = out[out["doc_id"] == out["doc_id"].iloc[0]].reset_index(drop=True)
+    for i in range(len(some) - 1):
+        a, b = some.loc[i, "chunk"], some.loc[i + 1, "chunk"]
+        if len(a) == 200:  # full-width chunk ⇒ 50-char overlap exists
+            assert a[150:] == b[: len(a) - 150]
+
+
+def test_chunk_windows_non_ascii_codepoint_parity(ray_session):
+    """Arrow utf8_slice_codeunits slices CODEPOINTS for utf8 arrays —
+    verify against DuckDB substr on multibyte text via a temp table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = "héllo wörld ünïcode " * 20  # 400 codepoints, multibyte
+    arr = pa.array([text])
+    got = pc.utf8_slice_codeunits(arr, start=150, stop=350).to_pylist()[0]
+    con = duckdb.connect()
+    want = con.execute("SELECT substr(?, 151, 200)", [text]).fetchone()[0]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Heavy terms
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_terms_match_exact_counts(ray_session):
+    """The bounded-candidate path returns EXACTLY the terms an exact
+    whole-corpus count returns — the Misra-Gries superset guarantee plus
+    exact verification leaves no approximation."""
+    out = corpus_heavy_terms(SF_DIR)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    toks = docs["text"].str.split().explode().dropna()
+    vc = toks.value_counts()
+    thresh = max(1, len(toks) // 200)
+    want = (
+        pd.DataFrame({"term": vc[vc >= thresh].index, "n": vc[vc >= thresh].to_numpy()})
+        .sort_values(["n", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_heavy_terms_candidate_bound_per_block():
+    """The pass-1 rule keeps at most 400 candidates per block whatever
+    the vocabulary: 400·c > n admits fewer than 400 winners when every
+    count is 1 and exactly bounds the dense case."""
+    rng = np.random.default_rng(7)
+    toks = pd.Series(rng.integers(0, 1_000_000, 50_000).astype(str))
+    vc = toks.value_counts()
+    keep = vc[(400 * vc.to_numpy(np.int64)) > len(toks)]
+    assert len(keep) <= 400
