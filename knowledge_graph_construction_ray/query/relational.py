@@ -3582,6 +3582,58 @@ ORDER BY node
 """
 
 
+def graph_bfs(sf_dir: str):
+    """Single-source hop distances (functions/graph.py::bfs_distances —
+    frontier-synchronous propagation, two bucketed exchanges per round,
+    O(eccentricity) rounds, per-round state \\|V\\|+2\\|E\\| rows) over a
+    deterministic DOUBLING graph on the part keys: chain edges p—p+1
+    plus expressway chords p—2p give O(log n) diameter (measured
+    eccentricity 17 from seed 0 at sf0.01) — the graph shape where
+    round-synchronous BFS actually pays; on an O(n)-diameter chain
+    you'd use the driver kernel or pointer-jumping components instead.
+    Size dispatch solves the gate scale locally (same discipline as
+    graph_components); the distributed arm keeps its exactness gates in
+    tests/test_graph.py.  Oracle: bounded-depth recursive-CTE walk
+    (bound 64 ≫ the doubling graph's eccentricity at any test sf)."""
+    from ..functions.graph import bfs_distances
+
+    part = _read(sf_dir, "part", ["p_partkey"], blocks=8)
+    mx = int(part.max("p_partkey"))
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["p_partkey"].to_numpy(np.int64)
+        chain = pk[pk + 1 <= mx]
+        dbl = pk[(pk >= 1) & (2 * pk <= mx)]
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([chain, dbl]),
+                "dst": np.concatenate([chain + 1, 2 * dbl]),
+            }
+        )
+
+    edges = part.map_batches(mk_edges, batch_format="pandas")
+    return bfs_distances(edges, [0]).sort("node").to_pandas()
+
+
+GRAPH_BFS_SQL = """
+WITH RECURSIVE p AS (SELECT p_partkey AS id FROM part),
+mx AS (SELECT max(id) AS m FROM p),
+e0 AS (
+  SELECT id AS src, id + 1 AS dst FROM p, mx WHERE id + 1 <= m
+  UNION ALL
+  SELECT id, 2 * id FROM p, mx WHERE id >= 1 AND 2 * id <= m
+),
+ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN ed e ON w.node = e.src
+  WHERE w.d < 64
+)
+SELECT node, MIN(d) AS dist FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, hour-of-day): one full-data exchange
     for the finest level, then re-aggregated partials per coarser prefix
@@ -3752,4 +3804,5 @@ QUERIES: dict[str, tuple] = {
     "bm25_search": (bm25_search, BM25_SQL),
     "docs_chunk_windows": (docs_chunk_windows, DOCS_CHUNK_SQL),
     "corpus_heavy_terms": (corpus_heavy_terms, HEAVY_TERMS_SQL),
+    "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
 }

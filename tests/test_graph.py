@@ -365,3 +365,106 @@ def test_local_kernel_random_graphs():
         got = _local_components(s, d).reset_index(drop=True)
         exp = _expected(pairs).astype("int64").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances
+# ---------------------------------------------------------------------------
+
+
+def _bfs_expected(pairs, seeds):
+    """Independent brute force: dict-based level BFS over the undirected
+    adjacency (per-node Python — fine at test scale, different code
+    shape from both production arms)."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(dist)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return (
+        pd.DataFrame({"node": list(dist), "dist": list(dist.values())})
+        .astype("int64")
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def _bfs_solve(pairs, seeds, **kw):
+    from knowledge_graph_construction_ray.functions.graph import bfs_distances
+
+    out = bfs_distances(_edges(pairs), seeds, **kw).to_pandas()
+    if out.empty:
+        out = out.reindex(columns=["node", "dist"]).astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+BFS_CASES = {
+    "chain": [(i, i + 1) for i in range(12)],
+    "doubling": [(i, i + 1) for i in range(30)] + [(i, 2 * i) for i in range(1, 16)],
+    "two_components": [(0, 1), (1, 2), (10, 11), (11, 12)],
+    "star": [(0, i) for i in range(1, 9)],
+    "cycle_odd": [(i, (i + 1) % 7) for i in range(7)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(BFS_CASES))
+def test_bfs_local_matches_bruteforce(ray_session, name):
+    pairs = BFS_CASES[name]
+    got = _bfs_solve(pairs, [0])
+    pd.testing.assert_frame_equal(got, _bfs_expected(pairs, [0]))
+
+
+@pytest.mark.parametrize("name", sorted(BFS_CASES))
+def test_bfs_distributed_matches_local(ray_session, name):
+    pairs = BFS_CASES[name]
+    got = _bfs_solve(pairs, [0], force_distributed=True, num_buckets=4)
+    pd.testing.assert_frame_equal(got, _bfs_expected(pairs, [0]))
+
+
+def test_bfs_multi_seed_and_random_graphs(ray_session):
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 40
+        m = 90
+        pairs = list(zip(rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist()))
+        seeds = sorted(set(rng.integers(0, n, 3).tolist()))
+        want = _bfs_expected(pairs, seeds)
+        pd.testing.assert_frame_equal(_bfs_solve(pairs, seeds), want)
+        pd.testing.assert_frame_equal(
+            _bfs_solve(pairs, seeds, force_distributed=True, num_buckets=4), want
+        )
+
+
+def test_bfs_unreached_excluded_isolated_seed_included(ray_session):
+    pairs = [(0, 1), (5, 6)]  # seed 99 touches nothing
+    got = _bfs_solve(pairs, [0, 99], force_distributed=True, num_buckets=2)
+    want = pd.DataFrame({"node": [0, 1, 99], "dist": [0, 1, 0]}).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # nodes 5/6 are absent — reachability is from the seed set only
+    assert 5 not in set(got["node"])
+
+
+def test_bfs_empty_seeds_and_empty_edges(ray_session):
+    assert _bfs_solve([(0, 1)], []).empty
+    got = _bfs_solve([], [3])
+    pd.testing.assert_frame_equal(
+        got, pd.DataFrame({"node": [3], "dist": [0]}).astype("int64")
+    )
+
+
+def test_bfs_round_exhaustion_raises(ray_session):
+    pairs = [(i, i + 1) for i in range(8)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _bfs_solve(pairs, [0], force_distributed=True, num_buckets=2, max_rounds=3)
