@@ -372,6 +372,10 @@ BENCH_QUERIES = [
     "curation_rebalance_langs",
     "docs_pack_bins",
     "mixture_interleave",
+    "bm25_search",
+    "docs_chunk_windows",
+    "corpus_heavy_terms",
+    "graph_bfs",
 ]
 
 

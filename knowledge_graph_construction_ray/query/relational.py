@@ -1444,22 +1444,28 @@ def bm25_search(sf_dir: str, k: int = 10):
         dl = toks.str.len().to_numpy(np.int64)
         flat = toks.explode()
         didx = np.repeat(np.arange(len(ids), dtype=np.int64), dl)
-        sc = np.zeros(len(ids), dtype=object)
-        sc[:] = 0
-        matched = np.zeros(len(ids), dtype=bool)
-        tvals = flat.to_numpy()
-        for t, w in idf.items():
-            tf = np.zeros(len(ids), dtype=np.int64)
-            np.add.at(tf, didx, (tvals == t).astype(np.int64))
-            hit = tf > 0
-            if not hit.any():
-                continue
-            matched |= hit
-            sc[hit] = sc[hit] + _bm25_contrib(
-                tf[hit], dl[hit], a_toks, n_docs, w
-            )
+        # ONE pass over the token stream: code query terms to columns,
+        # scatter-add the (doc × term) tf matrix — per-term re-scans of
+        # the batch cost 1 full pass per query term (measured 4.7× the
+        # tfidf kernel at |q| = 3)
+        tcode = flat.map({t: i for i, t in enumerate(idf)}).to_numpy()
+        hit_tok = pd.notna(tcode)
+        tfm = np.zeros((len(ids), len(idf)), dtype=np.int64)
+        np.add.at(
+            tfm, (didx[hit_tok], tcode[hit_tok].astype(np.int64)), 1
+        )
+        matched = tfm.any(axis=1)
         if not matched.any():
             return empty
+        sc = np.zeros(len(ids), dtype=object)
+        sc[:] = 0
+        for j, w in enumerate(idf.values()):
+            tf = tfm[:, j]
+            hit = tf > 0
+            if hit.any():
+                sc[hit] = sc[hit] + _bm25_contrib(
+                    tf[hit], dl[hit], a_toks, n_docs, w
+                )
         return pd.DataFrame(
             {
                 "doc_id": ids[matched],
