@@ -356,6 +356,33 @@ def core_golden(sf_dir: str) -> pd.DataFrame:
     return peel_core_numbers(pair[:, 0], pair[:, 1])
 
 
+def bpe_golden(sf_dir: str, k: int = 8, max_vocab: int = 10_000) -> pd.DataFrame:
+    """BPE merge table by the pure-Python reference trainer
+    (stages/bpe.py::bpe_train_reference — dict/tuple loop, a different
+    code shape from the production vectorized kernel): whitespace word
+    counts capped to the top ``max_vocab`` by (count desc, word asc),
+    then k greedy merges with overlapping pair counts and
+    lexicographic tie-break."""
+    from collections import Counter
+
+    from .stages.bpe import bpe_train_reference
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for t in docs["text"].tolist():
+        wc.update(t.split())
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    merges = bpe_train_reference(dict(top), k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": np.array([m[0] for m in merges], dtype=object),
+            "right": np.array([m[1] for m in merges], dtype=object),
+            "n": np.array([m[2] for m in merges], dtype=np.int64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -436,6 +463,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"graph_ppr_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(bpe_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"bpe_merges_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -1683,6 +1683,185 @@ ORDER BY n DESC, term
 """
 
 
+def corpus_top_bigrams(sf_dir: str, k: int = 20):
+    """Adjacent-token bigram counts — collocation mining and the
+    word-level cousin of BPE pair statistics.  Per-batch vectorized
+    shift: one explode, segment-tail mask by pure index arithmetic (the
+    graph chain-builder pattern), pair ``value_counts`` partials → one
+    bucketed exchange keyed (w1, w2) carrying only distinct pairs per
+    block → the no-shuffle ``local_topk`` head."""
+    from ..functions.groupby import bucketed_agg, local_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    empty = pd.DataFrame(
+        {
+            "w1": pd.Series(dtype=object),
+            "w2": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.strip()
+        s = s[s.str.len() > 0].str.split()
+        if not len(s):
+            return empty
+        lens = s.str.len().to_numpy(np.int64)
+        flat = s.explode().to_numpy(object)
+        pos = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+        tail = pos == np.repeat(lens - 1, lens)
+        w1 = flat[~tail]
+        if not len(w1):
+            return empty
+        w2 = np.roll(flat, -1)[~tail]  # tails are masked, wrap never kept
+        vc = pd.DataFrame({"w1": w1, "w2": w2}).value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame(
+            {"w1": idx["w1"], "w2": idx["w2"], "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    )
+    out = local_topk(counts, ["n", "w1", "w2"], k, descending=[True, False, False])
+    return out[["w1", "w2", "n"]] if not out.empty else empty
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), pairs AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ts))) AS t(i)
+)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 20
+"""
+
+
+def bpe_merges(sf_dir: str, k: int = 8, max_vocab: int = 10_000):
+    """BPE tokenizer-training merges over the corpus (stages/bpe.py).
+
+    The industrial split: the CORPUS pass is distributed (whitespace
+    word counts — combiner partials, one bucketed exchange of distinct
+    words, ``local_topk`` cap to ``max_vocab`` by (count desc, word
+    asc)), and the merge loop runs vectorized over the capped vocabulary
+    (one flat symbol array + masked merges; the run-parity trick IS
+    greedy-leftmost — see stages/bpe.py).  Oracle: golden parquet from
+    the pure-Python dict/tuple reference trainer — an independent
+    implementation fuzz-tested against the vectorized kernel."""
+    from ..stages.bpe import bpe_train_vectorized, corpus_word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    wc = corpus_word_counts(ds, max_vocab)
+    return bpe_train_vectorized(
+        wc["word"].to_numpy(object), wc["n"].to_numpy(np.int64), k
+    )
+
+
+BPE_MERGES_SQL = """
+SELECT "rank", "left", "right", n
+FROM read_parquet('/tmp/kg_oracle_golden/bpe_merges_sf0.01.parquet')
+ORDER BY "rank"
+"""
+
+
+def corpus_snapshot_diff(sf_dir: str):
+    """Incremental-corpus diff — the snapshot-delta primitive of a
+    continuously-refreshed training corpus.  Snapshot B is derived
+    deterministically from the documents table (doc_id%7==0 deleted,
+    %10==0 revised, %13==0 re-added under a shifted id); the diff is ONE
+    bucketed exchange carrying (doc_id, side, md5-fingerprint) rows —
+    the set-difference operator shape: neither snapshot materializes,
+    text never crosses the exchange (128-bit fingerprints travel
+    instead, collision odds negligible at any corpus size), and the
+    per-bucket kernel is a vectorized two-side outer merge."""
+    import hashlib
+
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _md5(texts) -> list:
+        return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+    def a_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "side": np.zeros(len(df), np.int8),
+                "fp": _md5(df["text"]),
+            }
+        )
+
+    def b_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ids % 7 != 0
+        kept_ids = ids[keep]
+        kept_txt = df["text"].to_numpy(object)[keep]
+        revised = kept_ids % 10 == 0
+        kept_txt = np.where(revised, kept_txt + " [rev2]", kept_txt)
+        new = ids % 13 == 0
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([kept_ids, ids[new] + 1_000_000]),
+                "side": np.ones(keep.sum() + new.sum(), np.int8),
+                "fp": _md5(kept_txt) + _md5(df["text"].to_numpy(object)[new]),
+            }
+        )
+
+    stream = ds.map_batches(a_rows, batch_format="pandas").union(
+        ds.map_batches(b_rows, batch_format="pandas")
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["side"] == 0, ["doc_id", "fp"]]
+        b = df.loc[df["side"] == 1, ["doc_id", "fp"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"), indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only",
+            "deleted",
+            np.where(
+                m["_merge"] == "right_only",
+                "added",
+                np.where(m["fp_a"] != m["fp_b"], "changed", "same"),
+            ),
+        )
+        out = pd.DataFrame(
+            # object dtype, not numpy '<U7': Ray's block size estimator
+            # can't size empty fixed-width-unicode columns (warns loudly)
+            {"doc_id": m["doc_id"].astype("int64"), "status": status.astype(object)}
+        )
+        return out[out["status"] != "same"]
+
+    return (
+        bucketed_groups(stream, ["doc_id"], kernel)
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'deleted'
+            WHEN a.doc_id IS NULL THEN 'added'
+            WHEN a.text <> b.text THEN 'changed' END AS status
+FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+ORDER BY doc_id
+"""
+
+
 def events_distinct_users(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user_id) per event type: per-batch
     pair-dedup combiner → ONE bucketed exchange keyed (event_type,
@@ -3811,4 +3990,7 @@ QUERIES: dict[str, tuple] = {
     "docs_chunk_windows": (docs_chunk_windows, DOCS_CHUNK_SQL),
     "corpus_heavy_terms": (corpus_heavy_terms, HEAVY_TERMS_SQL),
     "graph_bfs": (graph_bfs, GRAPH_BFS_SQL),
+    "corpus_top_bigrams": (corpus_top_bigrams, TOP_BIGRAMS_SQL),
+    "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
+    "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -163,3 +163,105 @@ def test_heavy_terms_candidate_bound_per_block():
     vc = toks.value_counts()
     keep = vc[(400 * vc.to_numpy(np.int64)) > len(toks)]
     assert len(keep) <= 400
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_vectorized_matches_reference_classic_and_overlap():
+    from knowledge_graph_construction_ray.stages.bpe import (
+        bpe_train_reference,
+        bpe_train_vectorized,
+    )
+
+    for wc, k in [
+        ({"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}, 4),
+        ({"aaaa": 3, "aaab": 2, "baaa": 1, "abab": 4}, 6),
+    ]:
+        ref = bpe_train_reference(wc, k)
+        vec = bpe_train_vectorized(
+            np.array(list(wc), object), np.array(list(wc.values())), k
+        )
+        assert ref == list(zip(vec["left"], vec["right"], vec["n"].astype(int)))
+
+
+def test_bpe_vectorized_fuzz_against_reference():
+    from knowledge_graph_construction_ray.stages.bpe import (
+        bpe_train_reference,
+        bpe_train_vectorized,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = rng.integers(2, 25)
+        words = ["".join(rng.choice(list("abc"), rng.integers(1, 9))) for _ in range(n)]
+        wc = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + int(rng.integers(1, 20))
+        k = int(rng.integers(1, 9))
+        ref = bpe_train_reference(wc, k)
+        vec = bpe_train_vectorized(
+            np.array(list(wc), object), np.array(list(wc.values())), k
+        )
+        assert ref == list(zip(vec["left"], vec["right"], vec["n"].astype(int)))
+
+
+def test_bpe_word_count_cap_is_deterministic(ray_session):
+    """max_vocab cap keeps the top words by (count desc, word asc) —
+    identical between the distributed count pass and the pure-Python
+    golden's sorted() cap."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.bpe import corpus_word_counts
+
+    df = pd.DataFrame(
+        {"text": ["b b b a a c", "a d d", "e e e e"]}
+    )
+    out = corpus_word_counts(rd.from_pandas(df), max_vocab=3)
+    # counts: e=4, a=3, b=3, d=2, c=1 → top3 = e, a, b (a before b on tie)
+    assert list(out["word"]) == ["e", "a", "b"]
+    assert list(out["n"]) == [4, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Bigrams + snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_bigrams_single_token_docs_emit_nothing(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.query.relational import corpus_top_bigrams
+
+    # exercise the kernel directly on crafted batches via a tmp parquet
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["solo", "  ", "a b a b"]}
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        out = corpus_top_bigrams(d)
+    want = pd.DataFrame(
+        {"w1": ["a", "b"], "w2": ["b", "a"], "n": [2, 1]}
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from knowledge_graph_construction_ray.query.relational import corpus_snapshot_diff
+
+    out = corpus_snapshot_diff(SF_DIR)
+    assert set(out.columns) == {"doc_id", "status"}
+    assert set(out["status"].unique()) <= {"added", "deleted", "changed"}
+    # the derivation rules, spot-checked: %7 deleted unless re-added
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    deleted = set(out.loc[out["status"] == "deleted", "doc_id"])
+    assert deleted == set(ids[ids % 7 == 0])
+    changed = set(out.loc[out["status"] == "changed", "doc_id"])
+    assert changed == set(ids[(ids % 7 != 0) & (ids % 10 == 0)])
+    added = set(out.loc[out["status"] == "added", "doc_id"])
+    assert added == set(ids[ids % 13 == 0] + 1_000_000)
