@@ -907,23 +907,16 @@ def bfs_distances(
         )
         has_k = m["_k"].notna().to_numpy()
         has_c = m["a"].notna().to_numpy()
+        # missing-side sentinel: 2^62 is float64-EXACT (the outer merge
+        # promotes to float64; int64-max would round up and overflow the
+        # cast back) and larger than any hop distance
+        big = float(np.int64(1) << 62)
+        kf = m["_k"].fillna(big).to_numpy(np.int64)
+        cf = m["a"].fillna(big).to_numpy(np.int64)
         # discovery (no prior distance) or — belt and braces — a shorter
         # path; with unit edges the second can't fire, min keeps it safe
-        newd = np.where(
-            has_k & has_c,
-            np.minimum(
-                m["_k"].fillna(np.iinfo(np.int64).max).to_numpy(np.int64),
-                m["a"].fillna(np.iinfo(np.int64).max).to_numpy(np.int64),
-            ),
-            np.where(
-                has_k,
-                m["_k"].fillna(0).to_numpy(np.int64),
-                m["a"].fillna(0).to_numpy(np.int64),
-            ),
-        )
-        improved = (~has_k) | (
-            has_c & (newd < m["_k"].fillna(np.iinfo(np.int64).max).to_numpy())
-        )
+        newd = np.minimum(kf, cf)
+        improved = (~has_k) | (has_c & (newd < kf))
         return _frame(m["key"], newd, improved.astype(np.int64), 0)
 
     for _ in range(max_rounds):

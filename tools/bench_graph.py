@@ -54,6 +54,7 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=20)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--pr-iters", type=int, default=5)
+    ap.add_argument("--bfs-nodes", type=int, default=200_000)
     args = ap.parse_args()
 
     import ray
@@ -158,6 +159,43 @@ def main() -> None:
         "corner_sum": total,
         "divisible_by_3": total % 3 == 0,
         "nodes_in_triangles": int(len(tri)),
+    }
+
+    # --- BFS over a doubling graph (the low-diameter shape BFS wants) -----
+    from knowledge_graph_construction_ray.functions.graph import (
+        _local_bfs,
+        bfs_distances,
+    )
+
+    nb = args.bfs_nodes
+    ids = np.arange(nb, dtype=np.int64)
+    chain = np.stack([ids[:-1], ids[:-1] + 1], axis=1)
+    dbl_src = ids[(ids >= 1) & (2 * ids < nb)]
+    dbl = np.stack([dbl_src, 2 * dbl_src], axis=1)
+    bfs_pd = pd.DataFrame(np.concatenate([chain, dbl]), columns=["src", "dst"])
+    t0 = time.time()
+    dist = (
+        bfs_distances(
+            rd.from_pandas(bfs_pd).materialize(), [0], force_distributed=True
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    t_bfs = time.time() - t0
+    # _local_bfs expects an undirected (bidirectional) edge list — the
+    # operator undirects internally, the raw reference must do it here
+    ref = _local_bfs(
+        np.concatenate([bfs_pd["src"], bfs_pd["dst"]]).astype(np.int64),
+        np.concatenate([bfs_pd["dst"], bfs_pd["src"]]).astype(np.int64),
+        np.array([0], np.int64),
+    ).sort_values("node").reset_index(drop=True)
+    report["bfs"] = {
+        "sec": round(t_bfs, 2),
+        "nodes": int(nb),
+        "eccentricity": int(dist["dist"].max()),
+        "reached_all": bool(len(dist) == nb),
+        "exact_vs_local": bool(dist.equals(ref)),
     }
 
     print(json.dumps(report))
