@@ -1844,6 +1844,133 @@ def corpus_snapshot_diff(sf_dir: str):
     )
 
 
+def events_type_modal_hour(sf_dir: str):
+    """Per-group MODE with deterministic tie-break: each event type's
+    most frequent hour-of-day (count desc, hour asc).  Counts via one
+    (type, hour) bucketed combiner exchange — bounded by types × 24, not
+    rows — then `grouped_topk(1)` over the tiny count table (per-block
+    per-group head, driver reduce ≤ blocks × groups rows)."""
+    from ..functions.groupby import bucketed_agg, grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        es_us = df["ts"].astype("datetime64[us]").astype("int64")
+        hod = ((es_us // 3_600_000_000) % 24).astype("int64")
+        vc = pd.DataFrame({"event_type": df["event_type"], "hod": hod}).value_counts()
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "event_type": idx["event_type"],
+                "hod": idx["hod"].astype("int64"),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hod"],
+        {"n": ("n", "sum")},
+    )
+    out = grouped_topk(counts, ["event_type"], ["n", "hod"], 1, ascending=[False, True])
+    return (
+        out[["event_type", "hod", "n"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_MODAL_HOUR_SQL = """
+SELECT event_type, hod, n FROM (
+  SELECT event_type, hour(ts) AS hod, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, hour(ts)) AS rn
+  FROM events GROUP BY event_type, hour(ts)) t
+WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def orders_price_ntile(sf_dir: str, k: int = 4):
+    """Exact global NTILE(4) over (o_totalprice, o_orderkey) order —
+    distributed ROW_NUMBER without a global sort materialization.
+
+    Two streaming passes: (1) value-range binning (thousand-dollar
+    buckets — bucket count is bounded by the PRICE RANGE, never by row
+    count) with per-bucket counts through one combiner exchange; the
+    driver prefix-sums the tiny bucket table into base ranks and
+    broadcasts it.  (2) one co-locating exchange on the bucket key; each
+    bucket sorts ITS rows by (price, orderkey) and emits
+    rank = base[bucket] + intra-offset, then the NTILE tile is pure
+    arithmetic on the rank (first N%k tiles get the extra row, matching
+    SQL NTILE exactly).  Nothing materializes globally; the rank
+    assignment is embarrassingly parallel per bucket."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": df["o_totalprice"].to_numpy(np.float64),
+                "_bin": (df["o_totalprice"].to_numpy(np.float64) // 1000).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    rows = ds.map_batches(binned, batch_format="pandas")
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["_bin"].value_counts()
+        return pd.DataFrame({"_bin": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)})
+
+    hist = bucketed_agg(
+        rows.map_batches(bin_counts, batch_format="pandas"),
+        ["_bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    hist = hist.sort_values("_bin").reset_index(drop=True)
+    total = int(hist["n"].sum())
+    base = dict(
+        zip(
+            hist["_bin"].to_numpy(np.int64),
+            (np.cumsum(hist["n"].to_numpy(np.int64)) - hist["n"].to_numpy(np.int64)),
+        )
+    )
+    size, rem = total // k, total % k
+    boundary = rem * (size + 1)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket holds MANY price bins — segment per bin
+        df = df.sort_values(
+            ["_bin", "o_totalprice", "o_orderkey"], kind="mergesort"
+        )
+        _, _, pos = _segments(df["_bin"])
+        rank = df["_bin"].map(base).to_numpy(np.int64) + pos
+        tile = np.where(
+            rank < boundary,
+            rank // (size + 1),
+            (rank - boundary) // max(size, 1) + rem,
+        ).astype(np.int64) + 1
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy(np.int64), "tile": tile}
+        )
+
+    return (
+        bucketed_groups(rows, ["_bin"], rank_bucket)
+        .sort("o_orderkey")
+        .to_pandas()
+    )
+
+
+ORDERS_NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+FROM orders ORDER BY o_orderkey
+"""
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH b AS (
   SELECT doc_id,
@@ -3993,4 +4120,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_top_bigrams": (corpus_top_bigrams, TOP_BIGRAMS_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "events_type_modal_hour": (events_type_modal_hour, EVENTS_MODAL_HOUR_SQL),
+    "orders_price_ntile": (orders_price_ntile, ORDERS_NTILE_SQL),
 }

@@ -265,3 +265,56 @@ def test_snapshot_diff_statuses(ray_session):
     assert changed == set(ids[(ids % 7 != 0) & (ids % 10 == 0)])
     added = set(out.loc[out["status"] == "added", "doc_id"])
     assert added == set(ids[ids % 13 == 0] + 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Mode + NTILE
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_remainder_distribution(ray_session):
+    """NTILE semantics: the first N%k tiles get one extra row; tile sizes
+    never differ by more than 1 and are non-increasing."""
+    from knowledge_graph_construction_ray.query.relational import orders_price_ntile
+
+    out = orders_price_ntile(SF_DIR)
+    sizes = out["tile"].value_counts().sort_index()
+    assert list(sizes.index) == [1, 2, 3, 4]
+    assert sizes.max() - sizes.min() <= 1
+    assert (sizes.diff().dropna() <= 0).all()
+    assert len(out) == sizes.sum()
+
+
+def test_ntile_respects_price_order(ray_session):
+    from knowledge_graph_construction_ray.query.relational import orders_price_ntile
+
+    out = orders_price_ntile(SF_DIR)
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    m = out.merge(orders, on="o_orderkey")
+    # every price in tile t is <= every price in tile t+1
+    maxes = m.groupby("tile")["o_totalprice"].max()
+    mins = m.groupby("tile")["o_totalprice"].min()
+    for t in range(1, 4):
+        assert maxes[t] <= mins[t + 1]
+
+
+def test_modal_hour_tiebreak_is_smallest_hour(ray_session):
+    """Craft a corpus where two hours tie: the smaller hour must win."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_type_modal_hour,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 05:10", "2024-01-02 09:00", "2024-01-03 09:30"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame(
+            {"event_type": ["x"] * 4, "ts": ts}
+        ).to_parquet(os.path.join(d, "events.parquet"))
+        out = events_type_modal_hour(d)
+    assert list(out.itertuples(index=False)) == [("x", 5, 2)]
