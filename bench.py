@@ -376,6 +376,11 @@ BENCH_QUERIES = [
     "docs_chunk_windows",
     "corpus_heavy_terms",
     "graph_bfs",
+    "corpus_top_bigrams",
+    "bpe_merges",
+    "corpus_snapshot_diff",
+    "events_type_modal_hour",
+    "orders_price_ntile",
 ]
 
 
