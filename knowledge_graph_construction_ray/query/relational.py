@@ -1778,7 +1778,12 @@ def corpus_snapshot_diff(sf_dir: str):
     the set-difference operator shape: neither snapshot materializes,
     text never crosses the exchange (128-bit fingerprints travel
     instead, collision odds negligible at any corpus size), and the
-    per-bucket kernel is a vectorized two-side outer merge."""
+    per-bucket kernel is a vectorized two-side outer merge.
+
+    Assumes non-negative doc_ids (true of every testdata table): numpy
+    ``%`` is floor-mod while SQL ``%`` follows the dividend's sign, so
+    the snapshot-derivation rules would diverge on negative ids — the
+    same documented assumption as ``_split_hash``."""
     import hashlib
 
     from ..functions.groupby import bucketed_groups
@@ -2794,6 +2799,59 @@ def dedup_minhash(sf_dir: str):
 DEDUP_MINHASH_SQL = """
 SELECT doc_id, cluster_rep
 FROM read_parquet('/tmp/kg_oracle_golden/dedup_minhash_sf0.01.parquet')
+ORDER BY doc_id
+"""
+
+
+def dedup_minhash_apply(sf_dir: str):
+    """End-to-end near-dup REMOVAL — the composition a user actually
+    runs: MinHash/LSH clustering → keep each cluster's representative
+    (its min doc_id) plus every unclustered doc.
+
+    The cluster table holds only docs that HAVE a near-dup (bounded by
+    the duplicate population, forest-collapsed before it reaches the
+    driver), so the drop set broadcasts via ``ray.put`` and the corpus
+    filters in one streaming pass — no join, no shuffle.  At extreme
+    duplication rates where even that table outgrows broadcast, keep the
+    cluster edges as a Dataset and use the native ``left_anti`` join
+    instead (the ``customers_without_orders`` plan).  Oracle: NOT IN
+    against the same golden cluster parquet the clustering query is
+    checked with."""
+    import ray
+
+    from ..stages.dedupe import minhash_dedup
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    clusters = minhash_dedup(
+        ds, threshold=0.5, num_partitions=4 if n <= 100_000 else None
+    )
+    drop = clusters.loc[
+        clusters["doc_id"] != clusters["cluster_rep"], "doc_id"
+    ].to_numpy(np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        mask = ~np.isin(ids, ray.get(drop_ref))
+        return pd.DataFrame({"doc_id": ids[mask]})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(keep, batch_format="pandas")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+DEDUP_MINHASH_APPLY_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id
+  FROM read_parquet('/tmp/kg_oracle_golden/dedup_minhash_sf0.01.parquet')
+  WHERE doc_id <> cluster_rep)
 ORDER BY doc_id
 """
 
@@ -4122,4 +4180,5 @@ QUERIES: dict[str, tuple] = {
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "events_type_modal_hour": (events_type_modal_hour, EVENTS_MODAL_HOUR_SQL),
     "orders_price_ntile": (orders_price_ntile, ORDERS_NTILE_SQL),
+    "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
 }

@@ -318,3 +318,20 @@ def test_modal_hour_tiebreak_is_smallest_hour(ray_session):
         ).to_parquet(os.path.join(d, "events.parquet"))
         out = events_type_modal_hour(d)
     assert list(out.itertuples(index=False)) == [("x", 5, 2)]
+
+
+def test_dedup_apply_keeps_exactly_cluster_reps(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        dedup_minhash,
+        dedup_minhash_apply,
+    )
+
+    survivors = set(dedup_minhash_apply(SF_DIR)["doc_id"])
+    clusters = dedup_minhash(SF_DIR)
+    all_ids = set(
+        pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])["doc_id"]
+    )
+    dropped = set(clusters.loc[clusters["doc_id"] != clusters["cluster_rep"], "doc_id"])
+    assert survivors == all_ids - dropped
+    # every cluster's representative survives
+    assert set(clusters["cluster_rep"]) <= survivors
