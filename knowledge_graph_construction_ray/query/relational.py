@@ -1100,6 +1100,115 @@ def dup_ngrams_over(ds, *, n: int = 3, min_docs: int = 5, k: int = 20,
     return out[["gram", "n_docs"]]
 
 
+def docs_strip_dup_ngrams(sf_dir: str, n: int = 5, min_docs: int = 2):
+    """Duplicated-n-gram span REMOVAL — the substring-dedup counterpart
+    of document near-dup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every token span equal to a word
+    n-gram appearing in ≥ ``min_docs`` distinct documents is removed
+    from ALL documents (union of covered spans), and each document is
+    rebuilt from its surviving tokens (single-space joined).
+
+    Two passes.  (1) Mine the duplicated grams with the
+    ``corpus_dup_ngrams`` machinery — the result is bounded by the
+    DUPLICATED gram population after the threshold filter, so it
+    broadcasts via ``ray.put`` (at extreme boilerplate rates partition
+    the hit test by gram hash instead).  (2) One streaming pass: per
+    batch, the Arrow element-wise gram join (no Python per gram),
+    ``pc.is_in`` against the broadcast set, delta-cumsum span coverage —
+    a gram's +1/−1 at [start, start+n) over the flat token array is
+    exact because gram spans never straddle documents — and an Arrow
+    list-join rebuild.  No per-doc Python anywhere."""
+    import ray
+
+    from ..stages.textstats import _WS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dup = dup_ngrams_over(ds, n=n, min_docs=min_docs, k=1_000_000_000)
+    dup_ref = ray.put(pa.array(dup["gram"].to_numpy(object), type=pa.string()))
+
+    def strip_batch(df: pd.DataFrame) -> pd.DataFrame:
+        dup_set = ray.get(dup_ref)
+        stripped = df["text"].str.strip()
+        keep = (stripped.str.len() > 0).to_numpy()
+        blank = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[~keep],
+                "text": np.full((~keep).sum(), "", dtype=object),
+            }
+        )
+        ids = df["doc_id"].to_numpy(np.int64)[keep]
+        if len(ids) == 0:
+            return blank
+        toks = stripped[keep].str.split(_WS)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().to_numpy(object)
+        didx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        flat_pa = pa.array(flat, type=pa.string())
+        kept_mask = np.ones(len(flat), dtype=bool)
+        m = len(flat) - n + 1
+        if m > 0 and len(dup_set):
+            parts = [flat_pa.slice(i, m) for i in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            valid = didx[:m] == didx[n - 1 :]
+            hit = (
+                pc.is_in(grams, value_set=dup_set).to_numpy(zero_copy_only=False)
+                & valid
+            )
+            starts = np.flatnonzero(hit)
+            if len(starts):
+                delta = np.zeros(len(flat) + 1, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, starts + n, -1)
+                kept_mask = np.cumsum(delta[:-1]) == 0
+        kept_counts = np.bincount(didx[kept_mask], minlength=len(ids))
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat[kept_mask], type=pa.string())
+        )
+        joined = pc.binary_join(la, pa.scalar(" ")).to_pandas().to_numpy(object)
+        return pd.concat(
+            [pd.DataFrame({"doc_id": ids, "text": joined}), blank],
+            ignore_index=True,
+        )
+
+    return (
+        ds.map_batches(strip_batch, batch_format="pandas")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+STRIP_DUP_NGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, i, ts[i] AS tok
+  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)
+),
+grams AS (
+  SELECT doc_id, i,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] AS g
+  FROM toks, unnest(range(1, len(ts) - 3)) AS t(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+cov AS (SELECT DISTINCT h.doc_id, h.i + k AS pos
+        FROM hit h, unnest(range(0, 5)) AS t(k)),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
 _G_P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiply mod 2^64
 
 
@@ -4181,4 +4290,5 @@ QUERIES: dict[str, tuple] = {
     "events_type_modal_hour": (events_type_modal_hour, EVENTS_MODAL_HOUR_SQL),
     "orders_price_ntile": (orders_price_ntile, ORDERS_NTILE_SQL),
     "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
+    "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
 }

@@ -335,3 +335,50 @@ def test_dedup_apply_keeps_exactly_cluster_reps(ray_session):
     assert survivors == all_ids - dropped
     # every cluster's representative survives
     assert set(clusters["cluster_rep"]) <= survivors
+
+
+def test_strip_dup_ngrams_removes_planted_boilerplate(ray_session):
+    """Plant one 6-token boilerplate line in several docs: after the
+    strip, no document contains the planted 5-gram spans, and untouched
+    docs come back byte-identical."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        docs_strip_dup_ngrams,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates"
+    uniq = [f"unique body text number {i} with words w{i} x{i} y{i} z{i}" for i in range(6)]
+    texts = [f"{uniq[i]} {boiler}" for i in range(3)] + uniq[3:]
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = docs_strip_dup_ngrams(d)
+    got = dict(zip(out["doc_id"], out["text"]))
+    for i in range(3):
+        assert "subscribe" not in got[i] and "newsletter" not in got[i]
+        assert got[i].startswith(f"unique body text number {i}")
+    for i in range(3, 6):
+        assert got[i] == uniq[i]
+
+
+def test_strip_dup_ngrams_overlapping_spans_union(ray_session):
+    """Two dup 5-grams overlapping by 4 tokens remove the 6-token union,
+    not just one span."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        docs_strip_dup_ngrams,
+    )
+
+    shared = "a b c d e f"  # both 5-grams 'a b c d e' and 'b c d e f' duplicated
+    texts = [f"pre1 {shared} post1", f"pre2 {shared} post2"]
+    with tempfile.TemporaryDirectory() as d:
+        pd.DataFrame({"doc_id": [0, 1], "text": texts}).to_parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = docs_strip_dup_ngrams(d)
+    assert list(out["text"]) == ["pre1 post1", "pre2 post2"]
