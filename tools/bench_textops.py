@@ -154,6 +154,29 @@ def main() -> None:
         "counts_exact": bool(got_counts == want_counts),
     }
 
+    # --- dup-ngram span strip --------------------------------------------
+    # a replicated corpus makes EVERY >=5-token doc fully covered (each
+    # gram repeats `replicate` times), so the exactness gate is total:
+    # long docs strip to '', docs under 5 tokens come back untouched
+    from knowledge_graph_construction_ray.query.relational import (
+        docs_strip_dup_ngrams,
+    )
+
+    t0 = time.time()
+    stripped = docs_strip_dup_ngrams(corpus_dir)
+    t = time.time() - t0
+    ntok = docs["text"].str.strip().str.split().str.len().to_numpy(np.int64)
+    long_doc = ntok >= 5
+    got_empty = (
+        stripped.set_index("doc_id")["text"].reindex(docs["doc_id"]).to_numpy(object)
+        == ""
+    )
+    report["docs_strip_dup_ngrams"] = {
+        "sec": round(t, 2),
+        "docs_per_sec": round(n_docs / t),
+        "fully_stripped_exact": bool((got_empty == long_doc).all()),
+    }
+
     print(json.dumps(report))
     ray.shutdown()
 
