@@ -381,6 +381,9 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "events_type_modal_hour",
     "orders_price_ntile",
+    "dedup_minhash_apply",
+    "docs_strip_dup_ngrams",
+    "curation_funnel",
 ]
 
 

@@ -808,6 +808,91 @@ FROM documents ORDER BY doc_id
 """
 
 
+def curation_funnel(sf_dir: str):
+    """Staged quality-filter FUNNEL — the per-stage survivor counts every
+    production curation pipeline reports (how many docs each filter
+    kills).  Stages, all integer-only predicates (no float crosses the
+    oracle): all → nonempty → lang=en → token-range (20 ≤ n_tokens ≤
+    1000, max token ≤ 30 chars) → repetition (top token < 20%, distinct
+    ≥ 50%).  ONE streaming pass: per-batch vectorized metrics (the
+    quality/repetition kernels' logic), per-batch stage counts, tiny
+    driver sum — no shuffle at all; the funnel over 100 TB costs exactly
+    one read."""
+    from ..stages.textstats import quality_kernel, repetition_kernel
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    stages = ["all", "nonempty", "lang_en", "token_range", "repetition"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_kernel(df[["doc_id", "text"]])
+        rep = repetition_kernel(df[["doc_id", "text"]])
+        m = df[["doc_id", "lang"]].merge(q, on="doc_id").merge(
+            rep, on="doc_id", how="left"
+        )
+        nonempty = df["text"].str.strip().str.len().to_numpy() > 0
+        s2 = nonempty & (m["lang"].to_numpy() == "en")
+        nt = m["n_tokens_x"].to_numpy(np.int64)  # quality_kernel's count
+        s3 = s2 & (nt >= 20) & (nt <= 1000) & (
+            m["max_token_len"].to_numpy(np.int64) <= 30
+        )
+        top = m["top_count"].fillna(0).to_numpy(np.int64)
+        nd = m["n_distinct"].fillna(0).to_numpy(np.int64)
+        s4 = s3 & (top * 5 <= nt) & (nd * 2 >= nt)
+        counts = [len(df), int(nonempty.sum()), int(s2.sum()), int(s3.sum()),
+                  int(s4.sum())]
+        return pd.DataFrame(
+            {
+                "stage_id": np.arange(5, dtype=np.int64),
+                "stage": np.array(stages, dtype=object),
+                "n_rows": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        small.groupby(["stage_id", "stage"], as_index=False)["n_rows"].sum()
+        .sort_values("stage_id")
+        .reset_index(drop=True)
+    )
+    return out[["stage_id", "stage", "n_rows"]]
+
+
+CURATION_FUNNEL_SQL = r"""
+WITH rep AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_count
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+f AS (
+  SELECT d.doc_id,
+         length(trim(d.text)) > 0 AS s1,
+         length(trim(d.text)) > 0 AND d.lang = 'en' AS s2,
+         length(trim(d.text)) > 0 AND d.lang = 'en'
+           AND array_length(string_split_regex(trim(d.text), '\s+'))
+               BETWEEN 20 AND 1000
+           AND list_aggregate(list_transform(
+                 string_split_regex(trim(d.text), '\s+'), x -> length(x)),
+                 'max') <= 30 AS s3,
+         COALESCE(r.top_count, 0) AS top_count,
+         COALESCE(r.n_distinct, 0) AS n_distinct,
+         COALESCE(r.n_tokens, 0) AS nt
+  FROM documents d LEFT JOIN rep r USING (doc_id)
+)
+SELECT * FROM (
+  SELECT 0 AS stage_id, 'all' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents
+  UNION ALL SELECT 1, 'nonempty', CAST(COUNT(*) AS BIGINT) FROM f WHERE s1
+  UNION ALL SELECT 2, 'lang_en', CAST(COUNT(*) AS BIGINT) FROM f WHERE s2
+  UNION ALL SELECT 3, 'token_range', CAST(COUNT(*) AS BIGINT) FROM f WHERE s3
+  UNION ALL SELECT 4, 'repetition', CAST(COUNT(*) AS BIGINT) FROM f
+            WHERE s3 AND top_count * 5 <= nt AND n_distinct * 2 >= nt
+) ORDER BY stage_id
+"""
+
+
 _SPLIT_PRIME = 100_000_007
 _SPLIT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 
@@ -4291,4 +4376,5 @@ QUERIES: dict[str, tuple] = {
     "orders_price_ntile": (orders_price_ntile, ORDERS_NTILE_SQL),
     "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
     "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
 }

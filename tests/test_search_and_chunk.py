@@ -382,3 +382,14 @@ def test_strip_dup_ngrams_overlapping_spans_union(ray_session):
         )
         out = docs_strip_dup_ngrams(d)
     assert list(out["text"]) == ["pre1 post1", "pre2 post2"]
+
+
+def test_curation_funnel_is_monotone_and_anchored(ray_session):
+    from knowledge_graph_construction_ray.query.relational import curation_funnel
+
+    out = curation_funnel(SF_DIR)
+    n = out["n_rows"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()  # each stage only removes
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    assert n[0] == len(docs)
+    assert list(out["stage"]) == ["all", "nonempty", "lang_en", "token_range", "repetition"]
