@@ -384,6 +384,7 @@ BENCH_QUERIES = [
     "dedup_minhash_apply",
     "docs_strip_dup_ngrams",
     "curation_funnel",
+    "events_incident_overlap",
 ]
 
 

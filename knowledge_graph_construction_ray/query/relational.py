@@ -893,6 +893,74 @@ SELECT * FROM (
 """
 
 
+def events_incident_overlap(sf_dir: str):
+    """Interval-overlap join (range × range — functions/interval.py):
+    per-user HOURLY activity windows [first event, last event] against
+    incident windows (high-value error events ± 15 min).  Each interval
+    replicates to the coarse hour buckets it covers and every
+    overlapping pair is emitted by exactly ONE bucket (the one holding
+    the overlap's left edge) — one co-locating exchange, no dedup pass.
+    Completes the temporal family: as-of (point), band (point-in-range),
+    overlap (range-range).  Oracle: SQL inequality join."""
+    from ..functions.groupby import bucketed_agg
+    from ..functions.interval import interval_overlap_join
+
+    W = 3_600_000_000  # 1 h in µs
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"],
+                "value": df["value"].to_numpy(np.float64),
+                "us": us,
+                "hour_id": us // W,
+            }
+        )
+
+    rows = ev.map_batches(prep, batch_format="pandas")
+    act = bucketed_agg(
+        rows, ["user_id", "hour_id"], {"s": ("us", "min"), "e": ("us", "max")}
+    ).select_columns(["user_id", "hour_id", "s", "e"])
+
+    def incidents(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["event_type"].to_numpy() == "error") & (
+            df["value"].to_numpy() > 99
+        )
+        us = df["us"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64)[keep],
+                "s": us - 900_000_000,
+                "e": us + 900_000_000,
+            }
+        )
+
+    inc = rows.map_batches(incidents, batch_format="pandas")
+    out = interval_overlap_join(
+        act, inc, bucket_width=W,
+        left_cols=["user_id", "hour_id"], right_cols=["event_id"],
+    )
+    return out.sort(["user_id", "hour_id", "event_id"]).to_pandas()
+
+
+EVENTS_INCIDENT_OVERLAP_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+            FROM events),
+act AS (SELECT user_id, us // 3600000000 AS hour_id, MIN(us) AS s, MAX(us) AS e
+        FROM ev GROUP BY 1, 2),
+inc AS (SELECT event_id, us - 900000000 AS s, us + 900000000 AS e
+        FROM ev WHERE event_type = 'error' AND value > 99)
+SELECT a.user_id, a.hour_id, i.event_id
+FROM act a JOIN inc i ON a.s <= i.e AND i.s <= a.e
+ORDER BY user_id, hour_id, event_id
+"""
+
+
 _SPLIT_PRIME = 100_000_007
 _SPLIT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
 
@@ -4377,4 +4445,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
     "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "events_incident_overlap": (events_incident_overlap, EVENTS_INCIDENT_OVERLAP_SQL),
 }

@@ -393,3 +393,72 @@ def test_curation_funnel_is_monotone_and_anchored(ray_session):
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
     assert n[0] == len(docs)
     assert list(out["stage"]) == ["all", "nonempty", "lang_en", "token_range", "repetition"]
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+# ---------------------------------------------------------------------------
+
+
+def _overlap_brute(l: pd.DataFrame, r: pd.DataFrame) -> set:
+    out = set()
+    for _, a in l.iterrows():
+        for _, b in r.iterrows():
+            if a["s"] <= b["e"] and b["s"] <= a["e"]:
+                out.add((a["lid"], b["rid"]))
+    return out
+
+
+def test_interval_join_random_differential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.interval import (
+        interval_overlap_join,
+    )
+
+    rng = np.random.default_rng(21)
+    for trial in range(4):
+        nl, nr = 40, 30
+        ls = rng.integers(0, 5000, nl)
+        l = pd.DataFrame(
+            {"lid": np.arange(nl, dtype=np.int64), "s": ls, "e": ls + rng.integers(0, 800, nl)}
+        )
+        rs = rng.integers(0, 5000, nr)
+        r = pd.DataFrame(
+            {"rid": np.arange(nr, dtype=np.int64), "s": rs, "e": rs + rng.integers(0, 800, nr)}
+        )
+        out = interval_overlap_join(
+            rd.from_pandas(l), rd.from_pandas(r),
+            bucket_width=256, left_cols=["lid"], right_cols=["rid"],
+            num_buckets=4,
+        ).to_pandas()
+        got = set(zip(out["lid"], out["rid"]))
+        assert len(got) == len(out), "pair emitted twice (owner rule broken)"
+        assert got == _overlap_brute(l, r)
+
+
+def test_interval_join_closed_endpoints_and_guard(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.interval import (
+        interval_overlap_join,
+    )
+
+    # touching endpoints count (closed intervals), disjoint don't
+    l = pd.DataFrame({"lid": [0, 1], "s": [0, 100], "e": [10, 110]})
+    r = pd.DataFrame({"rid": [0, 1], "s": [10, 111], "e": [20, 120]})
+    out = interval_overlap_join(
+        rd.from_pandas(l), rd.from_pandas(r),
+        bucket_width=64, left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas()
+    assert set(zip(out["lid"], out["rid"])) == {(0, 0)}
+
+    # replication guard: a giant span must raise, not fan out silently
+    wide = pd.DataFrame({"lid": [0], "s": [0], "e": [10_000_000]})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_replication"):
+        interval_overlap_join(
+            rd.from_pandas(wide), rd.from_pandas(r),
+            bucket_width=64, left_cols=["lid"], right_cols=["rid"],
+        ).to_pandas()
