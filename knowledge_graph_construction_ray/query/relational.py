@@ -893,7 +893,7 @@ SELECT * FROM (
 """
 
 
-def events_incident_overlap(sf_dir: str):
+def events_incident_overlap(sf_dir: str, min_value: float = 99.0):
     """Interval-overlap join (range × range — functions/interval.py):
     per-user HOURLY activity windows [first event, last event] against
     incident windows (high-value error events ± 15 min).  Each interval
@@ -929,7 +929,7 @@ def events_incident_overlap(sf_dir: str):
 
     def incidents(df: pd.DataFrame) -> pd.DataFrame:
         keep = (df["event_type"].to_numpy() == "error") & (
-            df["value"].to_numpy() > 99
+            df["value"].to_numpy() > min_value
         )
         us = df["us"].to_numpy(np.int64)[keep]
         return pd.DataFrame(

@@ -34,7 +34,7 @@ def build_events(path: str, n_rows: int, n_users: int) -> None:
             ),
             "user_id": rng.randint(0, n_users, size=n_rows).astype(np.int64),
             "event_type": kinds[rng.randint(0, len(kinds), size=n_rows)],
-            "value": rng.rand(n_rows).round(2),
+            "value": (rng.rand(n_rows) * 100).round(2),
         }
     )
     pq.write_table(t, path)
@@ -67,10 +67,15 @@ def main() -> None:
         events_hourly,
     )
 
+    from knowledge_graph_construction_ray.query.relational import (
+        events_incident_overlap,
+    )
+
     events_hourly(d)  # warm the worker pool / shuffle actors
     t0 = time.time(); hourly = events_hourly(d); t_hourly = time.time() - t0
     t0 = time.time(); asof = events_asof_error(d); t_asof = time.time() - t0
     t0 = time.time(); band = events_band_views(d); t_band = time.time() - t0
+    t0 = time.time(); ov = events_incident_overlap(d, min_value=99.99); t_ov = time.time() - t0
     print(
         {
             "rows": args.rows,
@@ -78,10 +83,13 @@ def main() -> None:
             "hourly_sec": round(t_hourly, 2),
             "asof_sec": round(t_asof, 2),
             "band_sec": round(t_band, 2),
+            "overlap_sec": round(t_ov, 2),
             "asof_over_hourly": round(t_asof / t_hourly, 2),
             "band_over_hourly": round(t_band / t_hourly, 2),
+            "overlap_over_hourly": round(t_ov / t_hourly, 2),
             "n_asof_rows": len(asof),
             "n_band_pairs": len(band),
+            "n_overlap_pairs": len(ov),
         }
     )
     ray.shutdown()
