@@ -385,6 +385,7 @@ BENCH_QUERIES = [
     "docs_strip_dup_ngrams",
     "curation_funnel",
     "events_incident_overlap",
+    "events_user_median",
 ]
 
 

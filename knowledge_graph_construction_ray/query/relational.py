@@ -4013,6 +4013,37 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_user_median(sf_dir: str):
+    """Grouped exact median at HIGH group cardinality (per-user — the
+    regime `events_type_quantiles`' docstring defers): one co-locating
+    exchange on user_id, per-bucket mergesort + `_segments` rank-select
+    (selection, not arithmetic ⇒ doubles exact).  Nothing per group ever
+    lands on the driver; the exchange carries each row once."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value"], kind="mergesort")
+        starts, lens, _ = _segments(df["user_id"])
+        v = df["value"].to_numpy()
+        sel = starts + np.ceil(0.5 * lens).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64)[starts],
+                "p50": v[sel],
+            }
+        )
+
+    return bucketed_groups(ds, ["user_id"], kernel).sort("user_id").to_pandas()
+
+
+EVENTS_USER_MEDIAN_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS p50
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def graph_components(sf_dir: str):
     """Distributed connected components (functions/graph.py: min-label
     propagation + pointer jumping, three bucketed exchanges per round,
@@ -4446,4 +4477,5 @@ QUERIES: dict[str, tuple] = {
     "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "events_incident_overlap": (events_incident_overlap, EVENTS_INCIDENT_OVERLAP_SQL),
+    "events_user_median": (events_user_median, EVENTS_USER_MEDIAN_SQL),
 }
