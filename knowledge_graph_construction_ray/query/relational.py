@@ -922,7 +922,9 @@ def events_incident_overlap(sf_dir: str, min_value: float = 99.0):
             }
         )
 
-    rows = ev.map_batches(prep, batch_format="pandas")
+    # both interval tables branch off `rows` — materialize so the events
+    # read + prep map run once, not once per branch
+    rows = ev.map_batches(prep, batch_format="pandas").materialize()
     act = bucketed_agg(
         rows, ["user_id", "hour_id"], {"s": ("us", "min"), "e": ("us", "max")}
     ).select_columns(["user_id", "hour_id", "s", "e"])
@@ -1757,9 +1759,14 @@ def _bm25_contrib(tf: np.ndarray, dl: np.ndarray, a_toks: int, n_docs: int, w: i
     column and casts to int64 once at the end."""
     max_tf = int(tf.max()) if len(tf) else 0
     max_dl = int(dl.max()) if len(dl) else 0
+    # the saturation term is < 2200 always (num/den < 44000·A·tf/(20·A·tf)),
+    # so w·2200 bounds the final product — without it the w·(num//den)
+    # multiply can wrap at scales the num/den guards admit (review find:
+    # a=1e14, nd=1e13, w=1e16 wrapped to a negative score)
     if (
         44_000 * a_toks * max_tf < 2**62
         and 20 * a_toks * max_tf + 6 * a_toks + 18 * max_dl * n_docs < 2**62
+        and w * 2200 < 2**62
     ):
         num = 44 * a_toks * tf * 1000
         den = 20 * a_toks * tf + 6 * a_toks + 18 * dl * n_docs
@@ -3081,15 +3088,9 @@ def dedup_minhash_apply(sf_dir: str):
     checked with."""
     import ray
 
-    from ..stages.dedupe import minhash_dedup
-
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    clusters = minhash_dedup(
-        ds, threshold=0.5, num_partitions=4 if n <= 100_000 else None
-    )
+    # the cluster table comes from the SAME query the golden parquet
+    # checks — one tuning surface, no drift between the two oracles
+    clusters = dedup_minhash(sf_dir)
     drop = clusters.loc[
         clusters["doc_id"] != clusters["cluster_rep"], "doc_id"
     ].to_numpy(np.int64)

@@ -61,6 +61,21 @@ def test_bm25_contrib_wide_arm_is_exact_beyond_int64():
     assert all(isinstance(v, int) for v in got)
 
 
+def test_bm25_contrib_final_product_cannot_wrap():
+    """Review regression: num/den fit int64 but w·(num//den) would wrap —
+    the guard must route to the wide arm (the saturation term is < 2200,
+    so w·2200 bounds the product)."""
+    a, nd = 10**14, 10**13
+    w = (nd * 1000) // 1  # df=1 → w=1e16; w·2200 > 2^62
+    tf = np.array([1], dtype=np.int64)
+    dl = np.array([1], dtype=np.int64)
+    assert 44_000 * a * 1 < 2**62  # the old guards alone would fast-path
+    got = _bm25_contrib(tf, dl, a, nd, w)
+    want = _contrib_reference(tf, dl, a, nd, w)
+    assert list(got) == list(want)
+    assert got[0] > 0  # the wrapped version was negative
+
+
 def test_bm25_contrib_arms_agree_at_the_dispatch_boundary():
     tf = np.array([5, 50], dtype=np.int64)
     dl = np.array([20, 2000], dtype=np.int64)

@@ -28,7 +28,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def build_corpus(replicate: int) -> tuple[str, int]:
     base = pd.read_parquet(f"{SF_DIR}/documents.parquet")
-    out_dir = f"/tmp/kg_bench_textops_x{replicate}"
+    # cache key must include the BASE corpus identity: the exactness
+    # gates recompute their references from the current base, so a stale
+    # corpus from another GRAFT_SF_DIR would fail every gate falsely
+    tag = SF_DIR.strip("/").replace("/", "_")
+    out_dir = f"/tmp/kg_bench_textops_{tag}_x{replicate}"
     path = os.path.join(out_dir, "documents.parquet")
     n = len(base) * replicate
     if not os.path.exists(path):
