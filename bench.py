@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     "curation_funnel",
     "events_incident_overlap",
     "events_user_median",
+    "embeddings_kcenter_sample",
 ]
 
 

@@ -383,6 +383,45 @@ def bpe_golden(sf_dir: str, k: int = 8, max_vocab: int = 10_000) -> pd.DataFrame
     )
 
 
+def kcenter_golden(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Greedy farthest-point selection, sequential whole-matrix reference
+    (independent of the distributed per-batch partials): seed = smallest
+    vec_id, then k−1 rounds of argmax-of-min-squared-L2 with
+    smallest-id tie-break."""
+    df = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_values("vec_id")
+    ids = df["vec_id"].to_numpy(np.int64)
+    V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    order = [0]
+    mind = (
+        (V * V).sum(axis=1)
+        + (V[0] * V[0]).sum()
+        - 2.0 * (V @ V[0])
+    )
+    mind[0] = -np.inf  # selected points leave the candidate pool (the
+    # distributed arm excludes chosen ids — keeps duplicate-vector
+    # corpora from re-selecting a zero-distance already-chosen point)
+    for _ in range(1, min(k, len(ids))):
+        m = mind.max()
+        cand = np.where(mind == m)[0]
+        nxt = int(cand[np.argmin(ids[cand])])
+        order.append(nxt)
+        d_new = (
+            (V * V).sum(axis=1)
+            + (V[nxt] * V[nxt]).sum()
+            - 2.0 * (V @ V[nxt])
+        )
+        mind = np.minimum(mind, d_new)
+        mind[nxt] = -np.inf
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(order), dtype=np.int64),
+            "vec_id": ids[np.array(order)],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Writer
 # ---------------------------------------------------------------------------
@@ -467,6 +506,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(bpe_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"bpe_merges_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(kcenter_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"kcenter_sample_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

@@ -4045,6 +4045,88 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def embeddings_kcenter_sample(sf_dir: str, k: int = 16):
+    """Diversity / coreset sampling: greedy farthest-point (k-center)
+    selection over the embedding table — the "pick k maximally spread
+    exemplars" primitive behind semantic-diversity curation and coreset
+    distillation.  Seeded at the smallest vec_id; each round broadcasts
+    the selected centers (``ray.put``, ≤ k × dim floats) and one
+    streaming pass computes each point's min squared-L2 distance to them
+    (one matmul per batch), emitting a one-row partial (farthest point)
+    per block; the driver reduces ≤ blocks rows and appends the winner
+    (ties → smallest vec_id, deterministic at any partitioning since
+    per-point distances are computed identically).  k passes total — the
+    standard greedy; coreset variants (k-center++ sampling) cut passes
+    when k is large.  Oracle: golden parquet from an independent
+    sequential whole-matrix implementation (golden.py::kcenter_golden)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    seed_id = int(ds.min("vec_id"))
+    seed_vec = None
+    for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
+        hit = b[b["vec_id"] == seed_id]
+        if len(hit):
+            seed_vec = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    ranks = [(0, seed_id)]
+    centers = [seed_vec]
+    chosen = {seed_id}
+    n = ds.count()
+    for rank in range(1, min(k, n)):
+        c_ref = ray.put(np.stack(centers))
+        sel_ref = ray.put(np.fromiter(chosen, dtype=np.int64))
+
+        def far_partial(df: pd.DataFrame) -> pd.DataFrame:
+            C = ray.get(c_ref)
+            sel = ray.get(sel_ref)
+            ids = df["vec_id"].to_numpy(np.int64)
+            keep = ~np.isin(ids, sel)
+            if not keep.any():
+                return pd.DataFrame(
+                    {"vec_id": pd.Series(dtype="int64"),
+                     "d2": pd.Series(dtype="float64")}
+                )
+            V = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
+            ids = ids[keep]
+            d2 = (
+                (V * V).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (V @ C.T)
+            ).min(axis=1)
+            best = float(d2.max())
+            at = ids[d2 == best].min()  # tie → smallest id, deterministic
+            return pd.DataFrame({"vec_id": [at], "d2": [best]})
+
+        small = ds.map_batches(far_partial, batch_format="pandas").to_pandas()
+        if small.empty:
+            break
+        top = float(small["d2"].max())
+        winner = int(small.loc[small["d2"] == top, "vec_id"].min())
+        ranks.append((rank, winner))
+        chosen.add(winner)
+        for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
+            hit = b[b["vec_id"] == winner]
+            if len(hit):
+                centers.append(
+                    np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+                )
+                break
+    return pd.DataFrame(
+        {
+            "rank": np.array([r for r, _ in ranks], dtype=np.int64),
+            "vec_id": np.array([v for _, v in ranks], dtype=np.int64),
+        }
+    )
+
+
+KCENTER_SQL = """
+SELECT "rank", vec_id
+FROM read_parquet('/tmp/kg_oracle_golden/kcenter_sample_sf0.01.parquet')
+ORDER BY "rank"
+"""
+
+
 def graph_components(sf_dir: str):
     """Distributed connected components (functions/graph.py: min-label
     propagation + pointer jumping, three bucketed exchanges per round,
@@ -4479,4 +4561,5 @@ QUERIES: dict[str, tuple] = {
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "events_incident_overlap": (events_incident_overlap, EVENTS_INCIDENT_OVERLAP_SQL),
     "events_user_median": (events_user_median, EVENTS_USER_MEDIAN_SQL),
+    "embeddings_kcenter_sample": (embeddings_kcenter_sample, KCENTER_SQL),
 }

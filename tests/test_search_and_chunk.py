@@ -477,3 +477,24 @@ def test_interval_join_closed_endpoints_and_guard(ray_session):
             rd.from_pandas(wide), rd.from_pandas(r),
             bucket_width=64, left_cols=["lid"], right_cols=["rid"],
         ).to_pandas()
+
+
+def test_kcenter_sample_spread_property(ray_session):
+    """k-center greedy invariant: selection distances are non-increasing —
+    each new pick's min-distance-to-selected is <= the previous pick's —
+    and all picks are distinct."""
+    from knowledge_graph_construction_ray.query.relational import (
+        embeddings_kcenter_sample,
+    )
+
+    out = embeddings_kcenter_sample(SF_DIR, k=8)
+    assert out["vec_id"].is_unique and len(out) == 8
+    emb = pd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).set_index("vec_id")["embedding"]
+    V = np.stack([np.asarray(emb[v], dtype=np.float64) for v in out["vec_id"]])
+    dists = []
+    for i in range(1, len(V)):
+        d2 = ((V[:i] - V[i]) ** 2).sum(axis=1).min()
+        dists.append(d2)
+    assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:]))
