@@ -387,6 +387,8 @@ BENCH_QUERIES = [
     "events_incident_overlap",
     "events_user_median",
     "embeddings_kcenter_sample",
+    "events_funnel_users",
+    "events_weekly_retention",
 ]
 
 

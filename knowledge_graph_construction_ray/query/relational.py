@@ -4045,6 +4045,123 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_funnel_users(sf_dir: str):
+    """Ordered-sequence funnel (view → click → purchase with strictly
+    increasing first-occurrence times) — the MATCH_RECOGNIZE-lite /
+    product-analytics staple.  One co-locating exchange on user_id; the
+    per-bucket kernel is three masked grouped mins chained by vectorized
+    merges (t1 = min view, t2 = min click after t1, t3 = min purchase
+    after t2) — no per-user Python."""
+    from ..functions.groupby import bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"],
+                "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df["event_type"] == "view"].groupby("user_id")["us"].min()
+            .rename("t1")
+        )
+        c = df[df["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = c[c["us"] > c["t1"]].groupby("user_id")["us"].min().rename("t2")
+        p = df[df["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = p[p["us"] > p["t2"]].groupby("user_id")["us"].min()
+        return pd.DataFrame({"user_id": t3.index.to_numpy(np.int64)})
+
+    return (
+        bucketed_groups(
+            ds.map_batches(prep, batch_format="pandas"), ["user_id"], kernel
+        )
+        .sort("user_id")
+        .to_pandas()
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type='view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN s1 USING (user_id)
+       WHERE event_type='click' AND us > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN s2 USING (user_id)
+       WHERE event_type='purchase' AND us > t2 GROUP BY 1)
+SELECT user_id FROM s3 ORDER BY user_id
+"""
+
+
+def events_weekly_retention(sf_dir: str):
+    """Cohort retention: distinct users per (first-activity week, week
+    offset) — the standard retention triangle.  One co-locating exchange
+    on user_id: each user's whole history lands in one bucket, so the
+    per-bucket kernel emits already-globally-distinct (cohort, offset,
+    user) rows and per-bucket partial counts SUM exactly; one tiny
+    (cohort, offset) combiner exchange finishes.  No COUNT DISTINCT
+    shuffle ever carries user cardinality twice."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    W = 7 * 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "week": df["ts"].astype("datetime64[us]").astype("int64") // W,
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("user_id")["week"].min().rename("cohort")
+        j = df.drop_duplicates().merge(first, on="user_id")
+        cells = (
+            pd.DataFrame(
+                {
+                    "cohort": j["cohort"].to_numpy(np.int64),
+                    "offset": (j["week"] - j["cohort"]).to_numpy(np.int64),
+                    "user_id": j["user_id"].to_numpy(np.int64),
+                }
+            )
+            .drop_duplicates()
+            .groupby(["cohort", "offset"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "cohort": cells["cohort"].to_numpy(np.int64),
+                "offset": cells["offset"].to_numpy(np.int64),
+                "n_users": cells["size"].to_numpy(np.int64),
+            }
+        )
+
+    partials = bucketed_groups(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], kernel
+    )
+    out = bucketed_agg(
+        partials, ["cohort", "offset"], {"n_users": ("n_users", "sum")}
+    ).to_pandas()
+    return (
+        out.sort_values(["cohort", "offset"])
+        .reset_index(drop=True)[["cohort", "offset", "n_users"]]
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+first AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY 1)
+SELECT cohort, week - cohort AS "offset",
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def embeddings_kcenter_sample(sf_dir: str, k: int = 16):
     """Diversity / coreset sampling: greedy farthest-point (k-center)
     selection over the embedding table — the "pick k maximally spread
@@ -4562,4 +4679,6 @@ QUERIES: dict[str, tuple] = {
     "events_incident_overlap": (events_incident_overlap, EVENTS_INCIDENT_OVERLAP_SQL),
     "events_user_median": (events_user_median, EVENTS_USER_MEDIAN_SQL),
     "embeddings_kcenter_sample": (embeddings_kcenter_sample, KCENTER_SQL),
+    "events_funnel_users": (events_funnel_users, EVENTS_FUNNEL_SQL),
+    "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
 }

@@ -498,3 +498,46 @@ def test_kcenter_sample_spread_property(ray_session):
         d2 = ((V[:i] - V[i]) ** 2).sum(axis=1).min()
         dists.append(d2)
     assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:]))
+
+
+def test_funnel_order_sensitivity(ray_session):
+    """A user with purchase BEFORE click must not qualify; one with the
+    full ordered sequence must."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_funnel_users,
+    )
+
+    rows = [
+        # user 1: view < click < purchase → qualifies
+        (1, "view", "2024-01-01 01:00"), (1, "click", "2024-01-01 02:00"),
+        (1, "purchase", "2024-01-01 03:00"),
+        # user 2: purchase before click → out
+        (2, "view", "2024-01-01 01:00"), (2, "purchase", "2024-01-01 02:00"),
+        (2, "click", "2024-01-01 03:00"),
+        # user 3: missing view → out
+        (3, "click", "2024-01-01 01:00"), (3, "purchase", "2024-01-01 02:00"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["event_id"] = range(len(df))
+    df["value"] = 0.0
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_funnel_users(d)
+    assert list(out["user_id"]) == [1]
+
+
+def test_retention_counts_each_user_once_per_cell(ray_session):
+    from knowledge_graph_construction_ray.query.relational import (
+        events_weekly_retention,
+    )
+
+    out = events_weekly_retention(SF_DIR)
+    users = pd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    n_users = users["user_id"].nunique()
+    # offset-0 cohort cells sum to the distinct-user count exactly
+    assert out.loc[out["offset"] == 0, "n_users"].sum() == n_users
+    assert (out["n_users"] > 0).all()
