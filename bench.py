@@ -389,6 +389,7 @@ BENCH_QUERIES = [
     "embeddings_kcenter_sample",
     "events_funnel_users",
     "events_weekly_retention",
+    "events_value_outliers",
 ]
 
 

@@ -4045,6 +4045,103 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_value_outliers(sf_dir: str):
+    """INTEGER-EXACT 2σ outlier flagging per event type: flag every event
+    whose value deviates more than two population standard deviations
+    from its type's mean — with zero float arithmetic in the contract.
+    (v − μ)² > 4σ² clears to (n·c − S)² > 4·(n·S2 − S²) over integer
+    cents, so numpy/Python ints and the HUGEINT SQL mirror agree
+    bit-for-bit at any corpus size.
+
+    Two streaming passes: (1) per-type moments via the
+    ``lineitem_qty_variance`` discipline — per-batch (n, Σc, two-limb
+    Σc²) partials, Python-int driver combine, tiny broadcast; (2) a
+    stateless filter with an int64 fast arm (guarded: |n·c| + |S| small
+    enough that the square fits) and a Python-int wide arm beyond — the
+    ``_bm25_contrib`` dispatch shape."""
+    _LIMB = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        if len(c) and int(np.abs(c).max()) >= (1 << 31):
+            raise ValueError("value*100 >= 2^31: c*c would wrap int64")
+        cc = c * c
+        t = pd.DataFrame(
+            {
+                "g": df["event_type"].to_numpy(),
+                "c": c,
+                "hi": cc >> _LIMB,
+                "lo": cc & _MASK,
+            }
+        )
+        return t.groupby("g", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"),
+            ss_hi=("hi", "sum"), ss_lo=("lo", "sum"),
+        )
+
+    small = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    stats: dict = {}
+    for g, sub in small.groupby("g", sort=False):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])
+        ss = sum(int(h) * (1 << 31) + int(lo)
+                 for h, lo in zip(sub["ss_hi"], sub["ss_lo"]))
+        stats[g] = (n, s, 4 * (n * ss - s * s))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"),
+             "event_type": pd.Series(dtype=object)}
+        )
+        c = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        types = df["event_type"].to_numpy()
+        ids = df["event_id"].to_numpy(np.int64)
+        out_mask = np.zeros(len(df), dtype=bool)
+        for g, (n, s, rhs) in stats.items():
+            sel = types == g
+            if not sel.any():
+                continue
+            cg = c[sel]
+            # int64 fast arm iff (n·|c|max + |S|)² cannot wrap
+            bound = n * int(np.abs(cg).max()) + abs(s)
+            if bound * bound < 2**62 and abs(rhs) < 2**62:
+                d = n * cg - s
+                hit = d * d > rhs
+            else:
+                d = n * cg.astype(object) - s
+                hit = np.array([int(x) * int(x) > rhs for x in d], dtype=bool)
+            m = np.zeros(len(df), dtype=bool)
+            m[np.flatnonzero(sel)[hit]] = True
+            out_mask |= m
+        if not out_mask.any():
+            return empty
+        return pd.DataFrame(
+            {"event_id": ids[out_mask], "event_type": types[out_mask]}
+        )
+
+    return (
+        ds.map_batches(flag, batch_format="pandas").sort("event_id").to_pandas()
+    )
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+m AS (SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s,
+             SUM(CAST(c AS HUGEINT) * c) AS s2
+      FROM c GROUP BY 1)
+SELECT event_id, c.event_type
+FROM c JOIN m USING (event_type)
+WHERE (n * CAST(c.c AS HUGEINT) - s) * (n * CAST(c.c AS HUGEINT) - s) >
+      4 * (n * s2 - s * s)
+ORDER BY event_id
+"""
+
+
 def events_funnel_users(sf_dir: str):
     """Ordered-sequence funnel (view → click → purchase with strictly
     increasing first-occurrence times) — the MATCH_RECOGNIZE-lite /
@@ -4681,4 +4778,5 @@ QUERIES: dict[str, tuple] = {
     "embeddings_kcenter_sample": (embeddings_kcenter_sample, KCENTER_SQL),
     "events_funnel_users": (events_funnel_users, EVENTS_FUNNEL_SQL),
     "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
+    "events_value_outliers": (events_value_outliers, EVENTS_OUTLIERS_SQL),
 }

@@ -541,3 +541,38 @@ def test_retention_counts_each_user_once_per_cell(ray_session):
     # offset-0 cohort cells sum to the distinct-user count exactly
     assert out.loc[out["offset"] == 0, "n_users"].sum() == n_users
     assert (out["n_users"] > 0).all()
+
+
+def test_outliers_wide_arm_matches_fast_arm_semantics(ray_session):
+    """Craft a tiny corpus with a single extreme value: the flagged set is
+    exactly the extreme event, and the integer predicate matches the
+    Fraction-exact definition (v-mu)^2 > 4 sigma^2."""
+    import os
+    import tempfile
+    from fractions import Fraction
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_value_outliers,
+    )
+
+    vals = [10.0] * 20 + [10.5] * 20 + [99.99]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "event_type": ["x"] * len(vals),
+            "value": vals,
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": 0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_value_outliers(d)
+    # Fraction reference over cents
+    c = [round(v * 100) for v in vals]
+    n, s = len(c), sum(c)
+    s2 = sum(x * x for x in c)
+    mu = Fraction(s, n)
+    var = Fraction(n * s2 - s * s, n * n)
+    want = {i for i, x in enumerate(c) if (x - mu) ** 2 > 4 * var}
+    assert set(out["event_id"]) == want == {len(vals) - 1}
