@@ -394,11 +394,10 @@ def kcenter_golden(sf_dir: str, k: int = 16) -> pd.DataFrame:
     ids = df["vec_id"].to_numpy(np.int64)
     V = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     order = [0]
-    mind = (
-        (V * V).sum(axis=1)
-        + (V[0] * V[0]).sum()
-        - 2.0 * (V @ V[0])
-    )
+    # SAME per-point formula as the distributed arm's per-center pass —
+    # ((V-c)^2).sum over the contiguous dim axis is bit-deterministic per
+    # point, so near-ties resolve identically under any partitioning
+    mind = ((V - V[0]) ** 2).sum(axis=1)
     mind[0] = -np.inf  # selected points leave the candidate pool (the
     # distributed arm excludes chosen ids — keeps duplicate-vector
     # corpora from re-selecting a zero-distance already-chosen point)
@@ -407,12 +406,7 @@ def kcenter_golden(sf_dir: str, k: int = 16) -> pd.DataFrame:
         cand = np.where(mind == m)[0]
         nxt = int(cand[np.argmin(ids[cand])])
         order.append(nxt)
-        d_new = (
-            (V * V).sum(axis=1)
-            + (V[nxt] * V[nxt]).sum()
-            - 2.0 * (V @ V[nxt])
-        )
-        mind = np.minimum(mind, d_new)
+        mind = np.minimum(mind, ((V - V[nxt]) ** 2).sum(axis=1))
         mind[nxt] = -np.inf
     return pd.DataFrame(
         {

@@ -2531,6 +2531,48 @@ FROM events"""
 ) + " ORDER BY col_name"
 
 
+def _grouped_integer_moments(
+    ds, group_col: str, value_col: str, scale: int = 100
+) -> dict:
+    """Exact per-group (n, Σc, Σc²) over a decimal measure as integer
+    hundredths — the shared wrap-proof discipline: per-batch groupby
+    partials carry Σc and a TWO-LIMB Σc² (hi = c² >> 31, lo = low 31
+    bits; each limb sums safely over 2^31 batch rows — valid for
+    |c| < 2^31, guarded with a loud ValueError), and the tiny driver
+    combine (groups × blocks rows) runs in PYTHON ints so no downstream
+    expression can wrap at any corpus size."""
+    _LIMB = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df[value_col].to_numpy(np.float64) * scale).astype(np.int64)
+        if len(c) and int(np.abs(c).max()) >= (1 << 31):
+            raise ValueError(f"{value_col}*{scale} >= 2^31: c*c would wrap int64")
+        cc = c * c
+        t = pd.DataFrame(
+            {
+                "g": df[group_col].to_numpy(),
+                "c": c,
+                "hi": cc >> _LIMB,
+                "lo": cc & _MASK,
+            }
+        )
+        return t.groupby("g", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"),
+            ss_hi=("hi", "sum"), ss_lo=("lo", "sum"),
+        )
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    stats: dict = {}
+    for g, sub in small.groupby("g", sort=False):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])
+        ss = sum(int(h) * (1 << 31) + int(lo)
+                 for h, lo in zip(sub["ss_hi"], sub["ss_lo"]))
+        stats[g] = (n, s, ss)
+    return stats
+
+
 def lineitem_qty_variance(sf_dir: str):
     """EXACT grouped mean/variance over a decimal measure without float
     summation-order sensitivity: quantities become int64 hundredths
@@ -2548,36 +2590,11 @@ def lineitem_qty_variance(sf_dir: str):
     |q₁₀₀| < 2^31 (quantity < 2.1×10^7), guarded with a loud ValueError
     instead of a silent wrap."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-    _LIMB = np.int64(31)
-    _MASK = np.int64((1 << 31) - 1)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        q = np.round(df["l_quantity"].to_numpy(np.float64) * 100).astype(np.int64)
-        if len(q) and int(np.abs(q).max()) >= (1 << 31):
-            raise ValueError("quantity*100 >= 2^31: q*q would wrap int64")
-        qq = q * q
-        t = pd.DataFrame(
-            {
-                "g": df["l_returnflag"].to_numpy(),
-                "q": q,
-                "hi": qq >> _LIMB,
-                "lo": qq & _MASK,
-            }
-        )
-        return t.groupby("g", as_index=False).agg(
-            n=("q", "size"), s=("q", "sum"),
-            ss_hi=("hi", "sum"), ss_lo=("lo", "sum"),
-        )
-
-    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    rows = []
-    for g, sub in small.groupby("g", sort=True):
-        # exact arbitrary-precision combine — bounded driver state
-        n = int(sub["n"].sum())
-        s = sum(int(v) for v in sub["s"])
-        ss = sum(int(h) * (1 << 31) + int(lo)
-                 for h, lo in zip(sub["ss_hi"], sub["ss_lo"]))
-        rows.append((g, n, s // n, (n * ss - s * s) // (n * n)))
+    stats = _grouped_integer_moments(ds, "l_returnflag", "l_quantity")
+    rows = [
+        (g, n, s // n, (n * ss - s * s) // (n * n))
+        for g, (n, s, ss) in sorted(stats.items())
+    ]
     return pd.DataFrame(
         {
             "l_returnflag": [r[0] for r in rows],
@@ -4059,37 +4076,13 @@ def events_value_outliers(sf_dir: str):
     stateless filter with an int64 fast arm (guarded: |n·c| + |S| small
     enough that the square fits) and a Python-int wide arm beyond — the
     ``_bm25_contrib`` dispatch shape."""
-    _LIMB = np.int64(31)
-    _MASK = np.int64((1 << 31) - 1)
-
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        c = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
-        if len(c) and int(np.abs(c).max()) >= (1 << 31):
-            raise ValueError("value*100 >= 2^31: c*c would wrap int64")
-        cc = c * c
-        t = pd.DataFrame(
-            {
-                "g": df["event_type"].to_numpy(),
-                "c": c,
-                "hi": cc >> _LIMB,
-                "lo": cc & _MASK,
-            }
-        )
-        return t.groupby("g", as_index=False).agg(
-            n=("c", "size"), s=("c", "sum"),
-            ss_hi=("hi", "sum"), ss_lo=("lo", "sum"),
-        )
-
-    small = ds.map_batches(moments, batch_format="pandas").to_pandas()
-    stats: dict = {}
-    for g, sub in small.groupby("g", sort=False):
-        n = int(sub["n"].sum())
-        s = sum(int(v) for v in sub["s"])
-        ss = sum(int(h) * (1 << 31) + int(lo)
-                 for h, lo in zip(sub["ss_hi"], sub["ss_lo"]))
-        stats[g] = (n, s, 4 * (n * ss - s * s))
+    stats = {
+        g: (n, s, 4 * (n * ss - s * s))
+        for g, (n, s, ss) in _grouped_integer_moments(
+            ds, "event_type", "value"
+        ).items()
+    }
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -4200,7 +4193,12 @@ def events_weekly_retention(sf_dir: str):
     per-bucket kernel emits already-globally-distinct (cohort, offset,
     user) rows and per-bucket partial counts SUM exactly; one tiny
     (cohort, offset) combiner exchange finishes.  No COUNT DISTINCT
-    shuffle ever carries user cardinality twice."""
+    shuffle ever carries user cardinality twice.
+
+    Assumes post-1970 timestamps (true of every testdata table): numpy
+    ``//`` floors while DuckDB ``//`` truncates toward zero, so a
+    negative epoch would shift its week by one between the engines —
+    the same documented assumption as ``_split_hash``."""
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
     W = 7 * 86_400_000_000
@@ -4266,23 +4264,37 @@ def embeddings_kcenter_sample(sf_dir: str, k: int = 16):
     distillation.  Seeded at the smallest vec_id; each round broadcasts
     the selected centers (``ray.put``, ≤ k × dim floats) and one
     streaming pass computes each point's min squared-L2 distance to them
-    (one matmul per batch), emitting a one-row partial (farthest point)
-    per block; the driver reduces ≤ blocks rows and appends the winner
-    (ties → smallest vec_id, deterministic at any partitioning since
-    per-point distances are computed identically).  k passes total — the
-    standard greedy; coreset variants (k-center++ sampling) cut passes
-    when k is large.  Oracle: golden parquet from an independent
-    sequential whole-matrix implementation (golden.py::kcenter_golden)."""
+    (one vectorized ((V−c)²).sum pass per center — bit-deterministic per
+    point, unlike a blocked GEMM whose last-ulp accumulation order
+    shifts with block shape), emitting a one-row partial (farthest
+    point + its vector, so no winner-lookup rescan) per block; the
+    driver reduces ≤ blocks rows and appends the winner (ties →
+    smallest vec_id, deterministic at any partitioning).  k passes
+    total — the standard greedy; coreset variants (k-center++ sampling)
+    cut passes when k is large.  Oracle: golden parquet from an
+    independent sequential whole-matrix implementation
+    (golden.py::kcenter_golden, same per-point distance formula)."""
     import ray
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    seed_id = int(ds.min("vec_id"))
-    seed_vec = None
-    for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
-        hit = b[b["vec_id"] == seed_id]
-        if len(hit):
-            seed_vec = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
-            break
+
+    # seed lookup without a driver table scan: per-block (min id, its
+    # vector) partials, one tiny reduce
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"), "embedding": pd.Series(dtype=object)}
+            )
+        at = int(df["vec_id"].to_numpy(np.int64).argmin())
+        return pd.DataFrame(
+            {"vec_id": [np.int64(df["vec_id"].iloc[at])],
+             "embedding": [list(df["embedding"].iloc[at])]}
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    at = int(seeds["vec_id"].to_numpy(np.int64).argmin())
+    seed_id = int(seeds["vec_id"].iloc[at])
+    seed_vec = np.asarray(seeds["embedding"].iloc[at], dtype=np.float64)
     ranks = [(0, seed_id)]
     centers = [seed_vec]
     chosen = {seed_id}
@@ -4299,33 +4311,37 @@ def embeddings_kcenter_sample(sf_dir: str, k: int = 16):
             if not keep.any():
                 return pd.DataFrame(
                     {"vec_id": pd.Series(dtype="int64"),
-                     "d2": pd.Series(dtype="float64")}
+                     "d2": pd.Series(dtype="float64"),
+                     "embedding": pd.Series(dtype=object)}
                 )
             V = np.stack(df["embedding"].to_numpy()[keep]).astype(np.float64)
             ids = ids[keep]
-            d2 = (
-                (V * V).sum(axis=1)[:, None]
-                + (C * C).sum(axis=1)[None, :]
-                - 2.0 * (V @ C.T)
-            ).min(axis=1)
+            # per-center ((V-c)^2).sum: numpy's pairwise reduction over
+            # the contiguous dim axis is BIT-DETERMINISTIC per point —
+            # unlike a blocked GEMM, whose accumulation order (and hence
+            # last-ulp result) varies with block shape, which would let
+            # near-ties resolve differently across partitionings and vs
+            # the sequential golden
+            d2 = np.full(len(ids), np.inf)
+            for c in C:
+                np.minimum(d2, ((V - c) ** 2).sum(axis=1), out=d2)
             best = float(d2.max())
-            at = ids[d2 == best].min()  # tie → smallest id, deterministic
-            return pd.DataFrame({"vec_id": [at], "d2": [best]})
+            row = np.flatnonzero(d2 == best)[ids[d2 == best].argmin()]
+            return pd.DataFrame(
+                {"vec_id": [ids[d2 == best].min()], "d2": [best],
+                 "embedding": [V[row].tolist()]}
+            )
 
         small = ds.map_batches(far_partial, batch_format="pandas").to_pandas()
         if small.empty:
             break
         top = float(small["d2"].max())
-        winner = int(small.loc[small["d2"] == top, "vec_id"].min())
+        cand = small[small["d2"] == top]
+        at = int(cand["vec_id"].to_numpy(np.int64).argmin())
+        winner = int(cand["vec_id"].iloc[at])
         ranks.append((rank, winner))
         chosen.add(winner)
-        for b in ds.iter_batches(batch_size=512, batch_format="pandas"):
-            hit = b[b["vec_id"] == winner]
-            if len(hit):
-                centers.append(
-                    np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
-                )
-                break
+        centers.append(np.asarray(cand["embedding"].iloc[at], dtype=np.float64))
     return pd.DataFrame(
         {
             "rank": np.array([r for r, _ in ranks], dtype=np.int64),

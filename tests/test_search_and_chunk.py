@@ -576,3 +576,68 @@ def test_outliers_wide_arm_matches_fast_arm_semantics(ray_session):
     var = Fraction(n * s2 - s * s, n * n)
     want = {i for i, x in enumerate(c) if (x - mu) ** 2 > 4 * var}
     assert set(out["event_id"]) == want == {len(vals) - 1}
+
+
+def test_outliers_wide_arm_is_exercised_and_exact(ray_session):
+    """Values near the 2^31-cent guard force the Python-int wide arm
+    (n·|c|max + |S| squares past 2^62); the flags must still match the
+    Fraction-exact definition."""
+    import os
+    import tempfile
+    from fractions import Fraction
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_value_outliers,
+    )
+
+    big = 2e7  # 2e9 cents < 2^31 guard, but (n·c)² ≫ 2^62 → wide arm
+    vals = [big] * 20 + [big + 1000.0] * 20 + [1.0]
+    c = [round(v * 100) for v in vals]
+    n, s = len(c), sum(c)
+    assert (n * max(abs(x) for x in c) + abs(s)) ** 2 >= 2**62  # precondition
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "event_type": ["x"] * len(vals),
+            "value": vals,
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": 0,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_value_outliers(d)
+    s2 = sum(x * x for x in c)
+    mu = Fraction(s, n)
+    var = Fraction(n * s2 - s * s, n * n)
+    want = {i for i, x in enumerate(c) if (x - mu) ** 2 > 4 * var}
+    assert set(out["event_id"]) == want and len(want) > 0
+
+
+def test_kcenter_duplicate_vectors_match_golden(ray_session):
+    """Exact-duplicate embeddings are the tie-dense worst case: the
+    distributed arm and the sequential golden must pick identical ids in
+    identical order (smallest-id tie-break + selected-point exclusion)."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.golden import kcenter_golden
+    from knowledge_graph_construction_ray.query.relational import (
+        embeddings_kcenter_sample,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    vecs = [base[i % 6] for i in range(30)]  # every vector ×5 duplicated
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": np.zeros(30, dtype=np.int32),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "embeddings.parquet"))
+        got = embeddings_kcenter_sample(d, k=10)
+        want = kcenter_golden(d, k=10)
+    pd.testing.assert_frame_equal(got, want)
