@@ -25,12 +25,16 @@ def build_events(path: str, n_rows: int, n_users: int) -> None:
     user = rng.randint(0, n_users, size=n_rows).astype(np.int64)
     base = np.int64(1_700_000_000_000_000)  # µs epoch
     ts = base + rng.randint(0, 30 * 86_400_000_000, size=n_rows).astype(np.int64)
+    kinds = np.array(["click", "error", "view", "purchase", "signup"])
     t = pa.Table.from_pydict(
         {
             "user_id": user,
             "event_id": np.arange(n_rows, dtype=np.int64),
             "ts": pa.array(ts, type=pa.timestamp("us")),
-            "value": rng.rand(n_rows),
+            "event_type": kinds[rng.randint(0, len(kinds), size=n_rows)],
+            # 2-decimal values in [0, 100): integer-cents-exact for the
+            # outlier op, realistic tail for its threshold
+            "value": (rng.rand(n_rows) * 100).round(2),
         }
     )
     pq.write_table(t, path)
@@ -63,11 +67,20 @@ def main() -> None:
         events_sliding,
     )
 
+    from knowledge_graph_construction_ray.query.relational import (
+        events_funnel_users,
+        events_value_outliers,
+        events_weekly_retention,
+    )
+
     # warm the worker pool/shuffle actors on the small path first
     events_hourly(d)
     t0 = time.time(); hourly = events_hourly(d); t_hourly = time.time() - t0
     t0 = time.time(); sessions = events_sessions(d); t_sessions = time.time() - t0
     t0 = time.time(); sliding = events_sliding(d); t_sliding = time.time() - t0
+    t0 = time.time(); funnel = events_funnel_users(d); t_funnel = time.time() - t0
+    t0 = time.time(); ret = events_weekly_retention(d); t_ret = time.time() - t0
+    t0 = time.time(); outl = events_value_outliers(d); t_outl = time.time() - t0
     print(
         {
             "rows": args.rows,
@@ -75,10 +88,18 @@ def main() -> None:
             "hourly_sec": round(t_hourly, 2),
             "sessions_sec": round(t_sessions, 2),
             "sliding_sec": round(t_sliding, 2),
+            "funnel_sec": round(t_funnel, 2),
+            "retention_sec": round(t_ret, 2),
+            "outliers_sec": round(t_outl, 2),
             "sessions_over_hourly": round(t_sessions / t_hourly, 2),
+            "funnel_over_hourly": round(t_funnel / t_hourly, 2),
+            "retention_over_hourly": round(t_ret / t_hourly, 2),
             "n_hourly": len(hourly),
             "n_sessions": len(sessions),
             "n_sliding": len(sliding),
+            "n_funnel_users": len(funnel),
+            "n_retention_cells": len(ret),
+            "n_outliers": len(outl),
         }
     )
     ray.shutdown()
