@@ -390,6 +390,7 @@ BENCH_QUERIES = [
     "events_funnel_users",
     "events_weekly_retention",
     "events_value_outliers",
+    "events_props_extract",
 ]
 
 

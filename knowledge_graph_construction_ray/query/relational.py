@@ -4135,6 +4135,47 @@ ORDER BY event_id
 """
 
 
+def events_props_extract(sf_dir: str):
+    """Semi-structured payload extraction — the JSON-ish `props` column
+    parsed WITHOUT leaving Arrow: one RE2 ``pc.extract_regex`` kernel per
+    batch pulls the "k" field, casts to int64, and per-batch
+    ``pc.value_counts`` partials feed one bucketed combiner exchange
+    (carrying distinct k per block, never rows).  Rows whose props don't
+    match are dropped on both sides (SQL ``regexp_matches`` guard)."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["props"])
+    pattern = r'"k":\s*(?P<k>-?\d+)'
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(tbl.column("props"), pattern=pattern)
+        k = pc.struct_field(ex, "k")
+        k = pc.cast(k.drop_null(), pa.int64())
+        vc = k.value_counts()
+        return pa.table(
+            {
+                "k": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    out = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    return out.sort_values("k").reset_index(drop=True)[["k", "n"]]
+
+
+EVENTS_PROPS_SQL = r"""
+SELECT CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE regexp_matches(props, '"k":\s*(-?\d+)')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_funnel_users(sf_dir: str):
     """Ordered-sequence funnel (view → click → purchase with strictly
     increasing first-occurrence times) — the MATCH_RECOGNIZE-lite /
@@ -4795,4 +4836,5 @@ QUERIES: dict[str, tuple] = {
     "events_funnel_users": (events_funnel_users, EVENTS_FUNNEL_SQL),
     "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
     "events_value_outliers": (events_value_outliers, EVENTS_OUTLIERS_SQL),
+    "events_props_extract": (events_props_extract, EVENTS_PROPS_SQL),
 }

@@ -641,3 +641,28 @@ def test_kcenter_duplicate_vectors_match_golden(ray_session):
         got = embeddings_kcenter_sample(d, k=10)
         want = kcenter_golden(d, k=10)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_props_extract_drops_unparseable_rows(ray_session):
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_props_extract,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "user_id": 0,
+            "event_type": "x",
+            "value": 0.0,
+            "ts": pd.to_datetime("2024-01-01"),
+            "props": ['{"k": 7}', '{"k": -3}', "not json", '{"other": 1}', '{"k": 7}'],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_props_extract(d)
+    want = pd.DataFrame({"k": [-3, 7], "n": [1, 2]})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
