@@ -294,6 +294,10 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
         payload, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=(id_col,),
     ).map_batches(lambda df: rename(df, "_a"), batch_format="pandas")
+    # the FIRST join's own output partitions can be all-empty on sparse
+    # candidate sets (tiny ingest batches) — schema-less again, so the
+    # second join needs the same scrub
+    j = scrub_empty_blocks(j)
     return j.join(
         payload, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=(id_col,),
@@ -309,6 +313,20 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
     Only the verified (sparse, near-dup-cluster-sized) pair set ever
     reaches the driver; candidate density is bounded by shuffle capacity,
     not driver memory (VERDICT r1 item 1)."""
+    import ray.data as rd
+
+    if pairs_ds.count() == 0:
+        # an entirely-empty candidate set (tiny ingest batches) would
+        # poison the native join with schema-less blocks
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        )
     with_texts = attach_pair_payloads(
         pairs_ds, docs_ds, id_col="doc_id", payload_col="text",
         num_partitions=num_partitions,
@@ -545,3 +563,144 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float, block_on=None):
                     a, b = sorted((ids[i], ids[j]))
                     rows.append((a, b, round(jac, 6)))
     return pd.DataFrame(sorted(set(rows)), columns=["a", "b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index (continuous-ingest dedup)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(docs_ds, index_dir: str, *, num_buckets: int = 64) -> str:
+    """Persist the LSH band table so future ingest batches dedup against
+    this corpus WITHOUT recomputing its signatures — the incremental-
+    refresh counterpart of ``minhash_dedup`` (pairs with the
+    ``corpus_snapshot_diff`` operator: diff finds the new docs, this
+    index dedups them against everything already ingested).
+
+    Layout: ``index_dir/bands/bucket=<b>/*.parquet`` holding (band_id,
+    band_hash, doc_id), partitioned by the SAME coarse hash bucket the
+    candidate shuffle keys on — a query batch reads only the buckets its
+    own bands occupy (file-level pruning that pays when the ingest batch
+    is small; the unconditional win is never re-hashing old text)."""
+    from ..functions.groupby import hash_bucket
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bands = minhash_bands_kernel(df)
+        bands["bucket"] = hash_bucket(
+            bands, ["band_id", "band_hash"], num_buckets
+        ).astype(np.int64)
+        return bands
+
+    (
+        docs_ds.map_batches(add_bucket, batch_format="pandas")
+        .write_parquet(f"{index_dir}/bands", partition_cols=["bucket"])
+    )
+    return index_dir
+
+
+def query_minhash_index(
+    new_docs_ds,
+    index_dir: str,
+    old_docs_ds,
+    *,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    stats_out: dict | None = None,
+):
+    """Verified near-dup pairs between a NEW ingest batch and the indexed
+    corpus (old×new and new×new; old×old is the index's own business and
+    is never regenerated).  Returns a pandas DataFrame (a, b, jaccard),
+    a < b, sorted.
+
+    Plan: the new batch's bands are computed fresh; the driver collects
+    the ≤ ``num_buckets`` DISTINCT buckets they occupy (tiny per-batch
+    set-union partials) and reads ONLY those index partitions; the band
+    union flows through the standard collision → pair → two-join text
+    attach → vectorized Jaccard verify pipeline, with pairs filtered to
+    those touching ≥ 1 new doc (broadcast new-id set — the ingest batch
+    is the small side by definition).  Old texts join from
+    ``old_docs_ds`` only where a candidate pair demands them."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupby import bucketed_agg, bucketed_groups, hash_bucket
+
+    new_bands_ds = new_docs_ds.map_batches(
+        minhash_bands_kernel, batch_format="pandas"
+    ).materialize()
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.unique(hash_bucket(df, ["band_id", "band_hash"], num_buckets))
+        return pd.DataFrame({"bucket": b.astype(np.int64)})
+
+    occupied = sorted(
+        set(
+            new_bands_ds.map_batches(bucket_partial, batch_format="pandas")
+            .to_pandas()["bucket"]
+        )
+    )
+    dirs = [
+        d
+        for b in occupied
+        if os.path.isdir(d := f"{index_dir}/bands/bucket={b}")
+    ]
+    # read_parquet wants file paths when given a list — expand each
+    # pruned partition directory to its fragments
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    old_bands = (
+        rd.read_parquet(files, columns=["band_id", "band_hash", "doc_id"])
+        if files
+        else rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "band_id": pd.Series(dtype="int64"),
+                    "band_hash": pd.Series(dtype="uint64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    )
+
+    new_ids = new_docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+    new_ref = ray.put(new_ids.to_numpy(np.int64))
+
+    pairs = bucketed_groups(
+        new_bands_ds.union(old_bands),
+        ["band_hash", "band_id"],
+        lambda g: _group_pairs(g, ["band_id", "band_hash"]),
+        num_buckets=num_buckets,
+    )
+
+    def touching_new(df: pd.DataFrame) -> pd.DataFrame:
+        nid = ray.get(new_ref)
+        keep = np.isin(df["a"].to_numpy(), nid) | np.isin(
+            df["b"].to_numpy(), nid
+        )
+        return df[keep]
+
+    cand = bucketed_agg(
+        pairs.map_batches(touching_new, batch_format="pandas"),
+        ["a", "b"],
+        {"n_bands": ("a", "size")},
+    )
+    texts = old_docs_ds.select_columns(["doc_id", "text"]).union(
+        new_docs_ds.select_columns(["doc_id", "text"])
+    )
+    verified_ds = verify_pairs_distributed(
+        cand, texts, threshold, num_partitions=num_partitions
+    )
+    verified = verified_ds.to_pandas()
+    if stats_out is not None:
+        stats_out["occupied_buckets"] = len(occupied)
+        stats_out["stats"] = verified_ds.stats()
+    if verified.empty:
+        return pd.DataFrame(columns=["a", "b", "jaccard"])
+    return verified.sort_values(["a", "b"]).reset_index(drop=True)

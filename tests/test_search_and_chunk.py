@@ -666,3 +666,79 @@ def test_props_extract_drops_unparseable_rows(ray_session):
         out = events_props_extract(d)
     want = pd.DataFrame({"k": [-3, 7], "n": [1, 2]})
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_incremental_equals_full_restricted(ray_session):
+    """Index half the corpus, ingest the other half: the incremental
+    verified pairs equal the full-corpus pipeline's pairs restricted to
+    those touching a new doc (old×old never regenerated, new×new and
+    old×new complete)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        minhash_candidate_pairs,
+        query_minhash_index,
+        verify_pairs_distributed,
+    )
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    old = docs[docs["doc_id"] % 2 == 0].reset_index(drop=True)
+    new = docs[docs["doc_id"] % 2 == 1].reset_index(drop=True)
+    TH = 0.2  # low threshold so the synthetic corpus yields real pairs
+
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d)
+        got = query_minhash_index(
+            rd.from_pandas(new), d, rd.from_pandas(old),
+            threshold=TH, num_partitions=4,
+        )
+
+    full = verify_pairs_distributed(
+        minhash_candidate_pairs(rd.from_pandas(docs)),
+        rd.from_pandas(docs),
+        TH,
+        num_partitions=4,
+    ).to_pandas()
+    new_ids = set(new["doc_id"])
+    want = (
+        full[full["a"].isin(new_ids) | full["b"].isin(new_ids)]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0, "test corpus must produce pairs at this threshold"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_index_small_batch_prunes_buckets(ray_session):
+    import tempfile
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    old = docs.iloc[:-2]
+    tiny = docs.iloc[-2:]  # 2 docs × 16 bands ≤ 32 of 64 buckets
+    stats: dict = {}
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d)
+        query_minhash_index(
+            rd.from_pandas(tiny), d, rd.from_pandas(old),
+            threshold=0.2, num_partitions=4, stats_out=stats,
+        )
+    assert stats["occupied_buckets"] <= 32
