@@ -615,12 +615,26 @@ def query_minhash_index(
 
     Plan: the new batch's bands are computed fresh; the driver collects
     the ≤ ``num_buckets`` DISTINCT buckets they occupy (tiny per-batch
-    set-union partials) and reads ONLY those index partitions; the band
-    union flows through the standard collision → pair → two-join text
-    attach → vectorized Jaccard verify pipeline, with pairs filtered to
-    those touching ≥ 1 new doc (broadcast new-id set — the ingest batch
-    is the small side by definition).  Old texts join from
-    ``old_docs_ds`` only where a candidate pair demands them."""
+    set-union partials) and reads ONLY those index partitions; old band
+    rows are semi-join-filtered against the broadcast new-band key set
+    BEFORE any exchange (the pair shuffle carries collision volume, not
+    corpus volume), the per-bucket kernel expands new×all pairs only
+    (old×old is the index's own business), and the verify joins see only
+    texts of docs named by a candidate pair (broadcast batch-scaled id
+    set).
+
+    Honesty note (tools/bench_minhash_index.py, single 32-CPU node,
+    500k-doc corpus / 2.5k batch): the incremental query (16 s) does NOT
+    beat full recompute (9 s) here — on one node both paths are bounded
+    by sequential corpus scans, vectorized re-hashing is cheap, and the
+    incremental plan pays more per-stage fixed overhead.  What the
+    incremental plan structurally avoids is the CORPUS-WIDE ALL-TO-ALL
+    (full recompute shuffles every band row and re-verifies every
+    old×old pair; this path shuffles only collision volume) — the costs
+    that dominate on a real multi-node cluster and on dup-dense corpora,
+    which a single-node sandbox cannot exhibit.  Exactness is gated
+    either way: incremental pairs == full-pipeline pairs restricted to
+    new docs (pytest)."""
     import os
 
     import ray
@@ -669,30 +683,80 @@ def query_minhash_index(
         )
     )
 
-    new_ids = new_docs_ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    new_ref = ray.put(new_ids.to_numpy(np.int64))
+    # broadcast the new batch's (band_id, band_hash) key set and
+    # semi-join-filter the index bands BEFORE any exchange: only old
+    # band rows that collide with some new band matter, so the pair
+    # shuffle carries collision volume, not corpus volume.  The combined
+    # key (hash<<4 | band_id, uint64 wrap) can only FALSE-POSITIVE —
+    # extra rows ride to the exchange where the exact group columns
+    # still decide membership.
+    def _band_key(df: pd.DataFrame) -> np.ndarray:
+        bh = df["band_hash"].to_numpy(np.uint64)
+        return (bh << np.uint64(4)) | df["band_id"].to_numpy(np.uint64)
+
+    new_bands_pd = new_bands_ds.to_pandas()  # ingest-batch-sized by contract
+    key_ref = ray.put(np.unique(_band_key(new_bands_pd)))
+
+    def colliding_old(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(_band_key(df), ray.get(key_ref))
+        out = df[keep].copy()
+        out["is_new"] = np.zeros(len(out), np.int8)
+        return out
+
+    def tag_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["is_new"] = np.ones(len(out), np.int8)
+        return out
+
+    stream = new_bands_ds.map_batches(tag_new, batch_format="pandas").union(
+        old_bands.map_batches(colliding_old, batch_format="pandas")
+    )
+
+    def pairs_touching_new(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["band_id", "band_hash"]
+        g = g[["doc_id", "is_new", *cols]].drop_duplicates(
+            subset=["doc_id", *cols]
+        )
+        g = g[g.duplicated(subset=cols, keep=False)]
+        if g.empty or not g["is_new"].any():
+            e = g["doc_id"].iloc[:0]
+            return pd.DataFrame({"a": e, "b": e})
+        # expand new×all only — old×old pairs are the index's own
+        # business and are never generated here
+        new_side = g[g["is_new"] == 1]
+        m = new_side.merge(g, on=cols, suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] != m["doc_id_y"]]
+        a = np.minimum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
+        b = np.maximum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
 
     pairs = bucketed_groups(
-        new_bands_ds.union(old_bands),
-        ["band_hash", "band_id"],
-        lambda g: _group_pairs(g, ["band_id", "band_hash"]),
+        stream, ["band_hash", "band_id"], pairs_touching_new,
         num_buckets=num_buckets,
     )
-
-    def touching_new(df: pd.DataFrame) -> pd.DataFrame:
-        nid = ray.get(new_ref)
-        keep = np.isin(df["a"].to_numpy(), nid) | np.isin(
-            df["b"].to_numpy(), nid
-        )
-        return df[keep]
-
     cand = bucketed_agg(
-        pairs.map_batches(touching_new, batch_format="pandas"),
-        ["a", "b"],
-        {"n_bands": ("a", "size")},
-    )
-    texts = old_docs_ds.select_columns(["doc_id", "text"]).union(
-        new_docs_ds.select_columns(["doc_id", "text"])
+        pairs, ["a", "b"], {"n_bands": ("a", "size")}
+    ).materialize()
+
+    # the verify joins only ever need texts of docs appearing in a
+    # candidate pair — broadcast that (batch-scaled) id set and filter
+    # the standing corpus BEFORE the join, so the join shuffle carries
+    # candidate volume, not corpus volume
+    cid = cand.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": np.unique(np.concatenate([df["a"], df["b"]]))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    cid_ref = ray.put(np.unique(cid["doc_id"].to_numpy(np.int64)))
+
+    def wanted_texts(df: pd.DataFrame) -> pd.DataFrame:
+        return df[np.isin(df["doc_id"].to_numpy(np.int64), ray.get(cid_ref))]
+
+    texts = (
+        old_docs_ds.select_columns(["doc_id", "text"])
+        .union(new_docs_ds.select_columns(["doc_id", "text"]))
+        .map_batches(wanted_texts, batch_format="pandas")
     )
     verified_ds = verify_pairs_distributed(
         cand, texts, threshold, num_partitions=num_partitions
