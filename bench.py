@@ -391,6 +391,7 @@ BENCH_QUERIES = [
     "events_weekly_retention",
     "events_value_outliers",
     "events_props_extract",
+    "q5_local_supplier_volume",
 ]
 
 

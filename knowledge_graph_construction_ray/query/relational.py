@@ -464,6 +464,95 @@ LIMIT 10
 """
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the canonical 6-table star join: revenue per
+    nation where customer and supplier share the nation, region-filtered.
+    Physical plan: ONE native hash join for the big⋈big edge
+    (lineitem ⋈ orders); every dimension (customer→nation,
+    supplier→nation, nation, region) broadcasts via ``ray.put`` and
+    resolves inside one vectorized map — four joins collapse into dict
+    lookups, so the only all-to-all is the fact-fact edge plus the tiny
+    per-nation combiner.  At 100 TB customer outgrows broadcast: it
+    becomes a second native hash join (the Q3 pattern); the
+    dimension-broadcast rule stays for supplier/nation/region.  Float
+    revenue follows the module's ROUND(·, 2) convention."""
+    import ray
+
+    from ..functions.groupby import bucketed_agg
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    region = pd.read_parquet(_t(sf_dir, "region"))
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    smap_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def resolve(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        cm = _cache.get("c")
+        if cm is None:
+            cm = _cache["c"] = ray.get(cmap_ref)
+            _cache["s"] = ray.get(smap_ref)
+        sm = _cache["s"]
+        cn = df["o_custkey"].map(cm)
+        sn = df["l_suppkey"].map(sm)
+        keep = (
+            (cn == sn)
+            & cn.map(nat_region).isin(asia)
+        ).to_numpy()
+        if not keep.any():
+            return pd.DataFrame(
+                {"n_name": pd.Series(dtype=object),
+                 "revenue": pd.Series(dtype="float64")}
+            )
+        rev = (
+            df["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - df["l_discount"].to_numpy()[keep])
+        )
+        part = pd.DataFrame(
+            {"n_name": cn.to_numpy()[keep], "revenue": rev}
+        ).groupby("n_name", as_index=False)["revenue"].sum()
+        part["n_name"] = part["n_name"].map(nat_name)
+        return part
+
+    agg = bucketed_agg(
+        joined.map_batches(resolve, batch_format="pandas"),
+        ["n_name"],
+        {"revenue": ("revenue", "sum")},
+    ).to_pandas()
+    agg = agg.sort_values(
+        ["revenue", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg[["n_name", "revenue"]]
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, n_name
+"""
+
+
 def events_sliding(sf_dir: str):
     """Sliding window: per event, count of the same user's events in the
     preceding hour (inclusive).  Co-location via the coarse-bucket shuffle
@@ -4837,4 +4926,5 @@ QUERIES: dict[str, tuple] = {
     "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
     "events_value_outliers": (events_value_outliers, EVENTS_OUTLIERS_SQL),
     "events_props_extract": (events_props_extract, EVENTS_PROPS_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
 }
