@@ -392,6 +392,7 @@ BENCH_QUERIES = [
     "events_value_outliers",
     "events_props_extract",
     "q5_local_supplier_volume",
+    "events_activity_islands",
 ]
 
 

@@ -4265,6 +4265,69 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_activity_islands(sf_dir: str):
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (start, end, length) — the streak/churn-analysis classic.  One
+    co-locating exchange on user_id; the per-bucket kernel is fully
+    vectorized: per-user distinct days sorted, one diff mask starts a new
+    island at every gap or user boundary, cumsum labels the islands, one
+    groupby collapses them.  SQL mirror is the canonical
+    day − ROW_NUMBER() grouping trick.  Post-1970 timestamps assumed
+    (the `_split_hash` floor-vs-truncate discipline)."""
+    from ..functions.groupby import bucketed_groups
+
+    D = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("datetime64[us]").astype("int64") // D,
+            }
+        ).drop_duplicates()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        new_seg = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_seg[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1] + 1)
+        gid = np.cumsum(new_seg) - 1
+        isl = (
+            pd.DataFrame({"user_id": u, "day": day, "g": gid})
+            .groupby("g")
+            .agg(
+                user_id=("user_id", "first"),
+                start_day=("day", "min"),
+                end_day=("day", "max"),
+                n_days=("day", "size"),
+            )
+        )
+        isl["n_days"] = isl["n_days"].astype(np.int64)
+        return isl.reset_index(drop=True)
+
+    return (
+        bucketed_groups(ds.map_batches(prep, batch_format="pandas"),
+                        ["user_id"], kernel)
+        .sort(["user_id", "start_day"])
+        .to_pandas()
+    )
+
+
+EVENTS_ISLANDS_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+g AS (SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d)
+SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM g GROUP BY user_id, grp ORDER BY user_id, start_day
+"""
+
+
 def events_funnel_users(sf_dir: str):
     """Ordered-sequence funnel (view → click → purchase with strictly
     increasing first-occurrence times) — the MATCH_RECOGNIZE-lite /
@@ -4927,4 +4990,5 @@ QUERIES: dict[str, tuple] = {
     "events_value_outliers": (events_value_outliers, EVENTS_OUTLIERS_SQL),
     "events_props_extract": (events_props_extract, EVENTS_PROPS_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "events_activity_islands": (events_activity_islands, EVENTS_ISLANDS_SQL),
 }

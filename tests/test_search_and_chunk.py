@@ -742,3 +742,34 @@ def test_minhash_index_small_batch_prunes_buckets(ray_session):
             threshold=0.2, num_partitions=4, stats_out=stats,
         )
     assert stats["occupied_buckets"] <= 32
+
+
+def test_activity_islands_crafted_runs(ray_session):
+    """Crafted day patterns: [1,2,3] one island; [1,3,4] two; single days
+    are length-1 islands; islands never overlap per user."""
+    import os
+    import tempfile
+
+    from knowledge_graph_construction_ray.query.relational import (
+        events_activity_islands,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u, days in [(1, [0, 1, 2]), (2, [0, 2, 3]), (3, [5])]:
+        for d in days:
+            rows.append((u, base + pd.Timedelta(days=d)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["event_id"] = range(len(df))
+    df["event_type"] = "x"
+    df["value"] = 0.0
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_activity_islands(d)
+    got = [
+        (int(r.user_id), int(r.end_day - r.start_day + 1), int(r.n_days))
+        for r in out.itertuples()
+    ]
+    assert got == [(1, 3, 3), (2, 1, 1), (2, 2, 2), (3, 1, 1)]
+    # island length always equals day span (no holes inside an island)
+    assert ((out["end_day"] - out["start_day"] + 1) == out["n_days"]).all()
