@@ -27,6 +27,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _WS = re.compile(r"\s+")
 
@@ -203,19 +204,37 @@ def minhash_bands_kernel(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _group_pairs(df: pd.DataFrame, group_cols: list[str]) -> pd.DataFrame:
+def _group_pairs(
+    df: pd.DataFrame, group_cols: list[str], require_col: str | None = None
+) -> pd.DataFrame:
     """Candidate pairs (a < b) within each collision group — vectorized:
     singleton groups (the overwhelming majority) are dropped with a
     duplicated() mask, multi-member groups expand through a C-speed
-    self-merge instead of a per-group Python loop."""
-    df = df[["doc_id", *group_cols]].drop_duplicates()
+    self-merge instead of a per-group Python loop.
+
+    ``require_col``: when given, only pairs where AT LEAST ONE side has
+    that int column == 1 are expanded (the incremental-ingest
+    restriction — flagged×all instead of all×all; unflagged×unflagged
+    pairs are never generated)."""
+    cols = ["doc_id", *group_cols] + ([require_col] if require_col else [])
+    df = df[cols].drop_duplicates(subset=["doc_id", *group_cols])
     df = df[df.duplicated(subset=group_cols, keep=False)]
-    if df.empty:
+    if df.empty or (require_col and not df[require_col].any()):
         empty = df["doc_id"].iloc[:0]
         return pd.DataFrame({"a": empty, "b": empty})
-    m = df.merge(df, on=group_cols, suffixes=("_x", "_y"))
-    m = m[m["doc_id_x"] < m["doc_id_y"]]
-    return pd.DataFrame({"a": m["doc_id_x"].to_numpy(), "b": m["doc_id_y"].to_numpy()})
+    left = df if require_col is None else df[df[require_col] == 1]
+    m = left.merge(
+        df[["doc_id", *group_cols]], on=group_cols, suffixes=("_x", "_y")
+    )
+    if require_col is None:
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {"a": m["doc_id_x"].to_numpy(), "b": m["doc_id_y"].to_numpy()}
+        )
+    m = m[m["doc_id_x"] != m["doc_id_y"]]
+    a = np.minimum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
+    b = np.maximum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
+    return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
 
 
 def minhash_candidate_pairs(docs_ds, num_buckets: int = 64):
@@ -267,7 +286,8 @@ def _default_join_partitions() -> int:
 
 
 def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         sparse_safe: bool = False):
     """Join a candidate-pair Dataset[a, b, ...] with a payload table twice
     (once per side) → Dataset[a, b, <payload>_a, <payload>_b].
 
@@ -285,27 +305,42 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
     # block loses its schema and poisons the Arrow join (see
     # scrub_empty_blocks) — scrub at this already-barriered point
     pairs_ds = scrub_empty_blocks(pairs_ds)
-    payload = payload_ds.select_columns([id_col, payload_col])
+    # the payload side can also arrive with schema-less empty pandas
+    # blocks (e.g. a broadcast-filtered corpus on the incremental path)
+    payload = scrub_empty_blocks(
+        payload_ds.select_columns([id_col, payload_col])
+    )
 
-    def rename(df: pd.DataFrame, suffix: str) -> pd.DataFrame:
-        return df.rename(columns={payload_col: f"{payload_col}{suffix}"})
+    def rename(tbl: pa.Table, suffix: str) -> pa.Table:
+        # ARROW-native rename: empty blocks keep their schema (a pandas
+        # rename map is skipped on empty blocks, whose schema then drops
+        # and poisons the second join on sparse candidate sets)
+        return tbl.rename_columns(
+            [
+                f"{payload_col}{suffix}" if c == payload_col else c
+                for c in tbl.column_names
+            ]
+        )
 
     j = pairs_ds.join(
         payload, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=(id_col,),
-    ).map_batches(lambda df: rename(df, "_a"), batch_format="pandas")
-    # the FIRST join's own output partitions can be all-empty on sparse
-    # candidate sets (tiny ingest batches) — schema-less again, so the
-    # second join needs the same scrub
-    j = scrub_empty_blocks(j)
+    ).map_batches(lambda t: rename(t, "_a"), batch_format="pyarrow")
+    if sparse_safe:
+        # on SPARSE candidate sets (tiny ingest batches) the first
+        # join's own output partitions can be all-empty and schema-less,
+        # poisoning the second join; the scrub is a materialize barrier,
+        # so it is opt-in — the dense verify paths keep streaming
+        j = scrub_empty_blocks(j)
     return j.join(
         payload, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=(id_col,),
-    ).map_batches(lambda df: rename(df, "_b"), batch_format="pandas")
+    ).map_batches(lambda t: rename(t, "_b"), batch_format="pyarrow")
 
 
 def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
-                             num_partitions: int | None = None):
+                             num_partitions: int | None = None,
+                             sparse_safe: bool = False):
     """Distributed exact-Jaccard verify: attach both texts to every
     candidate pair via two hash-partitioned joins, then n-gram Jaccard
     inside ``map_batches`` → Dataset[a, b, jaccard] of VERIFIED pairs only.
@@ -315,6 +350,10 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
     not driver memory (VERDICT r1 item 1)."""
     import ray.data as rd
 
+    # materialize BEFORE counting: count() on a lazy dataset executes the
+    # whole candidate pipeline and does NOT cache it, so the joins would
+    # re-run signature hashing + band shuffle a second time (review find)
+    pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() == 0:
         # an entirely-empty candidate set (tiny ingest batches) would
         # poison the native join with schema-less blocks
@@ -329,7 +368,7 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
         )
     with_texts = attach_pair_payloads(
         pairs_ds, docs_ds, id_col="doc_id", payload_col="text",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, sparse_safe=sparse_safe,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -656,6 +695,13 @@ def query_minhash_index(
             .to_pandas()["bucket"]
         )
     )
+    if not os.path.isdir(f"{index_dir}/bands"):
+        # a typo'd or non-driver-visible index path must FAIL, not act
+        # like an empty corpus and silently drop every old×new pair
+        raise FileNotFoundError(
+            f"minhash index not found at {index_dir}/bands — "
+            "build_minhash_index writes a driver-visible local path"
+        )
     dirs = [
         d
         for b in occupied
@@ -676,7 +722,9 @@ def query_minhash_index(
             pd.DataFrame(
                 {
                     "band_id": pd.Series(dtype="int64"),
-                    "band_hash": pd.Series(dtype="uint64"),
+                    # int64, matching band_hashes' .view(np.int64) — a
+                    # uint64 here diverges the union stream's schema
+                    "band_hash": pd.Series(dtype="int64"),
                     "doc_id": pd.Series(dtype="int64"),
                 }
             )
@@ -712,26 +760,12 @@ def query_minhash_index(
         old_bands.map_batches(colliding_old, batch_format="pandas")
     )
 
-    def pairs_touching_new(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["band_id", "band_hash"]
-        g = g[["doc_id", "is_new", *cols]].drop_duplicates(
-            subset=["doc_id", *cols]
-        )
-        g = g[g.duplicated(subset=cols, keep=False)]
-        if g.empty or not g["is_new"].any():
-            e = g["doc_id"].iloc[:0]
-            return pd.DataFrame({"a": e, "b": e})
-        # expand new×all only — old×old pairs are the index's own
-        # business and are never generated here
-        new_side = g[g["is_new"] == 1]
-        m = new_side.merge(g, on=cols, suffixes=("_x", "_y"))
-        m = m[m["doc_id_x"] != m["doc_id_y"]]
-        a = np.minimum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
-        b = np.maximum(m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy())
-        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-
+    # expand new×all only (require_col) — old×old pairs are the index's
+    # own business and are never generated here
     pairs = bucketed_groups(
-        stream, ["band_hash", "band_id"], pairs_touching_new,
+        stream,
+        ["band_hash", "band_id"],
+        lambda g: _group_pairs(g, ["band_id", "band_hash"], require_col="is_new"),
         num_buckets=num_buckets,
     )
     cand = bucketed_agg(
@@ -759,7 +793,8 @@ def query_minhash_index(
         .map_batches(wanted_texts, batch_format="pandas")
     )
     verified_ds = verify_pairs_distributed(
-        cand, texts, threshold, num_partitions=num_partitions
+        cand, texts, threshold, num_partitions=num_partitions,
+        sparse_safe=True,  # ingest batches are sparse by definition
     )
     verified = verified_ds.to_pandas()
     if stats_out is not None:

@@ -773,3 +773,50 @@ def test_activity_islands_crafted_runs(ray_session):
     assert got == [(1, 3, 3), (2, 1, 1), (2, 2, 2), (3, 1, 1)]
     # island length always equals day span (no holes inside an island)
     assert ((out["end_day"] - out["start_day"] + 1) == out["n_days"]).all()
+
+
+def test_minhash_index_sparse_one_doc_corpus(ray_session):
+    """Review repro: 1-doc corpus, 2-doc batch, num_partitions=2 — the
+    sparse case where join partitions receive only empty blocks; must
+    find the single planted near-dup pair, not crash."""
+    import tempfile
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    old = pd.DataFrame(
+        {"doc_id": [0],
+         "text": ["the quick brown fox jumps over the lazy dog again and again today"]}
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again tonight",
+                "completely different words here nothing shared at all whatsoever ok",
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d)
+        out = query_minhash_index(
+            rd.from_pandas(new), d, rd.from_pandas(old),
+            threshold=0.2, num_partitions=2,
+        )
+    assert list(zip(out["a"], out["b"])) == [(0, 10)]
+
+
+def test_minhash_index_missing_path_raises(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import query_minhash_index
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x y z"]}))
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="minhash index not found"):
+        query_minhash_index(docs, "/tmp/kg_no_such_index_dir", docs)
