@@ -305,11 +305,14 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
     # block loses its schema and poisons the Arrow join (see
     # scrub_empty_blocks) — scrub at this already-barriered point
     pairs_ds = scrub_empty_blocks(pairs_ds)
-    # the payload side can also arrive with schema-less empty pandas
-    # blocks (e.g. a broadcast-filtered corpus on the incremental path)
-    payload = scrub_empty_blocks(
-        payload_ds.select_columns([id_col, payload_col])
-    )
+    payload = payload_ds.select_columns([id_col, payload_col])
+    if sparse_safe:
+        # the payload side can also arrive with schema-less empty pandas
+        # blocks (a broadcast-filtered corpus on the incremental path);
+        # the scrub MATERIALIZES, so it stays opt-in — an unconditional
+        # one regressed the 1M-doc soak 51 s → 104 s by materializing
+        # the whole corpus text table on the dense paths
+        payload = scrub_empty_blocks(payload)
 
     def rename(tbl: pa.Table, suffix: str) -> pa.Table:
         # ARROW-native rename: empty blocks keep their schema (a pandas
@@ -350,13 +353,18 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
     not driver memory (VERDICT r1 item 1)."""
     import ray.data as rd
 
-    # materialize BEFORE counting: count() on a lazy dataset executes the
-    # whole candidate pipeline and does NOT cache it, so the joins would
-    # re-run signature hashing + band shuffle a second time (review find)
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        # an entirely-empty candidate set (tiny ingest batches) would
-        # poison the native join with schema-less blocks
+    # The empty-candidate guard and its materialize barrier are OPT-IN:
+    # only sparse callers (tiny ingest batches) can produce an entirely
+    # empty candidate set, and on the dense paths the barrier alone cost
+    # the 1M-doc soak ~50% wall.  materialize BEFORE counting — count()
+    # on a lazy dataset executes the whole candidate pipeline WITHOUT
+    # caching it, so the joins would re-run signature hashing + the band
+    # shuffle a second time (review-confirmed double execution).
+    if sparse_safe:
+        pairs_ds = pairs_ds.materialize()
+    if sparse_safe and pairs_ds.count() == 0:
+        # an entirely-empty candidate set would poison the native join
+        # with schema-less blocks
         return rd.from_pandas(
             pd.DataFrame(
                 {
