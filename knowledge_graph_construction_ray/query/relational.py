@@ -1405,9 +1405,13 @@ def docs_strip_dup_ngrams(sf_dir: str, n: int = 5, min_docs: int = 2):
                 np.add.at(delta, starts + n, -1)
                 kept_mask = np.cumsum(delta[:-1]) == 0
         kept_counts = np.bincount(didx[kept_mask], minlength=len(ids))
-        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
-        la = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(flat[kept_mask], type=pa.string())
+        # int64 offsets + LargeListArray: a batch whose flat token count
+        # exceeds 2^31 would silently overflow an int32 cast and corrupt
+        # the rebuilt documents (pc.binary_join accepts large_list)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts, dtype=np.int64)])
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(flat[kept_mask], type=pa.string()),
         )
         joined = pc.binary_join(la, pa.scalar(" ")).to_pandas().to_numpy(object)
         return pd.concat(

@@ -628,8 +628,28 @@ def build_minhash_index(docs_ds, index_dir: str, *, num_buckets: int = 64) -> st
     band_hash, doc_id), partitioned by the SAME coarse hash bucket the
     candidate shuffle keys on — a query batch reads only the buckets its
     own bands occupy (file-level pruning that pays when the ingest batch
-    is small; the unconditional win is never re-hashing old text)."""
+    is small; the unconditional win is never re-hashing old text).
+
+    ``index_dir/meta.json`` records the bucket count used at build time;
+    :func:`query_minhash_index` reads it back instead of trusting its
+    caller — querying with a different ``num_buckets`` would silently
+    read the wrong ``bucket=<b>`` directories and drop old×new pairs.
+    Rebuilding over a non-empty ``bands/`` directory raises: parquet
+    writes APPEND fragments, so a silent rebuild would mix stale band
+    rows from the previous corpus into every future query."""
+    import json
+    import os
+
     from ..functions.groupby import hash_bucket
+
+    bands_dir = f"{index_dir}/bands"
+    if os.path.isdir(bands_dir) and os.listdir(bands_dir):
+        raise FileExistsError(
+            f"minhash index already exists at {bands_dir} — parquet "
+            "writes append, so rebuilding in place would mix stale band "
+            "rows from the previous corpus into queries; remove the "
+            "directory first (shutil.rmtree) or pick a fresh index_dir"
+        )
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         bands = minhash_bands_kernel(df)
@@ -640,8 +660,11 @@ def build_minhash_index(docs_ds, index_dir: str, *, num_buckets: int = 64) -> st
 
     (
         docs_ds.map_batches(add_bucket, batch_format="pandas")
-        .write_parquet(f"{index_dir}/bands", partition_cols=["bucket"])
+        .write_parquet(bands_dir, partition_cols=["bucket"])
     )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump({"num_buckets": num_buckets, "num_bands": NUM_BANDS}, f)
     return index_dir
 
 
@@ -651,7 +674,7 @@ def query_minhash_index(
     old_docs_ds,
     *,
     threshold: float = 0.5,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     num_partitions: int | None = None,
     stats_out: dict | None = None,
 ):
@@ -681,13 +704,47 @@ def query_minhash_index(
     that dominate on a real multi-node cluster and on dup-dense corpora,
     which a single-node sandbox cannot exhibit.  Exactness is gated
     either way: incremental pairs == full-pipeline pairs restricted to
-    new docs (pytest)."""
+    new docs (pytest).
+
+    Contracts enforced here: the bucket count comes from the index's own
+    ``meta.json`` (passing ``num_buckets`` merely cross-checks it — a
+    mismatched value would read the wrong ``bucket=<b>`` dirs and
+    silently drop old×new pairs), and the new batch's doc_ids must be
+    DISJOINT from the indexed corpus's — a re-ingested doc carrying its
+    old id would have its pairs silently swallowed by the
+    ``doc_id_x != doc_id_y`` filter instead of erroring."""
+    import json
     import os
 
     import ray
     import ray.data as rd
 
     from ..functions.groupby import bucketed_agg, bucketed_groups, hash_bucket
+
+    if not os.path.isdir(f"{index_dir}/bands"):
+        # a typo'd or non-driver-visible index path must FAIL, not act
+        # like an empty corpus and silently drop every old×new pair
+        raise FileNotFoundError(
+            f"minhash index not found at {index_dir}/bands — "
+            "build_minhash_index writes a driver-visible local path"
+        )
+    meta_path = f"{index_dir}/meta.json"
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        built_buckets = int(meta["num_buckets"])
+        if num_buckets is not None and num_buckets != built_buckets:
+            raise ValueError(
+                f"index at {index_dir} was built with num_buckets="
+                f"{built_buckets}, query asked for {num_buckets} — the "
+                "bucket layout is fixed at build time"
+            )
+        num_buckets = built_buckets
+    elif num_buckets is None:
+        raise FileNotFoundError(
+            f"{meta_path} missing and no num_buckets given — cannot "
+            "recover the index's bucket layout"
+        )
 
     new_bands_ds = new_docs_ds.map_batches(
         minhash_bands_kernel, batch_format="pandas"
@@ -703,13 +760,6 @@ def query_minhash_index(
             .to_pandas()["bucket"]
         )
     )
-    if not os.path.isdir(f"{index_dir}/bands"):
-        # a typo'd or non-driver-visible index path must FAIL, not act
-        # like an empty corpus and silently drop every old×new pair
-        raise FileNotFoundError(
-            f"minhash index not found at {index_dir}/bands — "
-            "build_minhash_index writes a driver-visible local path"
-        )
     dirs = [
         d
         for b in occupied
@@ -752,10 +802,22 @@ def query_minhash_index(
 
     new_bands_pd = new_bands_ds.to_pandas()  # ingest-batch-sized by contract
     key_ref = ray.put(np.unique(_band_key(new_bands_pd)))
+    new_id_ref = ray.put(np.unique(new_bands_pd["doc_id"].to_numpy(np.int64)))
 
     def colliding_old(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.isin(_band_key(df), ray.get(key_ref))
         out = df[keep].copy()
+        # fresh-id contract: a re-ingested doc carrying its indexed id
+        # would have every pair silently dropped by the a != b filter
+        # downstream — fail loudly instead (batch-scaled isin, cheap)
+        clash = np.isin(out["doc_id"].to_numpy(np.int64), ray.get(new_id_ref))
+        if clash.any():
+            dupes = np.unique(out["doc_id"].to_numpy(np.int64)[clash])[:5]
+            raise ValueError(
+                "query_minhash_index requires new-batch doc_ids disjoint "
+                f"from the indexed corpus; already-indexed ids seen: "
+                f"{dupes.tolist()}…"
+            )
         out["is_new"] = np.zeros(len(out), np.int8)
         return out
 

@@ -820,3 +820,78 @@ def test_minhash_index_missing_path_raises(ray_session):
 
     with _pytest.raises(FileNotFoundError, match="minhash index not found"):
         query_minhash_index(docs, "/tmp/kg_no_such_index_dir", docs)
+
+
+def test_minhash_index_meta_contract(ray_session):
+    """build records num_buckets in meta.json; querying with a different
+    value raises instead of silently reading the wrong bucket dirs, and
+    omitting it recovers the built layout from the metadata."""
+    import json
+    import tempfile
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    old = pd.DataFrame(
+        {"doc_id": [0, 2], "text": ["a b c d e f", "p q r s t u"]}
+    )
+    new = pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]})
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d, num_buckets=16)
+        assert json.load(open(f"{d}/meta.json"))["num_buckets"] == 16
+        with _pytest.raises(ValueError, match="built with num_buckets=16"):
+            query_minhash_index(
+                rd.from_pandas(new), d, rd.from_pandas(old), num_buckets=64
+            )
+        # no num_buckets given → layout recovered from meta.json
+        out = query_minhash_index(
+            rd.from_pandas(new), d, rd.from_pandas(old),
+            threshold=0.5, num_partitions=2,
+        )
+        assert list(zip(out["a"], out["b"])) == [(0, 1)]
+
+
+def test_minhash_index_rebuild_in_place_raises(ray_session):
+    """Parquet writes append — a rebuild over a non-empty bands/ dir
+    must fail loudly rather than mix stale band rows into queries."""
+    import tempfile
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import build_minhash_index
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e f"]})
+    )
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(docs, d)
+        with _pytest.raises(FileExistsError, match="already exists"):
+            build_minhash_index(docs, d)
+
+
+def test_minhash_index_reingested_id_raises(ray_session):
+    """A new batch re-using an already-indexed doc_id would have its
+    pairs silently swallowed by the a != b filter — must raise."""
+    import tempfile
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    old = pd.DataFrame({"doc_id": [7], "text": ["a b c d e f"]})
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d)
+        with _pytest.raises(Exception, match="disjoint"):
+            query_minhash_index(
+                rd.from_pandas(old), d, rd.from_pandas(old), threshold=0.2
+            )
