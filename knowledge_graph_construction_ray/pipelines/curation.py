@@ -5,17 +5,22 @@ DataCleaned/Diseases/filter_disease.py — operators S4/M7/M8):
     1-based id reassignment in filtered order → sink.
 
 The keyword filter and column drop are streaming vectorized stages.  The
-sequential global id (M8) is inherently a serial operation (ids depend on
-every preceding row); it is applied in ONE streaming driver pass over the
-sorted result (``iter_batches`` with a running counter) — rows stream
-through the driver, the dataset is never pinned wholesale.  The reference
-does the same thing single-process (filter_disease.py:97-101).
+sequential global id (M8) looks serial (ids depend on every preceding
+row) but distributes exactly like a global ROW_NUMBER: an
+order-preserving coarse bin over the leading sort key, per-bin COUNTS
+through one combiner exchange, a driver prefix-sum over the tiny count
+table only, then ONE co-locating exchange where each bin sorts its own
+rows and emits ``base[bin] + intra_offset`` — the ``orders_price_ntile``
+plan (query/relational.py).  Nothing corpus-sized ever touches the
+driver; the reference does the whole thing single-process
+(filter_disease.py:97-101).
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 FILTER_KEYWORDS = ("中", "老")  # filter_disease.py:12
@@ -42,6 +47,116 @@ def keyword_filter_kernel(col: str, keywords: Iterable[str]):
     return kernel
 
 
+def _order_preserving_bin(ds, key: str):
+    """A vectorized ``Series → int64 bin`` whose bins sort in key order
+    (``bin(a) <= bin(b)`` whenever ``a <= b``) with bounded cardinality:
+
+    - integers: ``v // 1024`` — bin count bounded by key RANGE / 1024,
+      never by row count (the ``orders_price_ntile`` contract);
+    - floats:   ``floor(v / 1000)``;
+    - strings:  the first 4 UTF-8 bytes packed big-endian into an int64.
+      UTF-8 byte order equals code-point order, so byte-prefix bins are
+      order-preserving; cardinality is bounded by distinct 4-byte
+      prefixes (corpus-vocabulary-bounded, not row-bounded).
+    """
+    import pyarrow as pa
+
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types))[key]
+    if isinstance(t, pa.DataType):
+        kind = (
+            "int" if pa.types.is_integer(t)
+            else "float" if pa.types.is_floating(t)
+            else "str" if pa.types.is_string(t) or pa.types.is_large_string(t)
+            else "?"
+        )
+    else:  # pandas-block schema carries numpy dtypes (object for strings)
+        kind = {"i": "int", "u": "int", "f": "float", "O": "str", "U": "str"}.get(
+            np.dtype(t).kind, "?"
+        )
+
+    if kind == "int":
+        return lambda s: s.to_numpy().astype(np.int64) // 1024
+    if kind == "float":
+        return lambda s: np.floor(
+            s.to_numpy(np.float64) / 1000.0
+        ).astype(np.int64)
+    if kind == "str":
+
+        def str_bin(s: pd.Series) -> np.ndarray:
+            enc = s.fillna("").astype(str).str.encode("utf-8").to_numpy()
+            # dtype="S4" truncates/NUL-pads each value to exactly 4
+            # bytes; the big-endian u4 view of those raw bytes compares
+            # exactly like the byte prefix does
+            b4 = np.asarray(enc, dtype="S4")
+            return b4.view(">u4").astype(np.int64)
+
+        return str_bin
+    raise TypeError(f"no order-preserving binner for sort key type {t!r}")
+
+
+def assign_sequential_ids(ds, sort_cols, id_col: str = "id", *, num_buckets: int = 64):
+    """Distributed 1-based ROW_NUMBER() OVER (ORDER BY sort_cols) →
+    Dataset with ``id_col`` added.  Two streaming passes, driver sees
+    only the per-bin count table (bin-range-bounded, never row-bounded):
+
+    1. order-preserving coarse bin on the leading sort key; per-bin
+       counts pre-aggregated per batch, one combiner exchange; driver
+       prefix-sums the tiny histogram into base offsets.
+    2. one co-locating exchange on the bin key; each bin sorts ITS rows
+       by the full sort tuple and emits ``base[bin] + intra_offset + 1``.
+
+    Ties beyond ``sort_cols`` get arbitrary-but-stable ids, same as any
+    distributed ROW_NUMBER."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    sort_cols = list(sort_cols)
+    if not sort_cols:
+        raise ValueError("sequential ids need a total order: pass sort_cols")
+    key = sort_cols[0]
+    binner = _order_preserving_bin(ds, key)
+
+    def with_bin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_bin"] = binner(df[key])
+        return out
+
+    rows = ds.map_batches(with_bin, batch_format="pandas")
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["_bin"].value_counts()
+        return pd.DataFrame(
+            {"_bin": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        )
+
+    hist = bucketed_agg(
+        rows.map_batches(bin_counts, batch_format="pandas"),
+        ["_bin"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    hist = hist.sort_values("_bin").reset_index(drop=True)
+    base = dict(
+        zip(
+            hist["_bin"].to_numpy(np.int64),
+            np.cumsum(hist["n"].to_numpy(np.int64))
+            - hist["n"].to_numpy(np.int64),
+        )
+    )
+
+    def id_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one hash bucket holds MANY bins — segment per bin
+        df = df.sort_values(["_bin", *sort_cols], kind="mergesort")
+        codes = pd.factorize(df["_bin"], sort=False)[0]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(df)])
+        pos = np.arange(len(df), dtype=np.int64) - np.repeat(starts, lens)
+        out = df.drop(columns=["_bin"])
+        out[id_col] = df["_bin"].map(base).to_numpy(np.int64) + pos + 1
+        return out
+
+    return bucketed_groups(rows, ["_bin"], id_bucket, num_buckets=num_buckets)
+
+
 def curate(
     ds,
     *,
@@ -50,26 +165,17 @@ def curate(
     drop_cols: Iterable[str] = (),
     sort_cols: Iterable[str] = (),
     id_col: str = "id",
-) -> pd.DataFrame:
-    """Full curation pipeline → DataFrame with 1-based sequential ids."""
+):
+    """Full curation pipeline → Dataset with 1-based sequential ids in
+    ``sort_cols`` order (unordered between blocks — sort on ``id_col``
+    downstream if presentation order matters)."""
     out = ds.map_batches(
         keyword_filter_kernel(filter_col, keywords), batch_format="pandas"
     )
     drop = [c for c in drop_cols if c in ds.schema().names]
     if drop:
         out = out.drop_columns(drop)
-    if sort_cols:
-        out = out.sort(list(sort_cols))
-    frames = []
-    next_id = 1
-    for batch in out.iter_batches(batch_size=65536, batch_format="pandas"):
-        batch = batch.copy()
-        batch[id_col] = range(next_id, next_id + len(batch))
-        next_id += len(batch)
-        frames.append(batch)
-    if not frames:
-        return pd.DataFrame()
-    return pd.concat(frames, ignore_index=True)
+    return assign_sequential_ids(out, list(sort_cols), id_col)
 
 
 def curate_disease_records(docs_ds) -> pd.DataFrame:
@@ -77,32 +183,53 @@ def curate_disease_records(docs_ds) -> pd.DataFrame:
     record views, filter easy_get on 中/老, reassign ids (the 8
     FIELDS_TO_REMOVE belong to the *raw* corpus and are already absent
     from the cleaned span encoding — the drop is a no-op here, matching
-    running filter_disease.py on already-cleaned data)."""
+    running filter_disease.py on already-cleaned data).  The record view
+    is built with the same Arrow list-scatter the extractors use
+    (stages/records.py::_scatter) — no per-row decode loop."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from ..spanenc import decode_doc
+    from ..stages.records import _scatter
 
     def to_records(batch: pa.Table) -> pd.DataFrame:
-        rows = []
-        for doc in batch.to_pylist():
-            if not doc["doc_id"].startswith("disease:"):
-                continue
-            rec = decode_doc(doc["doc_id"], doc["spans"])
-            rows.append(
-                {
-                    "doc_id": doc["doc_id"],
-                    "name": rec.get("name"),
-                    "easy_get": rec.get("easy_get", ""),
-                }
-            )
+        batch = batch.combine_chunks()
+        doc_ids = batch.column("doc_id")
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        keep = pc.starts_with(doc_ids, "disease:")
+        batch = batch.filter(keep)
+        if len(batch) == 0:
+            return pd.DataFrame(columns=["doc_id", "name", "easy_get"])
+        doc_ids = batch.column("doc_id").combine_chunks()
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy()
+        flat = spans.flatten()
+        flat_kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        flat_text = flat.field("text").to_numpy(zero_copy_only=False)
+        n = len(batch)
+        span_in = np.ones(len(parent), dtype=bool)
+        name = _scatter(n, span_in, flat_kind, flat_text, parent, "name")
+        easy = _scatter(n, span_in, flat_kind, flat_text, parent, "easy_get")
+        easy = np.where(easy == None, "", easy)  # noqa: E711 — object array
         return pd.DataFrame(
-            rows, columns=["doc_id", "name", "easy_get"]
+            {
+                "doc_id": doc_ids.to_numpy(zero_copy_only=False),
+                "name": name,
+                "easy_get": easy,
+            }
         )
 
     records = docs_ds.map_batches(to_records, batch_format="pyarrow")
-    return curate(
+    out = curate(
         records,
         filter_col="easy_get",
         keywords=FILTER_KEYWORDS,
         sort_cols=("doc_id",),
     )
+    # fixture-sized final view, presented in id order
+    df = out.to_pandas()
+    if df.empty:
+        return df
+    return df.sort_values("id").reset_index(drop=True)

@@ -274,14 +274,18 @@ WHERE lang = 'en' AND text LIKE '%stream%' ORDER BY doc_id
 
 
 def m8_reindex(sf_dir: str):
-    """M8: filter + sequential 1-based id in sorted order (streaming driver
-    pass — see pipelines/curation.py for why this op is serial)."""
+    """M8: filter + sequential 1-based id in sorted order — distributed
+    ROW_NUMBER via the count-exchange → prefix-sum → co-locating-
+    assignment plan (pipelines/curation.py::assign_sequential_ids);
+    nothing corpus-sized touches the driver."""
     from ..pipelines.curation import curate
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     ds = ds.map_batches(lambda t: t.filter(pc.greater(t["n_chars"], 200)), batch_format="pyarrow")
     out = curate(ds, filter_col="doc_id", keywords=("",), sort_cols=("doc_id",), id_col="new_id")
-    return out[["doc_id", "new_id"]]
+    return (
+        out.select_columns(["doc_id", "new_id"]).sort("doc_id").to_pandas()
+    )
 
 
 M8_SQL = """

@@ -879,3 +879,51 @@ def test_bucketed_groups_arrow_preserves_nullable_int64(ray_session):
         (2, big + 3),
         (2, big + 5),
     ]
+
+
+def test_assign_sequential_ids_is_distributed(ray_session):
+    """M8's sequential id is a distributed ROW_NUMBER: multi-block input,
+    Dataset (not DataFrame) output, ids exactly 1..N in sort order — and
+    the driver only ever sees the per-bin count histogram."""
+    import numpy as np
+    import ray.data
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        assign_sequential_ids,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 10_000
+    df = pd.DataFrame({"doc_id": rng.permutation(n) * 7 - 1000})
+    out = assign_sequential_ids(
+        rd.from_pandas(df).repartition(16), ["doc_id"], "rid"
+    )
+    assert isinstance(out, ray.data.Dataset)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got["rid"].to_numpy() == np.arange(1, n + 1)).all()
+
+
+def test_assign_sequential_ids_string_keys_cjk(ray_session):
+    """String sort keys bin by UTF-8 byte prefix — order-preserving
+    across ASCII and CJK, ties broken by the remaining sort cols."""
+    import numpy as np
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        assign_sequential_ids,
+    )
+
+    keys = [f"disease:{i:05d}" for i in range(300)] + [
+        "中风", "老年痴呆", "medicine:阿司匹林", "z-last", "", "中医"
+    ]
+    rng = np.random.RandomState(5)
+    perm = rng.permutation(len(keys))
+    df = pd.DataFrame({"k": [keys[i] for i in perm]})
+    out = (
+        assign_sequential_ids(rd.from_pandas(df).repartition(8), ["k"], "rid")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == sorted(keys)
