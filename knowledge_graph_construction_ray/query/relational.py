@@ -39,6 +39,14 @@ def _read(sf_dir: str, name: str, columns: list[str], blocks: int = 16):
     )
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — the size probe the
+    broadcast-vs-hash-join dispatches use; no column data is read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # Relational core (G/J/D/T/M/F operator families)
 # ---------------------------------------------------------------------------
@@ -89,10 +97,50 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def j2_segment_revenue(sf_dir: str):
-    """J: large ⋈ small as a broadcast join (customer dict via ray.put read
-    once per actor), then grouped aggregate."""
+# A broadcast-dict dimension side stops being "small" when the dict no
+# longer fits comfortably in every worker heap — above this the dispatch
+# below switches to the native hash-partitioned join (the j4 plan).  At
+# TPC-H geometry customer crosses this around sf ≈ 7; the threshold is a
+# keyword so tests exercise both arms on the same small input.
+BROADCAST_JOIN_MAX_ROWS = 1_000_000
+
+
+def j2_segment_revenue(sf_dir: str, *, broadcast_max_rows: int = BROADCAST_JOIN_MAX_ROWS):
+    """J: large ⋈ small, size-dispatched like ``cosine_pairs``: a
+    dimension within ``broadcast_max_rows`` broadcasts as a dict via
+    ``ray.put`` (read once per worker); a bigger one flows through the
+    native hash-partitioned join (the ``j4_native_hash_join`` plan) so
+    no per-process dict scales with the fact side."""
     import ray
+
+    # size check from parquet METADATA — the driver never loads the
+    # dimension just to decide it was too big to load
+    if _parquet_num_rows(_t(sf_dir, "customer")) > broadcast_max_rows:
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        joined = orders.join(
+            cust_ds, join_type="inner", num_partitions=16,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"),
+            )
+
+        out = (
+            joined.map_batches(partial, batch_format="pandas")
+            .groupby("c_mktsegment")
+            .aggregate(
+                Sum("revenue", alias_name="revenue"),
+                Sum("n_orders", alias_name="n_orders"),
+            )
+            .sort("c_mktsegment")
+            .to_pandas()
+        )
+        out["revenue"] = out["revenue"].round(2)
+        return out
 
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
@@ -468,30 +516,39 @@ LIMIT 10
 """
 
 
-def q5_local_supplier_volume(sf_dir: str):
+def q5_local_supplier_volume(sf_dir: str, *, broadcast_max_rows: int = BROADCAST_JOIN_MAX_ROWS):
     """TPC-H Q5 shape — the canonical 6-table star join: revenue per
     nation where customer and supplier share the nation, region-filtered.
     Physical plan: ONE native hash join for the big⋈big edge
-    (lineitem ⋈ orders); every dimension (customer→nation,
-    supplier→nation, nation, region) broadcasts via ``ray.put`` and
-    resolves inside one vectorized map — four joins collapse into dict
-    lookups, so the only all-to-all is the fact-fact edge plus the tiny
-    per-nation combiner.  At 100 TB customer outgrows broadcast: it
-    becomes a second native hash join (the Q3 pattern); the
-    dimension-broadcast rule stays for supplier/nation/region.  Float
+    (lineitem ⋈ orders); dimensions broadcast via ``ray.put`` and resolve
+    inside one vectorized map — the joins collapse into dict lookups, so
+    the only all-to-all is the fact-fact edge plus the tiny per-nation
+    combiner.  The customer side is SIZE-DISPATCHED: within
+    ``broadcast_max_rows`` it broadcasts; beyond that (customer grows
+    with sf and outgrows worker heaps) it becomes a second native hash
+    join.  The broadcast rule is unconditional only for
+    supplier/nation/region, which stay dimension-tiny at any sf.  Float
     revenue follows the module's ROUND(·, 2) convention."""
     import ray
 
     from ..functions.groupby import bucketed_agg
 
-    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     supp = pd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
     nation = pd.read_parquet(_t(sf_dir, "nation"))
     region = pd.read_parquet(_t(sf_dir, "region"))
     asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
     nat_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cmap_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    broadcast_cust = (
+        _parquet_num_rows(_t(sf_dir, "customer")) <= broadcast_max_rows
+    )
+    if broadcast_cust:
+        cust = pd.read_parquet(
+            _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        )
+        cmap_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    else:
+        cmap_ref = None
     smap_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -503,14 +560,20 @@ def q5_local_supplier_volume(sf_dir: str):
         orders, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    if not broadcast_cust:
+        joined = joined.join(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
 
     def resolve(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
-        cm = _cache.get("c")
-        if cm is None:
-            cm = _cache["c"] = ray.get(cmap_ref)
-            _cache["s"] = ray.get(smap_ref)
-        sm = _cache["s"]
-        cn = df["o_custkey"].map(cm)
+        sm = _cache.get("s")
+        if sm is None:
+            sm = _cache["s"] = ray.get(smap_ref)
+            _cache["c"] = ray.get(cmap_ref) if cmap_ref is not None else None
+        cm = _cache["c"]
+        cn = df["c_nationkey"] if cm is None else df["o_custkey"].map(cm)
         sn = df["l_suppkey"].map(sm)
         keep = (
             (cn == sn)

@@ -927,3 +927,25 @@ def test_assign_sequential_ids_string_keys_cjk(ray_session):
         .reset_index(drop=True)
     )
     assert list(out["k"]) == sorted(keys)
+
+
+def test_broadcast_join_dispatch_arms_agree(ray_session):
+    """j2/q5 size-dispatch (cosine_pairs' pattern): forcing the
+    broadcast threshold to 0 routes the dimension through the native
+    hash join; both arms must produce identical results."""
+    from knowledge_graph_construction_ray.query.relational import (
+        j2_segment_revenue,
+        q5_local_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = j2_segment_revenue(sf)
+    b = j2_segment_revenue(sf, broadcast_max_rows=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+    c = q5_local_supplier_volume(sf)
+    d = q5_local_supplier_volume(sf, broadcast_max_rows=0)
+    pd.testing.assert_frame_equal(
+        c.reset_index(drop=True), d.reset_index(drop=True), check_dtype=False
+    )
