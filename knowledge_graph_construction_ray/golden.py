@@ -74,7 +74,10 @@ def minhash_golden(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
 
 def simhash_golden(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Sequential SimHash block-permutation near-dup candidates."""
+    """Sequential SimHash block-permutation near-dup CLUSTERS
+    (doc_id, cluster_rep = min of connected component) — pair walk plus a
+    self-contained union-find, independent of the engine's distributed
+    plan and of its forest-collapse representation."""
     from .stages.dedupe import simhash64
 
     df = pd.read_parquet(
@@ -92,7 +95,25 @@ def simhash_golden(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             for j in range(i + 1, len(ids)):
                 if bin(sh[ids[i]] ^ sh[ids[j]]).count("1") <= max_hamming:
                     pairs.add((ids[i], ids[j]))
-    return pd.DataFrame(sorted(pairs), columns=["a", "b"])
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for d in parent:
+        members.setdefault(find(d), set()).add(d)
+    rows = sorted(
+        (m, min(c | {root})) for root, c in members.items() for m in (c | {root})
+    )
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_rep"])
 
 
 def langid_golden(sf_dir: str) -> pd.DataFrame:

@@ -3297,18 +3297,20 @@ ORDER BY doc_id
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash Hamming-≤3 candidate pairs (golden-parquet oracle)."""
-    from ..stages.dedupe import simhash_candidates
+    """SimHash Hamming-≤3 near-dup clusters (doc_id, cluster_rep) —
+    forest-collapsed before anything reaches the driver, mirroring
+    ``dedup_minhash``; golden-parquet oracle (independent sequential
+    pair walk + union-find in golden.py)."""
+    from ..stages.dedupe import simhash_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_candidates(ds)
-    return pd.DataFrame(pairs, columns=["a", "b"])
+    return simhash_dedup(ds)
 
 
 DEDUP_SIMHASH_SQL = """
-SELECT a, b
+SELECT doc_id, cluster_rep
 FROM read_parquet('/tmp/kg_oracle_golden/dedup_simhash_sf0.01.parquet')
-ORDER BY a, b
+ORDER BY doc_id
 """
 
 

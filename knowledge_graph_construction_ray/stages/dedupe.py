@@ -545,14 +545,16 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
     return np.unpackbits(u.view(np.uint8)).reshape(len(u), 64).sum(axis=1)
 
 
-def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
-    """SimHash near-dup candidates via the block-permutation trick: docs
-    within Hamming ≤ 3 must share at least one of the 4 16-bit blocks
-    (pigeonhole).  The block collision check is a distributed shuffle on a
-    coarse hash bucket of (blk, block_val); pair expansion is a C-speed
-    self-merge, the Hamming verify a vectorized XOR+popcount, and the pair
-    dedup (a pair can collide in several blocks) happens in the shuffle —
-    only the final verified pair list reaches the driver."""
+def simhash_pair_edges(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
+    """SimHash near-dup verified pairs as a DATASET, via the
+    block-permutation trick: docs within Hamming ≤ 3 must share at least
+    one of the 4 16-bit blocks (pigeonhole).  The block collision check
+    is a distributed shuffle on a coarse hash bucket of (blk, block_val);
+    pair expansion is a C-speed self-merge, the Hamming verify a
+    vectorized XOR+popcount, and the pair dedup (a pair can collide in
+    several blocks) happens in the shuffle.  Nothing reaches the driver —
+    compose with :func:`collapse_pairs_to_forest` (see
+    :func:`simhash_dedup`) before collecting anything."""
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "simhash", "blk", "block_val"]].drop_duplicates(
@@ -580,10 +582,38 @@ def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
     pairs = bucketed_groups(
         bands, ["block_val", "blk"], bucket_pairs, num_buckets=num_buckets
     )
-    deduped = bucketed_agg(pairs, ["a", "b"], {"_n": ("a", "size")}).to_pandas()
+    return bucketed_agg(pairs, ["a", "b"], {"_n": ("a", "size")})
+
+
+def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
+    """Verified SimHash pairs as a sorted Python list — a TEST-SIZED
+    convenience over :func:`simhash_pair_edges` (the full pair list is
+    O(cluster²) on dup-dense corpora; the scale path is
+    :func:`simhash_dedup`, which forest-collapses before collecting)."""
+    deduped = simhash_pair_edges(docs_ds, max_hamming, num_buckets).to_pandas()
     if deduped.empty:  # empty Ray results drop their schema
         return []
     return sorted(zip(deduped["a"], deduped["b"]))
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
+    """Full SimHash near-dup pipeline → pandas DataFrame (doc_id,
+    cluster_rep) for every doc in a near-dup cluster — the SimHash mirror
+    of :func:`minhash_dedup`: verified pair edges stay a Dataset, each
+    batch is collapsed to a spanning forest in ``map_batches``, and the
+    driver's union-find sees O(cluster members) edges instead of
+    O(cluster²) even on boilerplate-dense corpora."""
+    edges = simhash_pair_edges(docs_ds, max_hamming, num_buckets)
+    collapsed = edges.map_batches(
+        lambda df: collapse_pairs_to_forest(df[["a", "b"]]),
+        batch_format="pandas",
+    ).to_pandas()
+    if collapsed.empty:  # empty Ray results drop their schema
+        return pd.DataFrame(columns=["doc_id", "cluster_rep"])
+    mapping = cluster_pairs(list(zip(collapsed["a"], collapsed["b"])))
+    return pd.DataFrame(
+        sorted(mapping.items()), columns=["doc_id", "cluster_rep"]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -136,23 +136,93 @@ class MentionDetector:
         return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
 
 
+class ModelMentionDetector:
+    """A4 variant: MODEL-backed mention detection with the same output
+    contract as :class:`MentionDetector` (MENTIONS_SCHEMA rows with
+    doc-concatenation offsets, media spans skipped).
+
+    The reference declares a HanLP/BERT NER surface
+    (entity_extraction.py:12-19, IMK/requirements.txt:8-12).  This class
+    is that surface as an actor-pool stage: ``model_factory`` is a
+    zero-argument callable returning an object with
+
+        .predict(texts: list[str]) -> list[list[tuple[int, int, str]]]
+
+    (per text: (start, end, label) character spans) — loaded ONCE per
+    actor in ``__init__``, batched inference in ``__call__``.  The
+    default factory tries the public libraries the reference names and
+    raises with injection instructions when absent (this container ships
+    neither); tests inject a deterministic fake and assert contract
+    parity with the gazetteer detector.
+    """
+
+    def __init__(self, model_factory=None):
+        if model_factory is None:
+            model_factory = _default_ner_model_factory
+        self.model = model_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = list(_iter_text_spans(batch))
+        preds = self.model.predict([r[3] for r in rows]) if rows else []
+        cols: dict[str, list[Any]] = {n: [] for n in MENTIONS_SCHEMA.names}
+        for (doc_id, span_idx, _kind, text, offset), spans in zip(rows, preds):
+            for start, end, label in spans:
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(span_idx)
+                cols["offset"].append(offset + start)
+                cols["surface"].append(text[start:end])
+                cols["label"].append(label)
+        return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+
+
+def _default_ner_model_factory():
+    """Try the reference's declared NER stacks; raise with injection
+    instructions when neither is installed (entity_extraction.py:12-19)."""
+    try:  # pragma: no cover — not installed in this container
+        import hanlp  # type: ignore # noqa: F401
+
+        raise NotImplementedError(
+            "hanlp is importable but no bundled pipeline is configured — "
+            "inject model_factory wrapping your hanlp NER pipeline as "
+            ".predict(texts) -> [[(start, end, label)]]"
+        )
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        "no NER model available in this environment; inject model_factory "
+        "returning an object with .predict(texts: list[str]) -> "
+        "list[list[(start, end, label)]] (e.g. a HanLP or BERT token-"
+        "classification pipeline, the stacks the reference declares in "
+        "entity_extraction.py:12-19)"
+    )
+
+
 class LLMTripleExtractor:
     """A2 variant: LLM-backed extractor with the same output contract.
 
     The reference builds a lazily-initialized OpenAI-compatible client per
     process (llm_integration.py:28-50) and post-processes with a markdown
     fence strip + json.loads (text_graph_builder.py:62-63).  Here the client
-    is built once per actor in ``__init__`` from an injectable factory; this
-    sandbox has no network, so the default factory raises and tests inject a
-    deterministic fake.
+    is built once per actor in ``__init__`` from an injectable factory.
+    With no explicit factory, the env-configured live arm is tried
+    (``KG_LLM_BASE_URL``/``KG_LLM_MODEL`` → stages/llm_client.py); when no
+    endpoint is configured either, construction raises with injection
+    instructions — tests inject a deterministic fake or the
+    recorded-response ``ReplayLLMClient`` (stages/llm_replay.py).
     """
 
     def __init__(self, client_factory=None, prompt_template: str | None = None):
         if client_factory is None:
+            from .llm_client import env_client_factory
+
+            client_factory = env_client_factory()
+        if client_factory is None:
             raise NotImplementedError(
-                "no LLM endpoint in this environment; inject client_factory "
-                "returning an object with .generate(prompt) -> str (JSON "
-                "triple list, possibly fenced); a recorded-response "
+                "no LLM endpoint configured: set KG_LLM_BASE_URL + "
+                "KG_LLM_MODEL (OpenAI-compatible /chat/completions, see "
+                "stages/llm_client.py) or inject client_factory returning "
+                "an object with .generate(prompt) -> str (JSON triple "
+                "list, possibly fenced); a recorded-response "
                 "ReplayLLMClient (stages/llm_replay.py) replays offline"
             )
         self.client = client_factory()
@@ -206,6 +276,22 @@ def detect_mentions(docs, gazetteer, *, concurrency: int = 4, batch_size: int = 
     return docs.map_batches(
         MentionDetector,
         fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def detect_mentions_model(
+    docs, model_factory=None, *, concurrency: int = 4, batch_size: int = 64
+):
+    """docs Dataset → mentions Dataset via a ModelMentionDetector actor
+    pool — the model loads once per actor in ``__init__``; the smaller
+    default batch keeps per-batch inference latency bounded (model
+    batches are compute-heavy where gazetteer batches are not)."""
+    return docs.map_batches(
+        ModelMentionDetector,
+        fn_constructor_args=(model_factory,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -949,3 +949,41 @@ def test_broadcast_join_dispatch_arms_agree(ray_session):
     pd.testing.assert_frame_equal(
         c.reset_index(drop=True), d.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_simhash_dedup_clusters_match_candidate_connectivity(ray_session):
+    """simhash_dedup (forest-collapsed, Dataset-side) labels exactly the
+    connected components of the verified pair set."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        simhash_candidates,
+        simhash_dedup,
+    )
+
+    words = " ".join(f"w{i}" for i in range(60))
+    other = " ".join(f"x{i}" for i in range(60))
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [words, words.upper(), "unrelated tokens entirely", other, other.upper()],
+        }
+    )
+    out = simhash_dedup(rd.from_pandas(df))
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    pairs = simhash_candidates(rd.from_pandas(df))
+    # independent connectivity check over the pair list (tiny UF)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    assert got == want and len(got) >= 4

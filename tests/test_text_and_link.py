@@ -1,6 +1,7 @@
 """M4/M5: text IE stages (mention detection, triple extraction with media
 alignment) and entity linking / canonicalization."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -301,3 +302,119 @@ def test_mention_detector_large_gazetteer_uses_automaton(ray_session):
         ("病症0001", "Disease", 2),
         ("唯0007词", "Filler", 9),
     ]
+
+
+def test_env_client_factory_and_live_transport(monkeypatch):
+    """The env-configured live arm: no env → None (constructor raises);
+    env set → an OpenAI-compatible client whose transport is exercised
+    through a monkeypatched urlopen (no network in this sandbox)."""
+    import io
+    import json as _json
+
+    from knowledge_graph_construction_ray.stages.llm_client import (
+        env_client_factory,
+    )
+
+    assert env_client_factory(env={}) is None
+    with pytest.raises(ValueError, match="KG_LLM_MODEL"):
+        env_client_factory(env={"KG_LLM_BASE_URL": "http://x/v1"})
+
+    factory = env_client_factory(
+        env={
+            "KG_LLM_BASE_URL": "http://localhost:9/v1/",
+            "KG_LLM_MODEL": "test-model",
+            "KG_LLM_API_KEY": "k",
+        }
+    )
+    client = factory()
+    captured = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["body"] = _json.loads(req.data)
+        captured["auth"] = req.get_header("Authorization")
+        return _Resp(
+            _json.dumps(
+                {"choices": [{"message": {"content": "[]"}}]}
+            ).encode()
+        )
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    assert client.generate("抽取三元组") == "[]"
+    assert captured["url"] == "http://localhost:9/v1/chat/completions"
+    assert captured["body"]["model"] == "test-model"
+    assert captured["body"]["messages"][0]["content"] == "抽取三元组"
+    assert captured["auth"] == "Bearer k"
+
+
+def test_llm_extractor_uses_env_factory(monkeypatch):
+    """LLMTripleExtractor with no explicit factory picks up the env
+    endpoint instead of raising."""
+    import knowledge_graph_construction_ray.stages.llm_client as lc
+    from knowledge_graph_construction_ray.stages.text import LLMTripleExtractor
+
+    monkeypatch.setenv("KG_LLM_BASE_URL", "http://localhost:9/v1")
+    monkeypatch.setenv("KG_LLM_MODEL", "test-model")
+    ex = LLMTripleExtractor()
+    assert isinstance(ex.client, lc.OpenAICompatClient)
+
+
+def test_model_mention_detector_contract_parity(ray_session):
+    """ModelMentionDetector with a fake model wrapping the gazetteer
+    matcher emits byte-identical MENTIONS_SCHEMA rows to the gazetteer
+    MentionDetector — same offsets, same media-span skipping."""
+    from knowledge_graph_construction_ray.fixtures import generate_corpus
+    from knowledge_graph_construction_ray.sources.readers import from_arrow_docs
+    from knowledge_graph_construction_ray.stages.text import (
+        MentionDetector,
+        ModelMentionDetector,
+        detect_mentions,
+        detect_mentions_model,
+    )
+
+    gaz = {"病症000": "Disease", "保00号": "Insurance", "恶性肿瘤": "Disease"}
+
+    # the fake reuses the gazetteer matcher as its "model" so the test
+    # isolates the actor/batch plumbing, not the matcher itself; it is
+    # self-contained so cloudpickle ships it to the actor pool whole
+    class FakeNER:
+        def __init__(self):
+            self._det = MentionDetector(gaz)
+
+        def predict(self, texts):
+            return [
+                [(s, e, gaz[t[s:e]]) for s, e in self._det._matches(t)]
+                for t in texts
+            ]
+
+    docs = from_arrow_docs(generate_corpus(), override_num_blocks=4)
+    a = (
+        detect_mentions(docs, gaz, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx", "offset", "surface"])
+        .reset_index(drop=True)
+    )
+    b = (
+        detect_mentions_model(docs, FakeNER, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx", "offset", "surface"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_model_mention_detector_default_factory_raises():
+    from knowledge_graph_construction_ray.stages.text import ModelMentionDetector
+
+    with pytest.raises(NotImplementedError, match="model_factory"):
+        ModelMentionDetector()
