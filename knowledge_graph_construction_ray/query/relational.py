@@ -4964,56 +4964,16 @@ FROM base GROUP BY CUBE(event_type, dow) ORDER BY 1, 2
 
 QUERIES: dict[str, tuple] = {
     # name: (ray_fn, oracle_sql | None)
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "j2_segment_revenue": (j2_segment_revenue, J2_SQL),
-    "j3_top_customers": (j3_top_customers, J3_SQL),
-    "g1_customer_priorities": (g1_customer_priorities, G1_SQL),
-    "g2_doc_stats_by_lang": (g2_doc_stats_by_lang, G2_SQL),
-    "d2_distinct_flag_status": (d2_distinct_flag_status, D2_SQL),
-    "t2_top_orders": (t2_top_orders, T2_SQL),
-    "m7_filter_contains": (m7_filter_contains, M7_SQL),
+    # ORDER MATTERS for the driver's correctness gate: its checked
+    # prefix is capped (50 entries in round 3), so entries changed or
+    # never driver-checked last round come FIRST; the tail holds
+    # unchanged entries already green in CORRECTNESS_r03.json.
     "m8_reindex": (m8_reindex, M8_SQL),
-    "f2_dirty_cast": (f2_dirty_cast, F2_SQL),
-    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
-    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
-    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
-    "events_asof_error": (events_asof_error, EVENTS_ASOF_SQL),
-    "events_band_views": (events_band_views, EVENTS_BAND_SQL),
-    "j5_khop_parts": (j5_khop_parts, J5_SQL),
-    "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
-    "text_tokens": (text_tokens, TOKENS_SQL),
-    "text_quality": (text_quality, QUALITY_SQL),
-    "curation_split_stats": (curation_split_stats, SPLIT_STATS_SQL),
-    "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
-    "events_user_top2": (events_user_top2, EVENTS_USER_TOP2_SQL),
-    "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
-    "text_langid": (text_langid, TEXT_LANGID_SQL),
-    "ann_topk": (ann_topk, ANN_SQL),
-    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
-    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "j2_segment_revenue": (j2_segment_revenue, J2_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "kg_fixture_triples": (kg_fixture_triples, KG_FIXTURE_TRIPLES_SQL),
-    "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "m1_part_projection": (m1_part_projection, M1_SQL),
-    "f5_truncate_names": (f5_truncate_names, F5_SQL),
-    "f8_concat_cards": (f8_concat_cards, F8_SQL),
-    "agg_value_stats": (agg_value_stats, AGG_STATS_SQL),
-    "t1_seeded_sample": (t1_seeded_sample, T1_SQL),
-    "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
-    "media_features": (media_features, MEDIA_FEATURES_SQL),
-    "ivf_topk_demo": (ivf_topk_demo, ANN_SQL),
-    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
-    "pii_scrub_customers": (pii_scrub_customers, PII_SCRUB_SQL),
-    "corpus_dup_ngrams": (corpus_dup_ngrams, DUP_NGRAMS_SQL),
-    "contamination_check": (contamination_check, CONTAMINATION_SQL),
-    "tfidf_search": (tfidf_search, TFIDF_SQL),
-    "events_distinct_users": (events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
-    "events_users_hll": (events_users_hll, EVENTS_USERS_HLL_SQL),
-    "events_value_percentiles": (events_value_percentiles, EVENTS_PERCENTILES_SQL),
-    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
+    "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_NO_ORDERS_SQL),
     "events_prev_gap": (events_prev_gap, EVENTS_PREV_GAP_SQL),
     "orders_cum_spend": (orders_cum_spend, ORDERS_CUM_SPEND_SQL),
@@ -5052,8 +5012,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "events_type_modal_hour": (events_type_modal_hour, EVENTS_MODAL_HOUR_SQL),
     "orders_price_ntile": (orders_price_ntile, ORDERS_NTILE_SQL),
-    "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
-    "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "events_incident_overlap": (events_incident_overlap, EVENTS_INCIDENT_OVERLAP_SQL),
     "events_user_median": (events_user_median, EVENTS_USER_MEDIAN_SQL),
@@ -5062,6 +5020,52 @@ QUERIES: dict[str, tuple] = {
     "events_weekly_retention": (events_weekly_retention, EVENTS_RETENTION_SQL),
     "events_value_outliers": (events_value_outliers, EVENTS_OUTLIERS_SQL),
     "events_props_extract": (events_props_extract, EVENTS_PROPS_SQL),
-    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "events_activity_islands": (events_activity_islands, EVENTS_ISLANDS_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "j3_top_customers": (j3_top_customers, J3_SQL),
+    "g1_customer_priorities": (g1_customer_priorities, G1_SQL),
+    "g2_doc_stats_by_lang": (g2_doc_stats_by_lang, G2_SQL),
+    "d2_distinct_flag_status": (d2_distinct_flag_status, D2_SQL),
+    "t2_top_orders": (t2_top_orders, T2_SQL),
+    "m7_filter_contains": (m7_filter_contains, M7_SQL),
+    "f2_dirty_cast": (f2_dirty_cast, F2_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "events_asof_error": (events_asof_error, EVENTS_ASOF_SQL),
+    "events_band_views": (events_band_views, EVENTS_BAND_SQL),
+    "j5_khop_parts": (j5_khop_parts, J5_SQL),
+    "kg_mentions_count": (kg_mentions_count, KG_MENTIONS_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_tokens": (text_tokens, TOKENS_SQL),
+    "text_quality": (text_quality, QUALITY_SQL),
+    "curation_split_stats": (curation_split_stats, SPLIT_STATS_SQL),
+    "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
+    "events_user_top2": (events_user_top2, EVENTS_USER_TOP2_SQL),
+    "curation_stratified_sample": (curation_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "ann_topk": (ann_topk, ANN_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "kg_fixture_triples": (kg_fixture_triples, KG_FIXTURE_TRIPLES_SQL),
+    "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "m1_part_projection": (m1_part_projection, M1_SQL),
+    "f5_truncate_names": (f5_truncate_names, F5_SQL),
+    "f8_concat_cards": (f8_concat_cards, F8_SQL),
+    "agg_value_stats": (agg_value_stats, AGG_STATS_SQL),
+    "t1_seeded_sample": (t1_seeded_sample, T1_SQL),
+    "kg_label_counts": (kg_label_counts, KG_LABEL_COUNTS_SQL),
+    "media_features": (media_features, MEDIA_FEATURES_SQL),
+    "ivf_topk_demo": (ivf_topk_demo, ANN_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "pii_scrub_customers": (pii_scrub_customers, PII_SCRUB_SQL),
+    "corpus_dup_ngrams": (corpus_dup_ngrams, DUP_NGRAMS_SQL),
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "tfidf_search": (tfidf_search, TFIDF_SQL),
+    "events_distinct_users": (events_distinct_users, EVENTS_DISTINCT_USERS_SQL),
+    "events_users_hll": (events_users_hll, EVENTS_USERS_HLL_SQL),
+    "events_value_percentiles": (events_value_percentiles, EVENTS_PERCENTILES_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
 }
