@@ -278,7 +278,7 @@ def _ensure_minhash_corpus() -> tuple[str, int]:
 
     src = os.path.join(SF_DIR, "documents.parquet")
     tag = hashlib.sha256(
-        f"{src}:{MINHASH_REPLICATE}:{os.path.getmtime(src)}".encode()
+        f"{src}:{MINHASH_REPLICATE}:{os.path.getmtime(src)}:rg64k".encode()
     ).hexdigest()[:10]
     path = f"/tmp/kg_bench_minhash_x{MINHASH_REPLICATE}_{tag}.parquet"
     base = pq.read_table(src, columns=["doc_id", "text"])
@@ -297,7 +297,8 @@ def _ensure_minhash_corpus() -> tuple[str, int]:
                 )
             )
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(pa.concat_tables(chunks), tmp)
+        # small row groups → parallel decode (see fixtures.write_corpus)
+        pq.write_table(pa.concat_tables(chunks), tmp, row_group_size=65536)
         os.replace(tmp, path)
     return path, n_total
 

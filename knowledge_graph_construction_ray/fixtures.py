@@ -273,5 +273,9 @@ def write_corpus(path: str, replicate: int = 1, mutate: bool = True) -> pa.Table
     import pyarrow.parquet as pq
 
     table = generate_replicated(replicate, mutate)
-    pq.write_table(table, path)
+    # small row groups so ray.data.read_parquet can DECODE in parallel:
+    # the default 1M-row groups gave a 2M-doc corpus only 2 row groups,
+    # capping read parallelism at 2 tasks regardless of override_num_blocks
+    # (SplitBlocks only re-slices already-decoded output)
+    pq.write_table(table, path, row_group_size=65536)
     return table
