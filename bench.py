@@ -383,6 +383,8 @@ BENCH_QUERIES = [
     "events_type_modal_hour",
     "orders_price_ntile",
     "dedup_minhash_apply",
+    "dedup_simhash",
+    "m8_reindex",
     "docs_strip_dup_ngrams",
     "curation_funnel",
     "events_incident_overlap",

@@ -91,26 +91,24 @@ _A = np.array([_h64(f"a{i}") | 1 for i in range(NUM_PERM)], dtype=np.uint64)
 _B = np.array([_h64(f"b{i}") for i in range(NUM_PERM)], dtype=np.uint64)
 _P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiply mod 2^64
 
-# Process-lifetime token-hash cache: Ray reuses worker processes across
-# batches, so a zipfian corpus pays one _h64 per distinct token per worker,
-# not per occurrence.  Values are deterministic — the cache is purely a
-# memoization, cleared (not evicted) at a size bound to cap worker memory.
-_token_hash_cache: dict[str, int] = {}
-_TOKEN_CACHE_MAX = 2_000_000
+# (The former process-lifetime Python token-hash cache is gone: the
+# vocabulary hash is now one vectorized C pass per batch, which beats a
+# dict probe per distinct token even on fully-warm zipfian vocab.)
 
 
 def _hash_token_array(tokens) -> np.ndarray:
-    """``_h64`` over a (deduplicated) token vocabulary → uint64 array."""
-    cache = _token_hash_cache
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = cache.get(t)
-        if h is None:
-            if len(cache) >= _TOKEN_CACHE_MAX:
-                cache.clear()
-            h = cache[t] = _h64(t)
-        out[i] = h
-    return out
+    """Deterministic 64-bit hash over a (deduplicated) token vocabulary →
+    uint64 array, in ONE C pass (``pd.util.hash_pandas_object`` with its
+    fixed default key — process- and machine-independent for a pinned
+    pandas, same determinism contract the bucket hash relies on).  The
+    previous per-token Python ``_h64`` loop cost ~17 µs/distinct token;
+    a high-entropy corpus (every doc its own vocabulary — the
+    soak_simhash unique-majority shape) has millions of distinct tokens
+    per worker, which made vocabulary hashing the dominant kernel cost
+    (measured 44 s of a 200k-doc simhash batch)."""
+    return pd.util.hash_pandas_object(
+        pd.Index(np.asarray(tokens, dtype=object)), index=False
+    ).to_numpy(dtype=np.uint64)
 
 
 def _flat_token_hashes(docs: list[list[str]]):
@@ -545,7 +543,13 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
     return np.unpackbits(u.view(np.uint8)).reshape(len(u), 64).sum(axis=1)
 
 
-def simhash_pair_edges(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
+def simhash_pair_edges(
+    docs_ds,
+    max_hamming: int = 3,
+    num_buckets: int = 64,
+    *,
+    connectivity_only: bool = False,
+):
     """SimHash near-dup verified pairs as a DATASET, via the
     block-permutation trick: docs within Hamming ≤ 3 must share at least
     one of the 4 16-bit blocks (pigeonhole).  The block collision check
@@ -554,26 +558,55 @@ def simhash_pair_edges(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
     vectorized XOR+popcount, and the pair dedup (a pair can collide in
     several blocks) happens in the shuffle.  Nothing reaches the driver —
     compose with :func:`collapse_pairs_to_forest` (see
-    :func:`simhash_dedup`) before collecting anything."""
+    :func:`simhash_dedup`) before collecting anything.
+
+    ``connectivity_only=True`` (the :func:`simhash_dedup` arm) emits a
+    CONNECTIVITY-EQUIVALENT edge set instead of every verified pair:
+    docs sharing an IDENTICAL signature inside a collision group are all
+    pairwise Hamming 0, so a k-member group contributes k-1 star edges
+    (min-id rep → member) and only its REPRESENTATIVE enters the
+    cross-signature self-merge.  Components are unchanged — equal
+    signatures are interchangeable under Hamming distance, so a rep-rep
+    edge stands in for every member-member edge — but a boilerplate
+    corpus's k-identical-doc cluster costs O(k), not O(k²), in the
+    expansion (the adversarial shape tools/soak_simhash.py builds)."""
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["doc_id", "simhash", "blk", "block_val"]].drop_duplicates(
             subset=["doc_id", "blk", "block_val"]
         )
         df = df[df.duplicated(subset=["blk", "block_val"], keep=False)]
+        empty = df["doc_id"].iloc[:0]
         if df.empty:
-            empty = df["doc_id"].iloc[:0]
             return pd.DataFrame({"a": empty, "b": empty})
+        star = None
+        if connectivity_only:
+            # star-collapse identical signatures; reps carry the group
+            df = df.sort_values("doc_id", kind="stable")
+            grp = ["blk", "block_val", "simhash"]
+            rep = df.groupby(grp, sort=False)["doc_id"].transform("min")
+            member = df["doc_id"].to_numpy() != rep.to_numpy()
+            if member.any():
+                star = pd.DataFrame(
+                    {
+                        "a": rep.to_numpy()[member],
+                        "b": df["doc_id"].to_numpy()[member],
+                    }
+                )
+            df = df[~member]
         m = df.merge(df, on=["blk", "block_val"], suffixes=("_x", "_y"))
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if m.empty:
-            empty = df["doc_id"].iloc[:0]
-            return pd.DataFrame({"a": empty, "b": empty})
-        d = m["simhash_x"].to_numpy(dtype=np.uint64) ^ m["simhash_y"].to_numpy(dtype=np.uint64)
-        keep = _popcount64(d) <= max_hamming
-        return pd.DataFrame(
-            {"a": m["doc_id_x"].to_numpy()[keep], "b": m["doc_id_y"].to_numpy()[keep]}
-        )
+            cross = pd.DataFrame({"a": empty, "b": empty})
+        else:
+            d = m["simhash_x"].to_numpy(dtype=np.uint64) ^ m["simhash_y"].to_numpy(dtype=np.uint64)
+            keep = _popcount64(d) <= max_hamming
+            cross = pd.DataFrame(
+                {"a": m["doc_id_x"].to_numpy()[keep], "b": m["doc_id_y"].to_numpy()[keep]}
+            )
+        if star is None:
+            return cross
+        return pd.concat([cross, star], ignore_index=True)
 
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
@@ -599,11 +632,15 @@ def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
 def simhash_dedup(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
     """Full SimHash near-dup pipeline → pandas DataFrame (doc_id,
     cluster_rep) for every doc in a near-dup cluster — the SimHash mirror
-    of :func:`minhash_dedup`: verified pair edges stay a Dataset, each
-    batch is collapsed to a spanning forest in ``map_batches``, and the
-    driver's union-find sees O(cluster members) edges instead of
-    O(cluster²) even on boilerplate-dense corpora."""
-    edges = simhash_pair_edges(docs_ds, max_hamming, num_buckets)
+    of :func:`minhash_dedup`: verified pair edges stay a Dataset (and
+    identical-signature groups star-collapse BEFORE pair expansion —
+    ``connectivity_only``), each batch is collapsed to a spanning forest
+    in ``map_batches``, and the driver's union-find sees O(cluster
+    members) edges instead of O(cluster²) even on boilerplate-dense
+    corpora."""
+    edges = simhash_pair_edges(
+        docs_ds, max_hamming, num_buckets, connectivity_only=True
+    )
     collapsed = edges.map_batches(
         lambda df: collapse_pairs_to_forest(df[["a", "b"]]),
         batch_format="pandas",

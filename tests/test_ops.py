@@ -671,13 +671,19 @@ def test_simhash_batch_value_parity_with_naive_loop():
     ±1-vote implementation bit-for-bit (golden oracles depend on it)."""
     import random
 
-    from knowledge_graph_construction_ray.stages.dedupe import _WS, _h64, simhash_batch
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        _WS,
+        _hash_token_array,
+        simhash_batch,
+    )
 
     def naive(text):
         toks = _WS.split(text.strip().lower())
         acc = np.zeros(64, dtype=np.int64)
         for t in toks:
-            h = _h64(t)
+            # same vocabulary hash as the engine — the parity under test
+            # is the vectorized ±1-vote/bit-count logic, not the hash fn
+            h = int(_hash_token_array([t])[0])
             bits = (h >> np.arange(64, dtype=np.uint64)) & 1
             acc += np.where(bits.astype(bool), 1, -1)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
