@@ -6,13 +6,12 @@ DataCleaned/Diseases/filter_disease.py — operators S4/M7/M8):
 
 The keyword filter and column drop are streaming vectorized stages.  The
 sequential global id (M8) looks serial (ids depend on every preceding
-row) but distributes exactly like a global ROW_NUMBER: an
-order-preserving coarse bin over the leading sort key, per-bin COUNTS
-through one combiner exchange, a driver prefix-sum over the tiny count
-table only, then ONE co-locating exchange where each bin sorts its own
-rows and emits ``base[bin] + intra_offset`` — the ``orders_price_ntile``
-plan (query/relational.py).  Nothing corpus-sized ever touches the
-driver; the reference does the whole thing single-process
+row) but distributes exactly like a global ROW_NUMBER: sample-based
+range bins over the leading sort key, per-bin COUNTS through one
+combiner exchange, a driver prefix-sum over the tiny count table only,
+then ONE co-locating exchange where each bin sorts its own rows and
+emits ``base[bin] + intra_offset``.  Nothing corpus-sized ever touches
+the driver; the reference does the whole thing single-process
 (filter_disease.py:97-101).
 """
 
@@ -47,81 +46,103 @@ def keyword_filter_kernel(col: str, keywords: Iterable[str]):
     return kernel
 
 
-def _order_preserving_bin(ds, key: str):
-    """A vectorized ``Series → int64 bin`` whose bins sort in key order
-    (``bin(a) <= bin(b)`` whenever ``a <= b``) with bounded cardinality:
+def _sample_boundaries(rows, key: str, num_bins: int) -> np.ndarray:
+    """Range-partition boundaries for the leading sort key from a
+    distributed sample: ≤64 evenly-spaced keys per batch reach the
+    driver (block-count-bounded, never row-bounded), and the sorted
+    sample's quantiles become ``searchsorted`` cut points.  Works for
+    any comparable dtype (ints, floats, strings — including the repo's
+    '{kind}:{idx}' doc_ids, where any fixed byte-prefix scheme
+    degenerates to one bin) and load-balances by construction."""
 
-    - integers: ``v // 1024`` — bin count bounded by key RANGE / 1024,
-      never by row count (the ``orders_price_ntile`` contract);
-    - floats:   ``floor(v / 1000)``;
-    - strings:  the first 4 UTF-8 bytes packed big-endian into an int64.
-      UTF-8 byte order equals code-point order, so byte-prefix bins are
-      order-preserving; cardinality is bounded by distinct 4-byte
-      prefixes (corpus-vocabulary-bounded, not row-bounded).
-    """
-    import pyarrow as pa
+    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
+        take = np.linspace(0, len(df) - 1, num=min(len(df), 64)).astype(int)
+        return pd.DataFrame({key: df[key].to_numpy()[np.unique(take)]})
 
-    sch = ds.schema()
-    t = dict(zip(sch.names, sch.types))[key]
-    if isinstance(t, pa.DataType):
-        kind = (
-            "int" if pa.types.is_integer(t)
-            else "float" if pa.types.is_floating(t)
-            else "str" if pa.types.is_string(t) or pa.types.is_large_string(t)
-            else "?"
-        )
-    else:  # pandas-block schema carries numpy dtypes (object for strings)
-        kind = {"i": "int", "u": "int", "f": "float", "O": "str", "U": "str"}.get(
-            np.dtype(t).kind, "?"
-        )
-
-    if kind == "int":
-        return lambda s: s.to_numpy().astype(np.int64) // 1024
-    if kind == "float":
-        return lambda s: np.floor(
-            s.to_numpy(np.float64) / 1000.0
-        ).astype(np.int64)
-    if kind == "str":
-
-        def str_bin(s: pd.Series) -> np.ndarray:
-            enc = s.fillna("").astype(str).str.encode("utf-8").to_numpy()
-            # dtype="S4" truncates/NUL-pads each value to exactly 4
-            # bytes; the big-endian u4 view of those raw bytes compares
-            # exactly like the byte prefix does
-            b4 = np.asarray(enc, dtype="S4")
-            return b4.view(">u4").astype(np.int64)
-
-        return str_bin
-    raise TypeError(f"no order-preserving binner for sort key type {t!r}")
+    sample = (
+        rows.map_batches(sample_keys, batch_format="pandas")
+        .to_pandas()[key]
+        .to_numpy()
+    )
+    sample = np.sort(sample, kind="stable")
+    cuts = np.linspace(0, len(sample) - 1, num=num_bins + 1).astype(int)[1:-1]
+    return np.unique(sample[cuts])
 
 
-def assign_sequential_ids(ds, sort_cols, id_col: str = "id", *, num_buckets: int = 64):
+def assign_sequential_ids(
+    ds, sort_cols, id_col: str = "id", *, num_buckets: int = 64, num_bins: int = 256
+):
     """Distributed 1-based ROW_NUMBER() OVER (ORDER BY sort_cols) →
-    Dataset with ``id_col`` added.  Two streaming passes, driver sees
-    only the per-bin count table (bin-range-bounded, never row-bounded):
+    Dataset with ``id_col`` added.  The driver only ever sees a bounded
+    key sample and the per-bin count table:
 
-    1. order-preserving coarse bin on the leading sort key; per-bin
-       counts pre-aggregated per batch, one combiner exchange; driver
-       prefix-sums the tiny histogram into base offsets.
-    2. one co-locating exchange on the bin key; each bin sorts ITS rows
-       by the full sort tuple and emits ``base[bin] + intra_offset + 1``.
+    1. materialize the input once (object-store resident, spillable —
+       three passes read it without re-running the upstream pipeline);
+    2. sample-based range boundaries on the leading sort key
+       (:func:`_sample_boundaries` — order-preserving and balanced for
+       ANY comparable dtype); per-bin counts pre-aggregated per batch
+       through one combiner exchange; driver prefix-sums the tiny
+       histogram into base offsets;
+    3. one co-locating exchange on the bin; each bin sorts ITS rows by
+       the full sort tuple and emits ``base[bin] + intra_offset + 1``.
 
-    Ties beyond ``sort_cols`` get arbitrary-but-stable ids, same as any
-    distributed ROW_NUMBER."""
+    The ids are invariant to the sampled boundaries (binning only
+    decides WHERE a row is ranked, not its rank), so sampling noise
+    cannot change the output.  Null sort keys raise — a null has no
+    defined rank, and the Arrow→pandas int64 degrade it causes would
+    silently corrupt bins otherwise.  Ties beyond ``sort_cols`` get
+    arbitrary-but-stable ids, same as any distributed ROW_NUMBER."""
+    import ray.data as rd
+
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
     sort_cols = list(sort_cols)
     if not sort_cols:
         raise ValueError("sequential ids need a total order: pass sort_cols")
     key = sort_cols[0]
-    binner = _order_preserving_bin(ds, key)
+
+    mat = ds.materialize()
+    if mat.count() == 0:
+        # typed empty via Arrow — an empty pandas block would DROP its
+        # schema in to_pandas() (the repo-wide empty-result trap)
+        import pyarrow as pa
+
+        sch = mat.schema()
+        fields: list = []
+        if sch is not None:
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                fields = list(base)
+            else:  # pandas-block schema: numpy dtypes, object == string
+                for n, t in zip(sch.names, sch.types):
+                    try:
+                        at = pa.from_numpy_dtype(np.dtype(t))
+                    except (pa.ArrowNotImplementedError, TypeError):
+                        at = pa.string()
+                    fields.append(pa.field(n, at))
+        fields = [f for f in fields if f.name != id_col]
+        fields.append(pa.field(id_col, pa.int64()))
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields)
+        )
+        return rd.from_arrow(empty)
+
+    boundaries = _sample_boundaries(mat, key, num_bins)
 
     def with_bin(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[key]
+        if s.isna().any():
+            raise ValueError(
+                f"assign_sequential_ids: null values in sort key {key!r} "
+                "have no defined rank"
+            )
         out = df.copy()
-        out["_bin"] = binner(df[key])
+        out["_bin"] = np.searchsorted(
+            boundaries, s.to_numpy(), side="right"
+        ).astype(np.int64)
         return out
 
-    rows = ds.map_batches(with_bin, batch_format="pandas")
+    rows = mat.map_batches(with_bin, batch_format="pandas")
 
     def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["_bin"].value_counts()

@@ -2326,62 +2326,24 @@ WHERE rn = 1 ORDER BY event_type
 
 def orders_price_ntile(sf_dir: str, k: int = 4):
     """Exact global NTILE(4) over (o_totalprice, o_orderkey) order —
-    distributed ROW_NUMBER without a global sort materialization.
-
-    Two streaming passes: (1) value-range binning (thousand-dollar
-    buckets — bucket count is bounded by the PRICE RANGE, never by row
-    count) with per-bucket counts through one combiner exchange; the
-    driver prefix-sums the tiny bucket table into base ranks and
-    broadcasts it.  (2) one co-locating exchange on the bucket key; each
-    bucket sorts ITS rows by (price, orderkey) and emits
-    rank = base[bucket] + intra-offset, then the NTILE tile is pure
-    arithmetic on the rank (first N%k tiles get the extra row, matching
-    SQL NTILE exactly).  Nothing materializes globally; the rank
-    assignment is embarrassingly parallel per bucket."""
-    from ..functions.groupby import bucketed_agg, bucketed_groups
+    distributed ROW_NUMBER without a global sort materialization, on the
+    SHARED plan (pipelines/curation.py::assign_sequential_ids: sampled
+    range bins → count exchange → driver prefix-sum of counts only → one
+    co-locating exchange emitting base+offset ranks).  The NTILE tile is
+    then pure arithmetic on the rank (first N%k tiles get the extra row,
+    matching SQL NTILE exactly) — embarrassingly parallel per batch."""
+    from ..pipelines.curation import assign_sequential_ids
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def binned(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
-                "o_totalprice": df["o_totalprice"].to_numpy(np.float64),
-                "_bin": (df["o_totalprice"].to_numpy(np.float64) // 1000).astype(
-                    np.int64
-                ),
-            }
-        )
-
-    rows = ds.map_batches(binned, batch_format="pandas")
-
-    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["_bin"].value_counts()
-        return pd.DataFrame({"_bin": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)})
-
-    hist = bucketed_agg(
-        rows.map_batches(bin_counts, batch_format="pandas"),
-        ["_bin"],
-        {"n": ("n", "sum")},
-    ).to_pandas()
-    hist = hist.sort_values("_bin").reset_index(drop=True)
-    total = int(hist["n"].sum())
-    base = dict(
-        zip(
-            hist["_bin"].to_numpy(np.int64),
-            (np.cumsum(hist["n"].to_numpy(np.int64)) - hist["n"].to_numpy(np.int64)),
-        )
+    ranked = assign_sequential_ids(
+        ds, ["o_totalprice", "o_orderkey"], "_rank"
     )
+    total = int(_parquet_num_rows(_t(sf_dir, "orders")))
     size, rem = total // k, total % k
     boundary = rem * (size + 1)
 
-    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # one hash bucket holds MANY price bins — segment per bin
-        df = df.sort_values(
-            ["_bin", "o_totalprice", "o_orderkey"], kind="mergesort"
-        )
-        _, _, pos = _segments(df["_bin"])
-        rank = df["_bin"].map(base).to_numpy(np.int64) + pos
+    def tile_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["_rank"].to_numpy(np.int64) - 1  # 0-based
         tile = np.where(
             rank < boundary,
             rank // (size + 1),
@@ -2392,7 +2354,7 @@ def orders_price_ntile(sf_dir: str, k: int = 4):
         )
 
     return (
-        bucketed_groups(rows, ["_bin"], rank_bucket)
+        ranked.map_batches(tile_batch, batch_format="pandas")
         .sort("o_orderkey")
         .to_pandas()
     )

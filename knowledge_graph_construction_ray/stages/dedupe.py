@@ -91,6 +91,12 @@ _A = np.array([_h64(f"a{i}") | 1 for i in range(NUM_PERM)], dtype=np.uint64)
 _B = np.array([_h64(f"b{i}") for i in range(NUM_PERM)], dtype=np.uint64)
 _P = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ bijective multiply mod 2^64
 
+# Bump whenever the token/vocabulary hash changes: persisted artifacts
+# keyed on band hashes (the incremental MinHash index) validate this at
+# query time — a version skew would otherwise return ZERO old×new pairs
+# with no error (band hashes simply never matching).
+TOKEN_HASH_VERSION = "pandas-siphash-1"
+
 # (The former process-lifetime Python token-hash cache is gone: the
 # vocabulary hash is now one vectorized C pass per batch, which beats a
 # dict probe per distinct token even on fully-warm zipfian vocab.)
@@ -105,10 +111,27 @@ def _hash_token_array(tokens) -> np.ndarray:
     a high-entropy corpus (every doc its own vocabulary — the
     soak_simhash unique-majority shape) has millions of distinct tokens
     per worker, which made vocabulary hashing the dominant kernel cost
-    (measured 44 s of a 200k-doc simhash batch)."""
-    return pd.util.hash_pandas_object(
-        pd.Index(np.asarray(tokens, dtype=object)), index=False
-    ).to_numpy(dtype=np.uint64)
+    (measured 44 s of a 200k-doc simhash batch).
+
+    NUL-byte guard: pandas hashes object strings as C-strings — tokens
+    sharing a pre-NUL prefix would silently collide ('a\\x00b' ==
+    'a\\x00c' to it).  Tokens containing a NUL or backslash are escaped
+    PER TOKEN (backslash-doubling + NUL→'\\0', injective, and a pure
+    function of the token so every batch agrees); clean tokens — all of
+    them, in real corpora — skip the escape entirely."""
+    idx = pd.Index(np.asarray(tokens, dtype=object))
+    if len(idx):
+        dirty = idx.str.contains("\x00", regex=False) | idx.str.contains(
+            "\\", regex=False
+        )
+        if dirty.any():
+            arr = idx.to_numpy(dtype=object, copy=True)
+            for i in np.flatnonzero(np.asarray(dirty)):
+                arr[i] = arr[i].replace("\\", "\\\\").replace("\x00", "\\0")
+            idx = pd.Index(arr)
+    return pd.util.hash_pandas_object(idx, index=False).to_numpy(
+        dtype=np.uint64
+    )
 
 
 def _flat_token_hashes(docs: list[list[str]]):
@@ -731,7 +754,14 @@ def build_minhash_index(docs_ds, index_dir: str, *, num_buckets: int = 64) -> st
     )
     os.makedirs(index_dir, exist_ok=True)
     with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump({"num_buckets": num_buckets, "num_bands": NUM_BANDS}, f)
+        json.dump(
+            {
+                "num_buckets": num_buckets,
+                "num_bands": NUM_BANDS,
+                "hash_version": TOKEN_HASH_VERSION,
+            },
+            f,
+        )
     return index_dir
 
 
@@ -799,6 +829,20 @@ def query_minhash_index(
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        built_hash = meta.get("hash_version")
+        if built_hash != TOKEN_HASH_VERSION:
+            raise ValueError(
+                f"index at {index_dir} was built with token hash "
+                f"{built_hash!r}, this engine uses {TOKEN_HASH_VERSION!r} — "
+                "band hashes would never match (silent zero-pair result); "
+                "rebuild the index"
+            )
+        built_bands = int(meta.get("num_bands", NUM_BANDS))
+        if built_bands != NUM_BANDS:
+            raise ValueError(
+                f"index at {index_dir} was built with {built_bands} bands, "
+                f"engine uses {NUM_BANDS} — rebuild the index"
+            )
         built_buckets = int(meta["num_buckets"])
         if num_buckets is not None and num_buckets != built_buckets:
             raise ValueError(
@@ -869,7 +913,10 @@ def query_minhash_index(
 
     new_bands_pd = new_bands_ds.to_pandas()  # ingest-batch-sized by contract
     key_ref = ray.put(np.unique(_band_key(new_bands_pd)))
-    new_id_ref = ray.put(np.unique(new_bands_pd["doc_id"].to_numpy(np.int64)))
+    # doc_ids stay dtype-agnostic (int64 in the sf tables, strings in the
+    # '{kind}:{idx}' convention) — np.isin handles object arrays fine at
+    # these batch-bounded sizes
+    new_id_ref = ray.put(np.unique(new_bands_pd["doc_id"].to_numpy()))
 
     def colliding_old(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.isin(_band_key(df), ray.get(key_ref))
@@ -877,9 +924,9 @@ def query_minhash_index(
         # fresh-id contract: a re-ingested doc carrying its indexed id
         # would have every pair silently dropped by the a != b filter
         # downstream — fail loudly instead (batch-scaled isin, cheap)
-        clash = np.isin(out["doc_id"].to_numpy(np.int64), ray.get(new_id_ref))
+        clash = np.isin(out["doc_id"].to_numpy(), ray.get(new_id_ref))
         if clash.any():
-            dupes = np.unique(out["doc_id"].to_numpy(np.int64)[clash])[:5]
+            dupes = np.unique(out["doc_id"].to_numpy()[clash])[:5]
             raise ValueError(
                 "query_minhash_index requires new-batch doc_ids disjoint "
                 f"from the indexed corpus; already-indexed ids seen: "
@@ -919,10 +966,10 @@ def query_minhash_index(
         ),
         batch_format="pandas",
     ).to_pandas()
-    cid_ref = ray.put(np.unique(cid["doc_id"].to_numpy(np.int64)))
+    cid_ref = ray.put(np.unique(cid["doc_id"].to_numpy()))
 
     def wanted_texts(df: pd.DataFrame) -> pd.DataFrame:
-        return df[np.isin(df["doc_id"].to_numpy(np.int64), ray.get(cid_ref))]
+        return df[np.isin(df["doc_id"].to_numpy(), ray.get(cid_ref))]
 
     texts = (
         old_docs_ds.select_columns(["doc_id", "text"])

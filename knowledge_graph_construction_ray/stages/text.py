@@ -164,6 +164,14 @@ class ModelMentionDetector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = list(_iter_text_spans(batch))
         preds = self.model.predict([r[3] for r in rows]) if rows else []
+        if len(preds) != len(rows):
+            # zip would silently truncate — a model that drops inputs
+            # must fail loudly, not lose trailing spans' mentions
+            raise ValueError(
+                f"model returned {len(preds)} prediction lists for "
+                f"{len(rows)} text spans — .predict must be 1:1 with its "
+                "input"
+            )
         cols: dict[str, list[Any]] = {n: [] for n in MENTIONS_SCHEMA.names}
         for (doc_id, span_idx, _kind, text, offset), spans in zip(rows, preds):
             for start, end, label in spans:

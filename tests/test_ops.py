@@ -993,3 +993,94 @@ def test_simhash_dedup_clusters_match_candidate_connectivity(ray_session):
             parent[max(ra, rb)] = min(ra, rb)
     want = {d: find(d) for d in parent}
     assert got == want and len(got) >= 4
+
+
+def test_assign_sequential_ids_empty_and_null_guards(ray_session):
+    """Review-pass regressions: an empty (post-filter) input returns an
+    empty Dataset with the id column in its schema instead of crashing,
+    and null sort keys raise instead of binning to garbage."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        assign_sequential_ids,
+        curate,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "easy_get": ["无关", "无关"]})
+    )
+    out = curate(docs, filter_col="easy_get", sort_cols=("doc_id",))
+    # (to_pandas() on an empty Ray result drops columns — assert on the
+    # Dataset schema, which the typed-empty guard preserves)
+    assert out.count() == 0 and "id" in out.schema().names
+
+    withnull = rd.from_pandas(
+        pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64")})
+    )
+    with _pytest.raises(Exception, match="null"):
+        assign_sequential_ids(withnull, ["k"], "rid").to_pandas()
+
+
+def test_assign_sequential_ids_shared_prefix_keys_spread_bins(ray_session):
+    """Sampled range boundaries must spread kind-prefixed string keys
+    ('disease:000123' — any fixed byte-prefix scheme collapses to one
+    bin) across many bins, keeping the plan distributed on the repo's
+    own doc_id convention."""
+    import numpy as np
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        _sample_boundaries,
+        assign_sequential_ids,
+    )
+
+    rng = np.random.RandomState(9)
+    keys = [f"disease:{i:06d}" for i in rng.permutation(20000)]
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(16).materialize()
+    bounds = _sample_boundaries(ds, "k", 64)
+    assert len(bounds) >= 16  # genuinely partitioned, not one bin
+    out = (
+        assign_sequential_ids(ds, ["k"], "rid")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (out["rid"].to_numpy() == np.arange(1, 20001)).all()
+
+
+def test_token_hash_nul_bytes_do_not_collide():
+    """pandas hashes object strings as C-strings; the escape guard must
+    keep NUL-carrying tokens distinct and batch-split-invariant."""
+    from knowledge_graph_construction_ray.stages.dedupe import _hash_token_array
+
+    h = _hash_token_array(["a\x00b", "a\x00c", "a", "a\\0", "plain"])
+    assert len(set(h.tolist())) == 5
+    h2 = _hash_token_array(["a\x00c", "plain"])
+    assert h2[0] == h[1] and h2[1] == h[4]
+
+
+def test_model_mention_detector_length_mismatch_raises(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from knowledge_graph_construction_ray.schema import DOCS_SCHEMA
+    from knowledge_graph_construction_ray.stages.text import ModelMentionDetector
+
+    class DroppyModel:
+        def predict(self, texts):
+            return [[] for _ in texts[:-1]]  # drops the last span
+
+    det = ModelMentionDetector(DroppyModel)
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": ["policy_text:000001"],
+            "spans": [[
+                {"kind": "clause", "text": "文一", "media_ref": "", "offset": 0},
+                {"kind": "clause", "text": "文二", "media_ref": "", "offset": 3},
+            ]],
+        },
+        schema=DOCS_SCHEMA,
+    )
+    with _pytest.raises(ValueError, match="1:1"):
+        det(batch)

@@ -895,3 +895,36 @@ def test_minhash_index_reingested_id_raises(ray_session):
             query_minhash_index(
                 rd.from_pandas(old), d, rd.from_pandas(old), threshold=0.2
             )
+
+
+def test_minhash_index_string_doc_ids(ray_session):
+    """The index path must accept the repo's '{kind}:{idx}' STRING
+    doc_ids end-to-end (a review pass caught an int64 cast regression
+    in the candidate-id broadcast)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    old = pd.DataFrame(
+        {
+            "doc_id": ["disease:000001", "disease:000002"],
+            "text": ["a b c d e f", "p q r s t u"],
+        }
+    )
+    new = pd.DataFrame(
+        {"doc_id": ["disease:000009"], "text": ["a b c d e f"]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        build_minhash_index(rd.from_pandas(old), d)
+        out = query_minhash_index(
+            rd.from_pandas(new), d, rd.from_pandas(old),
+            threshold=0.5, num_partitions=2,
+        )
+    assert list(zip(out["a"], out["b"])) == [
+        ("disease:000001", "disease:000009")
+    ]
