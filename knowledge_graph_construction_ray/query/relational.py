@@ -3185,6 +3185,60 @@ ORDER BY 1, 2
 """
 
 
+def dedup_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (threshold 1/2) via the
+    prefix-filtered inverted index (stages/dedupe.py::ngram_jaccard_dedup)
+    — the exactness-guaranteed sibling of dedup_minhash's probabilistic
+    bands.  Integer inter_n/union_n columns so the DuckDB oracle (true
+    all-pairs shingle join) hash-matches with no float rounding."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedupe import ngram_jaccard_dedup
+
+    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_dedup(
+        ds, threshold=(1, 2), num_partitions=4 if n <= 100_000 else None,
+        sparse_safe=n <= 100_000,
+    ).to_pandas()  # verified pairs only — near-dup-cluster-sized
+    if out.empty:  # zero-row to_pandas drops columns — restore the schema
+        out = pd.DataFrame(columns=["a", "b", "inter_n", "union_n"])
+    return (
+        out.astype({c: "int64" for c in out.columns})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE
+      WHEN len(t) = 0 OR (len(t) = 1 AND t[1] = '') THEN CAST([] AS VARCHAR[])
+      WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_n
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter_n, sa.n + sb.n - inter_n AS union_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE 2 * inter_n >= sa.n + sb.n - inter_n
+ORDER BY a, b
+"""
+
+
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup clusters.  Oracle: golden parquet from the
     sequential single-process reimplementation (golden.py) — the driver
@@ -4930,6 +4984,7 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "m8_reindex": (m8_reindex, M8_SQL),
     "j2_segment_revenue": (j2_segment_revenue, J2_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -702,6 +702,261 @@ def ngram_jaccard_pairs(docs_ds, *, threshold: float, block_on=None):
     return pd.DataFrame(sorted(set(rows)), columns=["a", "b", "jaccard"])
 
 
+def _prefix_shingle_rows(
+    df: pd.DataFrame, threshold_num: int, threshold_den: int,
+    prefix: bool = True,
+) -> pd.DataFrame:
+    """Docs batch → (shingle, doc_id, set_size) rows for each doc's PREFIX
+    shingles under the global hash order — the prefix-filtering lemma
+    (Xiao et al. 2008, public): if Jaccard(x, y) ≥ t, the two docs share
+    at least one element within the first ``n - ceil(t·n) + 1`` of each
+    side's globally-ordered distinct shingles.  Only those rows enter the
+    inverted index, so the candidate shuffle carries a (1−t) fraction of
+    the shingle rows and EXACTNESS is preserved (unlike MinHash's
+    probabilistic bands).
+
+    The global order is ascending shingle-hash value: any consistent total
+    order satisfies the lemma, and hash order needs no corpus-wide
+    document-frequency pass (frequency-ascending order is the documented
+    candidate-count optimization for boilerplate-heavy corpora — it
+    requires one extra combiner groupby to build and broadcast/join the
+    DF rank, worth it only when hot shingles dominate).
+
+    Shingles are the arithmetic-polynomial token-hash composition shared
+    with ``minhash_signatures_batch`` (equal strings → equal hashes, so
+    no true pair is lost; hash collisions only ADD candidates, which the
+    exact verify kills).  Docs shorter than NGRAM tokens contribute one
+    shingle over all their tokens (``word_ngrams``' short-doc rule);
+    empty docs emit nothing (near-dup of empty text is undefined —
+    excluded on both engine and oracle sides)."""
+    docs = [t.strip().lower().split() for t in df["text"]]
+    th, starts, lens = _flat_token_hashes(docs)
+    D = len(docs)
+    empty = pd.DataFrame(
+        {
+            "shingle": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype=df["doc_id"].dtype),
+            "set_size": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(th):
+        return empty
+    doc_parts: list[np.ndarray] = []
+    sh_parts: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        sh = th
+        for k in range(1, NGRAM):
+            sh = sh[:-1] * _P + th[k:]
+        long_docs = lens >= NGRAM
+        if long_docs.any() and len(sh):
+            doc_of = np.repeat(np.arange(D), lens)[: len(sh)]
+            pos_in_doc = np.arange(len(sh)) - starts[doc_of]
+            valid = pos_in_doc <= lens[doc_of] - NGRAM
+            doc_parts.append(doc_of[valid])
+            sh_parts.append(sh[valid])
+        for d in np.nonzero((lens > 0) & ~long_docs)[0]:
+            h = np.uint64(0)
+            for t in th[starts[d] : starts[d + 1]]:
+                h = h * _P + t
+            doc_parts.append(np.array([d], dtype=np.int64))
+            sh_parts.append(np.array([h], dtype=np.uint64))
+    if not doc_parts:
+        return empty
+    docc = np.concatenate(doc_parts)
+    shc = np.concatenate(sh_parts)
+    # per-doc distinct shingles in global (hash) order
+    order = np.lexsort((shc, docc))
+    docs_s, sh_s = docc[order], shc[order]
+    keep = np.ones(len(docs_s), dtype=bool)
+    keep[1:] = (docs_s[1:] != docs_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+    docs_u, sh_u = docs_s[keep], sh_s[keep]
+    bounds = np.flatnonzero(np.r_[True, docs_u[1:] != docs_u[:-1]])
+    counts = np.diff(np.r_[bounds, len(docs_u)])
+    n_of = np.repeat(counts, counts)
+    if prefix:
+        rank = np.arange(len(docs_u)) - np.repeat(bounds, counts)
+        # prefix length p = n - ceil(t·n) + 1, exact in integers
+        ceil_tn = -((-threshold_num * n_of) // threshold_den)
+        take = rank < (n_of - ceil_tn + 1)
+    else:  # all distinct shingles (the frequency-ordered path prefixes later)
+        take = np.ones(len(docs_u), dtype=bool)
+    return pd.DataFrame(
+        {
+            "shingle": sh_u[take].view(np.int64),
+            "doc_id": df["doc_id"].to_numpy()[docs_u[take]],
+            "set_size": n_of[take],
+        }
+    )
+
+
+def ngram_jaccard_dedup(
+    docs_ds,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    max_list: int = 100_000,
+    sparse_safe: bool = False,
+    order: str = "frequency",
+):
+    """EXACT n-gram Jaccard near-dup pairs at scale → Dataset[a, b,
+    inter_n, union_n] with ``inter_n/union_n ≥ threshold`` guaranteed
+    (threshold is a rational ``(num, den)`` so both the prefix filter and
+    the verify compare in exact integer arithmetic — no float rounding
+    can disagree with a SQL oracle).
+
+    Plan (all-exchange, nothing corpus-sized on the driver):
+    distinct-shingle rows per batch (vectorized) → prefix selection under
+    the global order → bucketed inverted-index shuffle on the shingle
+    hash → within-list pair expansion (C-speed self-merge + lossless size
+    filter) → distinct pairs → exact string-shingle Jaccard verify via
+    two hash joins (``attach_pair_payloads``) emitting INTEGER
+    intersection/union sizes.
+
+    ``order``: the global total order behind the prefix lemma.
+    ``"frequency"`` (default, Vernica et al. 2010) ranks shingles by
+    document frequency ascending — two extra corpus-shingle-sized
+    exchanges (DF combiner + join) buy orders-of-magnitude fewer
+    candidates on shared-vocabulary corpora.  ``"hash"`` skips both
+    exchanges and prefixes under ascending hash order — cheaper plan,
+    acceptable only when the corpus has little cross-doc boilerplate.
+
+    ``max_list``: an inverted list longer than this raises instead of
+    silently expanding O(list²) pairs — the recall-refusal discipline of
+    ``cosine_pairs``, not a silent drop."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {num}/{den}")
+    if order not in ("frequency", "hash"):
+        raise ValueError(f"order must be 'frequency' or 'hash', got {order!r}")
+
+    if order == "hash":
+        # zero-extra-exchange variant: prefixes under ascending hash order
+        rows = docs_ds.map_batches(
+            lambda df: _prefix_shingle_rows(df, num, den), batch_format="pandas"
+        )
+    else:
+        # frequency-ascending global order (Vernica et al. 2010): compute
+        # each shingle's document frequency with one combiner exchange,
+        # attach it with a hash join, then take each doc's prefix under
+        # (df, shingle) order — rare shingles land in prefixes, so hot
+        # boilerplate shingles are indexed by almost no one.  Costs two
+        # extra corpus-shingle-sized exchanges; buys orders of magnitude
+        # fewer candidates on shared-vocabulary corpora (measured 569k →
+        # see BASELINE.md) while keeping EXACTNESS (any consistent total
+        # order satisfies the prefix lemma).
+        all_rows = docs_ds.map_batches(
+            lambda df: _prefix_shingle_rows(df, num, den, prefix=False),
+            batch_format="pandas",
+        )
+        dfreq = bucketed_agg(
+            all_rows, ["shingle"], {"df": ("doc_id", "size")},
+            num_buckets=num_buckets,
+        )
+        joined = all_rows.join(
+            dfreq, join_type="inner",
+            num_partitions=num_partitions or _default_join_partitions(),
+            on=("shingle",),
+        )
+
+        def doc_prefix_kernel(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["doc_id", "df", "shingle"], kind="mergesort")
+            rank = g.groupby("doc_id", observed=True).cumcount().to_numpy()
+            n = g["set_size"].to_numpy()
+            ceil_tn = -((-num * n) // den)
+            take = rank < (n - ceil_tn + 1)
+            return g.loc[take, ["shingle", "doc_id", "set_size"]]
+
+        rows = bucketed_groups(
+            joined, ["doc_id"], doc_prefix_kernel, num_buckets=num_buckets
+        )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("shingle", observed=True)["doc_id"].size()
+        if len(sizes) and int(sizes.max()) > max_list:
+            hot = sizes.idxmax()
+            raise ValueError(
+                f"inverted list for shingle {hot} has {int(sizes.max())} docs "
+                f"(> max_list={max_list}); use order='frequency' or raise "
+                "max_list explicitly"
+            )
+        # pair expansion carrying set sizes, then the lossless size filter:
+        # J ≥ t needs min(|x|,|y|)·den ≥ num·max(|x|,|y|)
+        g = g.drop_duplicates(subset=["doc_id", "shingle"])
+        g = g[g.duplicated(subset=["shingle"], keep=False)]
+        if g.empty:
+            e = g["doc_id"].iloc[:0]
+            return pd.DataFrame({"a": e, "b": e})
+        m = g.merge(g, on="shingle", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        sx = m["set_size_x"].to_numpy()
+        sy = m["set_size_y"].to_numpy()
+        ok = np.minimum(sx, sy) * den >= num * np.maximum(sx, sy)
+        m = m[ok]
+        return pd.DataFrame(
+            {"a": m["doc_id_x"].to_numpy(), "b": m["doc_id_y"].to_numpy()}
+        )
+
+    pairs = bucketed_groups(rows, ["shingle"], pair_kernel, num_buckets=num_buckets)
+    distinct = bucketed_agg(pairs, ["a", "b"], {"n_lists": ("a", "size")})
+    # sparse_safe mirrors verify_pairs_distributed: an entirely-empty
+    # candidate set poisons the native join with schema-less blocks, but
+    # the guard is a materialize barrier — opt-in for tiny corpora only
+    if sparse_safe:
+        distinct = distinct.materialize()
+        if distinct.count() == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype="int64"),
+                        "b": pd.Series(dtype="int64"),
+                        "inter_n": pd.Series(dtype="int64"),
+                        "union_n": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+    with_texts = attach_pair_payloads(
+        distinct, docs_ds, id_col="doc_id", payload_col="text",
+        num_partitions=num_partitions, sparse_safe=sparse_safe,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, set] = {}
+
+        def grams(t: str) -> set:
+            g = cache.get(t)
+            if g is None:
+                g = cache[t] = word_ngrams(t)
+            return g
+
+        ga = [grams(t) for t in df["text_a"]]
+        gb = [grams(t) for t in df["text_b"]]
+        n = len(ga)
+        inter = np.fromiter(
+            (len(x & y) for x, y in zip(ga, gb)), dtype=np.int64, count=n
+        )
+        union = (
+            np.fromiter((len(x) for x in ga), dtype=np.int64, count=n)
+            + np.fromiter((len(x) for x in gb), dtype=np.int64, count=n)
+            - inter
+        )
+        keep = inter * den >= num * union  # exact rational comparison
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep],
+                "b": df["b"].to_numpy()[keep],
+                "inter_n": inter[keep],
+                "union_n": union[keep],
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash index (continuous-ingest dedup)
 # ---------------------------------------------------------------------------
