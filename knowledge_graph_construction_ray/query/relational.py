@@ -3374,6 +3374,64 @@ WHERE c_custkey < 200 ORDER BY c_custkey
 """
 
 
+def j7_full_outer_activity(sf_dir: str):
+    """J: native FULL OUTER hash join — per-user click vs purchase counts,
+    keeping users who only ever did one of the two (both unmatched sides
+    survive; Ray coalesces the key column, absent counts fill as 0).
+    Completes the native-join matrix alongside inner (j4), broadcast
+    (j2/j3), semi (lineitem_urgent_semi) and anti (customers_without_orders)."""
+    from ..functions.groupby import bucketed_agg, scrub_empty_blocks
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(etype: str, out: str):
+        # value > 90 keeps the slices sparse enough that BOTH unmatched
+        # sides are non-empty at sf0.01 (22 click-only / 14 purchase-only
+        # users) — the outer semantics are actually exercised, not
+        # degenerate-inner.  The sparse filter also leaves schema-less
+        # all-empty blocks that poison the native join; both sides are
+        # per-user COUNT aggregates (tiny), so the scrub barrier is cheap.
+        f = ev.map_batches(
+            lambda t, e=etype: t.filter(
+                pc.and_(pc.equal(t["event_type"], e), pc.greater(t["value"], 90.0))
+            ),
+            batch_format="pyarrow",
+        ).select_columns(["user_id"])
+        return scrub_empty_blocks(
+            bucketed_agg(f, ["user_id"], {out: ("user_id", "size")})
+        )
+
+    joined = side("click", "n_clicks").join(
+        side("purchase", "n_purchases"),
+        join_type="full_outer", num_partitions=8, on=("user_id",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_clicks", "n_purchases"):
+            df[c] = df[c].fillna(0).astype("int64")
+        return df
+
+    out = joined.map_batches(finish, batch_format="pandas").sort("user_id")
+    return out.to_pandas()
+
+
+J7_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' AND value > 90 GROUP BY user_id
+),
+p AS (
+  SELECT user_id, count(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' AND value > 90 GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
 def m1_part_projection(sf_dir: str):
     """M1-style projection: filter + column select + computed upper()."""
     ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size", "p_retailprice"])
@@ -4985,6 +5043,7 @@ QUERIES: dict[str, tuple] = {
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "j7_full_outer_activity": (j7_full_outer_activity, J7_FULL_OUTER_SQL),
     "m8_reindex": (m8_reindex, M8_SQL),
     "j2_segment_revenue": (j2_segment_revenue, J2_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

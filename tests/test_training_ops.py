@@ -437,6 +437,31 @@ def test_anti_join_complement(ray_session):
     assert without == cust - have
 
 
+def test_full_outer_join_keeps_both_unmatched_sides(ray_session):
+    """j7 must exercise REAL outer semantics: users present on only one
+    side survive with a zero count on the other — if the fixture ever
+    degrades to every-user-matches, this fails rather than silently
+    testing an inner join."""
+    from knowledge_graph_construction_ray.query.relational import (
+        j7_full_outer_activity,
+    )
+
+    out = j7_full_outer_activity("/root/testdata/sf0.01")
+    click_only = out[(out["n_clicks"] > 0) & (out["n_purchases"] == 0)]
+    purchase_only = out[(out["n_clicks"] == 0) & (out["n_purchases"] > 0)]
+    assert len(click_only) > 0 and len(purchase_only) > 0
+    # and the union of keys matches the filtered input exactly
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.01/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+    hot = ev[ev["value"] > 90.0]
+    expect = set(hot.loc[hot["event_type"] == "click", "user_id"]) | set(
+        hot.loc[hot["event_type"] == "purchase", "user_id"]
+    )
+    assert set(out["user_id"]) == expect
+
+
 def test_tfidf_search_ranked_and_deterministic(ray_session):
     from knowledge_graph_construction_ray.query.relational import tfidf_search
 
