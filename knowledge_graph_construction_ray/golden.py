@@ -170,6 +170,20 @@ def hll_types_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def kmv_quantiles_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential KMV bottom-k quantile sketch over events.value keyed by
+    event_id — the k-smallest-hash set is a pure function of the key SET
+    (SplitMix64 is bijective, event_id unique), so the distributed
+    sort+limit merge must reproduce these quantiles EXACTLY at any
+    partitioning; rank-error accuracy is pytest-bounded separately."""
+    from .stages.sketch import kmv_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return kmv_sequential(df["event_id"].to_numpy(), df["value"].to_numpy())
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -513,6 +527,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(pq_codes_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"pq_codes_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(kmv_quantiles_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"events_kmv_quantiles_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

@@ -2565,6 +2565,26 @@ ORDER BY event_type
 """
 
 
+def events_kmv_quantiles(sf_dir: str):
+    """Approximate value quantiles via the KMV bottom-k sketch
+    (stages/sketch.py::kmv_quantiles): per-batch ≤k-row partials → one
+    bounded sort+limit exchange (blocks × k rows) → k-row driver sample.
+    The k-smallest-hash set is a pure function of the key SET (SplitMix64
+    bijective, event_id unique), so the golden oracle is hash-EXACT at any
+    partitioning; rank accuracy is pytest-bounded.  Exact companion (full
+    value sort): ``events_value_percentiles``."""
+    from ..stages.sketch import kmv_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return kmv_quantiles(ds, "event_id", "value")
+
+
+EVENTS_KMV_QUANTILES_SQL = """
+SELECT value_p50, value_p95, value_p99, n_sample, n_total
+FROM read_parquet('/tmp/kg_oracle_golden/events_kmv_quantiles_sf0.01.parquet')
+"""
+
+
 _PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
 
 
@@ -5069,6 +5089,7 @@ QUERIES: dict[str, tuple] = {
     "graph_ppr": (graph_ppr, GRAPH_PPR_SQL),
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
+    "events_kmv_quantiles": (events_kmv_quantiles, EVENTS_KMV_QUANTILES_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

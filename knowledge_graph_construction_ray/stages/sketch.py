@@ -258,3 +258,85 @@ def cms_sequential(tokens, counts, d: int = CMS_D, w: int = CMS_W) -> np.ndarray
 CMS_PROBE_TERMS = (
     "join", "hash", "scan", "batch", "spark", "window", "zzz_absent_term",
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+KMV_K_DEFAULT = 2048
+KMV_PROBS_DEFAULT = (0.5, 0.95, 0.99)
+
+
+def kmv_bottomk_partial(
+    keys: np.ndarray, values: np.ndarray, k: int
+) -> pd.DataFrame:
+    """One batch → its ≤ k smallest (hash(key), value) rows.
+
+    The global k-smallest-hash set over UNIQUE keys is a uniform
+    without-replacement sample of size k (the KMV / bottom-k sketch,
+    Bar-Yossef et al. 2002) that is a pure function of the key SET —
+    merge-order- and partition-INVARIANT, unlike KLL/t-digest whose
+    compactions depend on merge order.  SplitMix64 is a bijection on
+    uint64, so unique keys give unique hashes and the k-set is exact."""
+    h = hash_values(np.asarray(keys))
+    v = np.asarray(values)
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        h, v = h[idx], v[idx]
+    return pd.DataFrame({"h": h, "value": v})
+
+
+def _rank_quantiles(sample: np.ndarray, n_total: int, probs) -> dict:
+    """Empirical quantiles of the (sorted) sample under the same exact
+    rank rule as events_value_percentiles: rank = max(1, ceil(p·m))."""
+    import math
+
+    s = np.sort(sample)
+    m = len(s)
+    out = {}
+    for p in probs:
+        out[f"value_p{int(p * 100)}"] = float(s[max(1, math.ceil(p * m)) - 1])
+    out["n_sample"] = m
+    out["n_total"] = n_total
+    return out
+
+
+def kmv_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    probs=KMV_PROBS_DEFAULT,
+    k: int = KMV_K_DEFAULT,
+) -> pd.DataFrame:
+    """Approximate quantiles over a Dataset column with ONE bounded
+    exchange: per-batch bottom-k partials (≤ k rows per block) → global
+    sort+limit over blocks×k rows → a k-row driver sample.  Rank error is
+    O(n/sqrt(k)) (pytest-bounded); nothing in the plan grows with n.  An
+    exact quantile at 100 TB is a full sort of the corpus — this sketch
+    is the scale path, `events_value_percentiles` the exact one."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return kmv_bottomk_partial(
+            df[key_col].to_numpy(), df[value_col].to_numpy(), k
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    sample = partials.sort("h").limit(k).to_pandas()
+    n_total = ds.count()
+    row = _rank_quantiles(sample["value"].to_numpy(), n_total, probs)
+    return pd.DataFrame({c: [row[c]] for c in row}).astype(
+        {"n_sample": "int64", "n_total": "int64"}
+    )
+
+
+def kmv_sequential(
+    keys, values, probs=KMV_PROBS_DEFAULT, k: int = KMV_K_DEFAULT
+) -> pd.DataFrame:
+    """Single-process sketch — the golden-oracle path (same pure k-set)."""
+    part = kmv_bottomk_partial(np.asarray(keys), np.asarray(values), k)
+    part = part.sort_values("h").head(k)
+    row = _rank_quantiles(part["value"].to_numpy(), len(keys), probs)
+    return pd.DataFrame({c: [row[c]] for c in row}).astype(
+        {"n_sample": "int64", "n_total": "int64"}
+    )

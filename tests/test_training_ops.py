@@ -545,6 +545,65 @@ def test_mixture_interleave_weight_proportions(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# KMV bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_distributed_equals_sequential_exactly(ray_session):
+    """The k-smallest-hash set is a pure function of the key SET
+    (SplitMix64 is bijective on uint64, event_id unique), so the
+    distributed partial→sort+limit plan must reproduce the sequential
+    sketch bit-for-bit at ANY partitioning."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        kmv_quantiles,
+        kmv_sequential,
+    )
+
+    df = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "value"]
+    )
+    for blocks in (3, 11):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "value"],
+            override_num_blocks=blocks,
+        )
+        got = kmv_quantiles(ds, "event_id", "value")
+        want = kmv_sequential(df["event_id"].to_numpy(), df["value"].to_numpy())
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmv_rank_error_bounded(ray_session):
+    """Rank error of the k-sample quantiles vs the TRUE empirical
+    quantiles is O(1/sqrt(k)); with k=2048 over 200k keyed rows the
+    p50/p95/p99 estimates must land within 5 rank-percentage points."""
+    import math
+
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import kmv_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 200_000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "v": rng.lognormal(mean=1.0, sigma=1.2, size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = kmv_quantiles(ds, "k", "v").iloc[0]
+    assert got["n_total"] == n and got["n_sample"] == 2048
+    sv = np.sort(df["v"].to_numpy())
+    for p in (0.5, 0.95, 0.99):
+        est = got[f"value_p{int(p * 100)}"]
+        true_rank = np.searchsorted(sv, est, side="right") / n
+        assert abs(true_rank - p) < 0.05, (p, true_rank, est)
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch
 # ---------------------------------------------------------------------------
 
