@@ -184,6 +184,28 @@ def kmv_quantiles_golden(sf_dir: str) -> pd.DataFrame:
     return kmv_sequential(df["event_id"].to_numpy(), df["value"].to_numpy())
 
 
+def weighted_sample_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential Efraimidis–Spirakis weighted sample of documents by
+    n_chars — the winner set (k smallest exponential-race keys) is a
+    pure function of the (doc_id, n_chars, seed) set, so the distributed
+    partial→sort+limit plan must reproduce it EXACTLY at any
+    partitioning; weight-proportional draw probability is pytest-checked
+    separately (k=1 ≡ the weighted categorical distribution)."""
+    from .stages.sketch import weighted_sample_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample_sequential(
+        df["doc_id"].to_numpy(),
+        df["n_chars"].to_numpy(),
+        k=200,
+        seed=7,
+        id_col="doc_id",
+        weight_col="n_chars",
+    )
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -531,6 +553,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(kmv_quantiles_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"events_kmv_quantiles_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(weighted_sample_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"docs_weighted_sample_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

@@ -2585,6 +2585,28 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_kmv_quantiles_sf0.01.parquet')
 """
 
 
+def docs_weighted_sample(sf_dir: str):
+    """Weight-proportional sample WITHOUT replacement (Efraimidis–
+    Spirakis 2006) of 200 documents by n_chars — the curation move
+    'sample long docs preferentially'.  stages/sketch.py::weighted_sample:
+    per-batch ≤k-row exponential-race partials → ONE blocks×k sort+limit
+    exchange; the winner set is a pure function of (doc_id, n_chars,
+    seed), so the golden oracle is hash-EXACT at any partitioning.
+    Distribution correctness (k=1 ≡ weighted categorical) is
+    pytest-checked.  Uniform companion: ``t1_seeded_sample``."""
+    from ..stages.sketch import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", k=200, seed=7)
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars, es_key
+FROM read_parquet('/tmp/kg_oracle_golden/docs_weighted_sample_sf0.01.parquet')
+ORDER BY doc_id
+"""
+
+
 _PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
 
 
@@ -5090,6 +5112,7 @@ QUERIES: dict[str, tuple] = {
     "profile_events": (profile_events, PROFILE_EVENTS_SQL),
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "events_kmv_quantiles": (events_kmv_quantiles, EVENTS_KMV_QUANTILES_SQL),
+    "docs_weighted_sample": (docs_weighted_sample, DOCS_WEIGHTED_SAMPLE_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

@@ -340,3 +340,78 @@ def kmv_sequential(
     return pd.DataFrame({c: [row[c]] for c in row}).astype(
         {"n_sample": "int64", "n_total": "int64"}
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def _es_exp_keys(ids: np.ndarray, weights: np.ndarray, seed: int) -> np.ndarray:
+    """Exponential race keys e_i = -ln(u_i)/w_i ~ Exp(w_i), u_i a
+    deterministic 53-bit uniform from hash(id, seed).  The k SMALLEST
+    e_i are exactly the Efraimidis–Spirakis weighted sample without
+    replacement (their u^(1/w) top-k, taken through -ln).  Like the KMV
+    k-set, the winner set is a pure function of the (id, weight, seed)
+    SET — partition- and merge-order-invariant, so the distributed plan
+    is golden-oracle hash-EXACT, not just statistically equivalent."""
+    h = _splitmix64(
+        hash_values(ids) ^ _splitmix64(np.full(1, seed, dtype=np.uint64))
+    )
+    # (h >> 11) + 1 → u in (0, 2^53]·2^-53 = (0, 1]: no log(0), and u=1
+    # gives the best possible key 0 rather than an unreachable bound.
+    u = ((h >> np.uint64(11)) + np.uint64(1)) * np.float64(2.0**-53)
+    return -np.log(u) / np.asarray(weights, dtype=np.float64)
+
+
+def es_sample_partial(
+    ids: np.ndarray, weights: np.ndarray, k: int, seed: int
+) -> pd.DataFrame:
+    """One batch → its ≤ k smallest-key (id, weight, es_key) rows.
+    Rows with weight ≤ 0 or null are excluded (zero mass ⇒ never drawn)."""
+    ids = np.asarray(ids)
+    w = np.asarray(weights, dtype=np.float64)
+    ok = np.isfinite(w) & (w > 0)
+    ids, w = ids[ok], w[ok]
+    e = _es_exp_keys(ids, w, seed)
+    if len(e) > k:
+        idx = np.argpartition(e, k)[:k]
+        ids, w, e = ids[idx], w[idx], e[idx]
+    return pd.DataFrame({"id": ids, "weight": w, "es_key": e})
+
+
+def weighted_sample(
+    ds, id_col: str, weight_col: str, k: int, seed: int = 0
+) -> pd.DataFrame:
+    """Distributed weight-proportional sample WITHOUT replacement with
+    ONE bounded exchange: per-batch ≤k-row partials → global sort+limit
+    over blocks×k rows → a k-row driver result.  Inclusion probability
+    follows the Efraimidis–Spirakis sequential procedure exactly (for
+    k=1 it IS the weighted categorical draw — pytest-checked); nothing
+    in the plan grows with the corpus.  Output: the winning ids with
+    their weights, sorted by id for a deterministic contract."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return es_sample_partial(
+            df[id_col].to_numpy(), df[weight_col].to_numpy(), k, seed
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    win = partials.sort("es_key").limit(k).to_pandas()
+    out = win.sort_values("id", kind="mergesort").reset_index(drop=True)
+    return out.rename(columns={"id": id_col, "weight": weight_col})
+
+
+def weighted_sample_sequential(
+    ids,
+    weights,
+    k: int,
+    seed: int = 0,
+    id_col: str = "id",
+    weight_col: str = "weight",
+) -> pd.DataFrame:
+    """Single-process sample — the golden-oracle path (same winner set)."""
+    part = es_sample_partial(np.asarray(ids), np.asarray(weights), k, seed)
+    win = part.sort_values("es_key").head(k)
+    out = win.sort_values("id", kind="mergesort").reset_index(drop=True)
+    return out.rename(columns={"id": id_col, "weight": weight_col})

@@ -604,6 +604,74 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_distributed_equals_sequential_exactly(ray_session):
+    """The k-smallest exponential-race keys are a pure function of the
+    (id, weight, seed) set, so the distributed partial→sort+limit plan
+    must reproduce the sequential sample bit-for-bit at ANY partitioning."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        weighted_sample,
+        weighted_sample_sequential,
+    )
+
+    df = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    want = weighted_sample_sequential(
+        df["doc_id"].to_numpy(),
+        df["n_chars"].to_numpy(),
+        k=50,
+        seed=7,
+        id_col="doc_id",
+        weight_col="n_chars",
+    )
+    for blocks in (3, 11):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "n_chars"],
+            override_num_blocks=blocks,
+        )
+        got = weighted_sample(ds, "doc_id", "n_chars", k=50, seed=7)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_sample_k1_is_weighted_categorical():
+    """For k=1 the Efraimidis–Spirakis winner IS a single weighted
+    categorical draw: P(i) = w_i / Σw exactly.  Empirical frequency over
+    2000 independent seeds must match within 4 binomial sigma."""
+    from knowledge_graph_construction_ray.stages.sketch import (
+        weighted_sample_sequential,
+    )
+
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    w = np.array([1.0, 1.0, 8.0])
+    n_trials = 2000
+    wins = sum(
+        int(weighted_sample_sequential(ids, w, k=1, seed=s)["id"].iloc[0]) == 3
+        for s in range(n_trials)
+    )
+    p = 0.8
+    sigma = (p * (1 - p) / n_trials) ** 0.5
+    assert abs(wins / n_trials - p) < 4 * sigma, wins / n_trials
+
+
+def test_weighted_sample_excludes_nonpositive_weights():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        weighted_sample_sequential,
+    )
+
+    ids = np.arange(6, dtype=np.int64)
+    w = np.array([0.0, -1.0, np.nan, 2.0, 3.0, 4.0])
+    out = weighted_sample_sequential(ids, w, k=6, seed=0)
+    assert sorted(out["id"]) == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch
 # ---------------------------------------------------------------------------
 
