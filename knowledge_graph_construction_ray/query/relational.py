@@ -2607,6 +2607,35 @@ ORDER BY doc_id
 """
 
 
+def embeddings_label_centroids(sf_dir: str):
+    """Per-label mean embedding in long format — the class-prototype /
+    cluster-profile primitive.  stages/embed.py::label_centroids
+    quantizes to int64 (floor · 2^20) so every partial sum is EXACT and
+    order-invariant, letting a float-valued distributed mean be compared
+    bit-for-bit against an INDEPENDENT DuckDB re-computation (no golden
+    file): combiner emits labels × dim rows per batch, one bucketed
+    (label, dim) sum exchange, centroid = one IEEE division."""
+    from ..stages.embed import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_centroids(ds)
+
+
+EMBEDDINGS_LABEL_CENTROIDS_SQL = """
+SELECT label, dim,
+       CAST(s AS DOUBLE) / (1048576.0 * n) AS centroid,
+       n
+FROM (
+  SELECT label, d.dim AS dim,
+         SUM(CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS dim) d
+  GROUP BY label, d.dim
+)
+ORDER BY label, dim
+"""
+
+
 _PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
 
 
@@ -5113,6 +5142,10 @@ QUERIES: dict[str, tuple] = {
     "events_type_hll": (events_type_hll, EVENTS_TYPE_HLL_SQL),
     "events_kmv_quantiles": (events_kmv_quantiles, EVENTS_KMV_QUANTILES_SQL),
     "docs_weighted_sample": (docs_weighted_sample, DOCS_WEIGHTED_SAMPLE_SQL),
+    "embeddings_label_centroids": (
+        embeddings_label_centroids,
+        EMBEDDINGS_LABEL_CENTROIDS_SQL,
+    ),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

@@ -412,3 +412,88 @@ def cosine_pairs(embeddings_ds, threshold: float,
             "cosine": np.round(sims[iu][mask], 6),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (integer-exact, order-invariant summation)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = np.float64(2.0**20)
+_CENTROID_QMAX = 1 << 25  # |e| < 32 → int64 sums safe to ~2^38 rows
+
+
+def centroid_quantize(flat: np.ndarray) -> np.ndarray:
+    """floor(e · 2^20) as int64 — floor (not round) because banker's vs
+    half-away rounding differ between numpy and SQL engines at exact .5,
+    while floor is identical everywhere; float32·2^20 is an exact double
+    product (24-bit mantissa + 20-bit shift), so both arms see the same
+    operand bit-for-bit."""
+    q = np.floor(flat.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    if len(q) and np.abs(q).max() >= _CENTROID_QMAX:
+        raise ValueError(
+            "label_centroids: |embedding value| ≥ 32 breaks the documented "
+            "int64 no-overflow bound (2^25 · 2^38 rows < 2^63); rescale "
+            "the vectors or lower CENTROID_SCALE."
+        )
+    return q
+
+
+def label_centroids(
+    embeddings_ds, label_col: str = "label", vec_col: str = "embedding"
+):
+    """Per-label mean vector in long format (label, dim, centroid, n).
+
+    Float summation is order-dependent, so a distributed mean of floats
+    can't be compared exactly against a sequential oracle.  Quantizing to
+    int64 first makes every partial sum EXACT and order-invariant: per
+    batch, one zero-copy Arrow flatten → (rows × dim) int64 matrix →
+    per-label sums (labels × dim long rows, the combiner) → ONE bucketed
+    (label, dim) sum exchange bounded by labels × dim at ANY corpus size
+    → centroid = s / (2^20 · n) as one exactly-rounded IEEE division.
+    The DuckDB oracle mirrors the same floor/scale arithmetic in SQL —
+    a genuinely independent re-computation, not a golden file."""
+    import pyarrow as pa
+
+    from ..functions.groupby import bucketed_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        col = t[vec_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(t)
+        if n == 0:
+            return pd.DataFrame(
+                {"label": lab[:0], "dim": np.array([], dtype=np.int64),
+                 "s": np.array([], dtype=np.int64),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        if len(flat) % n:
+            raise ValueError("label_centroids: ragged embedding column")
+        dim = len(flat) // n
+        q = centroid_quantize(flat).reshape(n, dim)
+        df = pd.DataFrame(q)
+        df["_lab"] = lab
+        g = df.groupby("_lab", sort=False)
+        sums = g.sum()
+        cnt = g.size().rename("n")
+        long = sums.reset_index().melt(
+            id_vars="_lab", var_name="dim", value_name="s"
+        )
+        long["dim"] = long["dim"].astype(np.int64) + 1  # 1-based like SQL
+        long = long.merge(cnt.reset_index(), on="_lab")
+        return long.rename(columns={"_lab": "label"})
+
+    agg = bucketed_agg(
+        embeddings_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+    out = agg.to_pandas()  # bounded: labels × dim rows
+    out["centroid"] = out["s"].to_numpy(dtype=np.float64) / (
+        CENTROID_SCALE * out["n"].to_numpy(dtype=np.float64)
+    )
+    return (
+        out[["label", "dim", "centroid", "n"]]
+        .sort_values(["label", "dim"], kind="mergesort")
+        .reset_index(drop=True)
+    )

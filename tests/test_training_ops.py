@@ -604,6 +604,59 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Per-label centroids (integer-exact summation)
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_partition_invariant_and_matches_numpy(ray_session):
+    """Quantized int64 sums are exact and order-free, so the distributed
+    mean must equal the single-process computation bit-for-bit at any
+    block count."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import (
+        CENTROID_SCALE,
+        centroid_quantize,
+        label_centroids,
+    )
+
+    df = pd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in df["embedding"]])
+    q = centroid_quantize(mat.ravel()).reshape(mat.shape)
+    rows = []
+    for lab in sorted(df["label"].unique()):
+        sel = q[(df["label"] == lab).to_numpy()]
+        s = sel.sum(axis=0)
+        n = len(sel)
+        for d in range(mat.shape[1]):
+            rows.append(
+                (lab, d + 1, np.float64(s[d]) / (CENTROID_SCALE * np.float64(n)), n)
+            )
+    want = pd.DataFrame(rows, columns=["label", "dim", "centroid", "n"])
+    for blocks in (2, 9):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet",
+            columns=["label", "embedding"],
+            override_num_blocks=blocks,
+        )
+        got = label_centroids(ds)
+        assert (got["centroid"].to_numpy() == want["centroid"].to_numpy()).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+        assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
+
+
+def test_label_centroids_guards():
+    import pytest
+
+    from knowledge_graph_construction_ray.stages.embed import centroid_quantize
+
+    with pytest.raises(ValueError, match="overflow"):
+        centroid_quantize(np.array([64.0], dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Spirakis)
 # ---------------------------------------------------------------------------
 
