@@ -206,6 +206,25 @@ def weighted_sample_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def user_overlap_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential KMV set-operation estimate (Jaccard / union /
+    intersection of the click-vs-view user sets) — both arms compute a
+    pure function of the two hash sets, so the distributed sketch must
+    match EXACTLY; estimator accuracy is pytest-bounded on synthetic
+    sets large enough to exercise the estimation branch."""
+    from .stages.sketch import kmv_set_overlap_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return kmv_set_overlap_sequential(
+        df.loc[df["event_type"] == "click", "user_id"].to_numpy(),
+        df.loc[df["event_type"] == "view", "user_id"].to_numpy(),
+        "click",
+        "view",
+    )
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -557,6 +576,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(weighted_sample_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"docs_weighted_sample_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(user_overlap_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"events_user_overlap_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

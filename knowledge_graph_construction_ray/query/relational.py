@@ -2607,6 +2607,28 @@ ORDER BY doc_id
 """
 
 
+def events_user_overlap(sf_dir: str):
+    """Audience-overlap estimate between two event types' user SETS
+    (Jaccard / |A∪B| / |A∩B|) from bottom-k sketches —
+    stages/sketch.py::kmv_set_overlap.  Per-batch per-group unique-hash
+    partials (≤ 2k rows/batch) → per-group k-smallest reduce → driver
+    estimator over 2k rows; the exact alternative is a full co-grouped
+    distinct exchange of every user id.  Sketch content is a pure
+    function of the key sets → golden oracle is hash-EXACT; estimator
+    accuracy is pytest-bounded on sets ≫ k.  Exact companion:
+    ``events_funnel_users``."""
+    from ..stages.sketch import kmv_set_overlap
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_set_overlap(ds, "event_type", "user_id", "click", "view")
+
+
+EVENTS_USER_OVERLAP_SQL = """
+SELECT group_a, group_b, jaccard, union_est, inter_est, exact
+FROM read_parquet('/tmp/kg_oracle_golden/events_user_overlap_sf0.01.parquet')
+"""
+
+
 def embeddings_label_centroids(sf_dir: str):
     """Per-label mean embedding in long format — the class-prototype /
     cluster-profile primitive.  stages/embed.py::label_centroids
@@ -5146,6 +5168,7 @@ QUERIES: dict[str, tuple] = {
         embeddings_label_centroids,
         EMBEDDINGS_LABEL_CENTROIDS_SQL,
     ),
+    "events_user_overlap": (events_user_overlap, EVENTS_USER_OVERLAP_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

@@ -415,3 +415,102 @@ def weighted_sample_sequential(
     win = part.sort_values("es_key").head(k)
     out = win.sort_values("id", kind="mergesort").reset_index(drop=True)
     return out.rename(columns={"id": id_col, "weight": weight_col})
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: Jaccard / union / intersection estimates
+# ---------------------------------------------------------------------------
+
+
+def _overlap_from_sketches(sa: np.ndarray, sb: np.ndarray, k: int) -> dict:
+    """Estimates from two bottom-k hash sketches (sorted unique uint64).
+
+    If BOTH sketches are complete (held every hash, < k), the answer is
+    exact.  Otherwise (Beyer et al. 2007): K = k smallest of the sketch
+    union is exactly the k smallest of the TRUE union; membership of
+    x ∈ K in either side's sketch is sound because fewer than k union
+    elements precede x.  jaccard = |K ∩ A ∩ B| / k;
+    |A∪B| ≈ (k-1)/U_(k) with hashes normalized to (0,1];
+    |A∩B| ≈ jaccard · |A∪B|.  Every step is a pure function of the two
+    hash sets → partition-invariant, golden-oracle exact."""
+    union = np.union1d(sa, sb)
+    if len(sa) < k and len(sb) < k:
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return {
+            "jaccard": np.float64(inter) / np.float64(len(union)),
+            "union_est": np.float64(len(union)),
+            "inter_est": np.float64(inter),
+            "exact": True,
+        }
+    top = union[:k]
+    in_a = np.isin(top, sa, assume_unique=True)
+    in_b = np.isin(top, sb, assume_unique=True)
+    j = np.float64((in_a & in_b).sum()) / np.float64(k)
+    u_k = (np.float64(top[-1]) + 1.0) * np.float64(2.0**-64)
+    union_est = np.float64(k - 1) / u_k
+    return {
+        "jaccard": j,
+        "union_est": union_est,
+        "inter_est": j * union_est,
+        "exact": False,
+    }
+
+
+def _overlap_row(a, b, est: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "group_a": [a],
+            "group_b": [b],
+            "jaccard": [est["jaccard"]],
+            "union_est": [est["union_est"]],
+            "inter_est": [est["inter_est"]],
+            "exact": [est["exact"]],
+        }
+    )
+
+
+def kmv_set_overlap(
+    ds, group_col: str, key_col: str, group_a, group_b, k: int = KMV_K_DEFAULT
+) -> pd.DataFrame:
+    """Distributed Jaccard / union / intersection estimate between the
+    key sets of two groups with ONE bounded exchange: per-batch
+    per-group ≤k-row unique-hash partials → per-group k-smallest reduce
+    (2 groups × k rows total) → driver estimator.  The all-pairs exact
+    alternative is a full co-grouped distinct exchange; this touches
+    each row once and moves ≤ 2k·blocks rows at ANY cardinality."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin([group_a, group_b])]
+        out = []
+        for g, sub in df.groupby(group_col, sort=False):
+            h = np.unique(hash_values(sub[key_col].to_numpy()))[:k]
+            out.append(pd.DataFrame({"g": g, "h": h}))
+        if not out:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=object),
+                 "h": np.array([], dtype=np.uint64)}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df["h"].to_numpy())[:k]
+        return pd.DataFrame({"g": df["g"].iloc[:1].repeat(len(h)), "h": h})
+
+    sk = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+    )
+    sa = np.sort(sk.loc[sk["g"] == group_a, "h"].to_numpy(dtype=np.uint64))
+    sb = np.sort(sk.loc[sk["g"] == group_b, "h"].to_numpy(dtype=np.uint64))
+    return _overlap_row(group_a, group_b, _overlap_from_sketches(sa, sb, k))
+
+
+def kmv_set_overlap_sequential(
+    keys_a, keys_b, group_a, group_b, k: int = KMV_K_DEFAULT
+) -> pd.DataFrame:
+    """Single-process estimate — the golden-oracle path (same sketches)."""
+    sa = np.unique(hash_values(np.asarray(keys_a)))[:k]
+    sb = np.unique(hash_values(np.asarray(keys_b)))[:k]
+    return _overlap_row(group_a, group_b, _overlap_from_sketches(sa, sb, k))

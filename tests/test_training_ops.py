@@ -604,6 +604,70 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations (Jaccard / union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_overlap_distributed_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        kmv_set_overlap,
+        kmv_set_overlap_sequential,
+    )
+
+    df = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+    )
+    want = kmv_set_overlap_sequential(
+        df.loc[df["event_type"] == "click", "user_id"].to_numpy(),
+        df.loc[df["event_type"] == "view", "user_id"].to_numpy(),
+        "click",
+        "view",
+    )
+    for blocks in (3, 9):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_type", "user_id"],
+            override_num_blocks=blocks,
+        )
+        got = kmv_set_overlap(ds, "event_type", "user_id", "click", "view")
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_kmv_overlap_estimator_accuracy():
+    """Sets ≫ k exercise the estimation branch: with k=1024 over
+    |A|=60k, |B|=50k, |A∩B|=20k the Jaccard/union/intersection
+    estimates must land within ~4·(1/sqrt(k)) relative error."""
+    from knowledge_graph_construction_ray.stages.sketch import (
+        kmv_set_overlap_sequential,
+    )
+
+    a = np.arange(0, 60_000, dtype=np.int64)
+    b = np.arange(40_000, 90_000, dtype=np.int64)
+    row = kmv_set_overlap_sequential(a, b, "a", "b", k=1024).iloc[0]
+    assert not row["exact"]
+    true_union, true_inter = 90_000.0, 20_000.0
+    tol = 4.0 / np.sqrt(1024)
+    assert abs(row["jaccard"] - true_inter / true_union) < tol
+    assert abs(row["union_est"] - true_union) / true_union < tol
+    assert abs(row["inter_est"] - true_inter) / true_inter < 2 * tol
+
+
+def test_kmv_overlap_exact_branch_small_sets():
+    from knowledge_graph_construction_ray.stages.sketch import (
+        kmv_set_overlap_sequential,
+    )
+
+    row = kmv_set_overlap_sequential(
+        np.array([1, 2, 3, 4]), np.array([3, 4, 5]), "a", "b"
+    ).iloc[0]
+    assert row["exact"]
+    assert row["union_est"] == 5.0 and row["inter_est"] == 2.0
+    assert row["jaccard"] == 2.0 / 5.0
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroids (integer-exact summation)
 # ---------------------------------------------------------------------------
 
