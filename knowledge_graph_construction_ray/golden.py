@@ -225,6 +225,19 @@ def user_overlap_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def bigram_surprisal_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential bigram-LM train+score over documents — selection rules
+    (top-M vocab, top-B bigrams, deterministic tie-breaks) and the
+    per-doc token-order float summation are shared with the distributed
+    arm via stages/lm.py::_score_frame, so the match is hash-EXACT."""
+    from .stages.lm import bigram_surprisal_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bigram_surprisal_sequential(df["text"], df["doc_id"].to_numpy())
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -580,6 +593,12 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(user_overlap_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"events_user_overlap_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(
+            bigram_surprisal_golden(sf_dir), preserve_index=False
+        ),
+        os.path.join(GOLDEN_DIR, f"docs_bigram_surprisal_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

@@ -2607,6 +2607,29 @@ ORDER BY doc_id
 """
 
 
+def docs_bigram_surprisal(sf_dir: str):
+    """LM-perplexity quality scoring (the CCNet filter): fit a bigram LM
+    on the corpus (exact combiner-reduced counts, deterministic top-M
+    vocab / top-B bigram pruning), broadcast the fixed-size model, and
+    score every doc's mean bigram surprisal in one vectorized streaming
+    pass (stages/lm.py).  Per-doc float sums run in token order via
+    ``np.add.reduceat`` → partition-invariant → golden oracle is
+    hash-EXACT.  Heuristic companions: ``text_quality``,
+    ``text_repetition``."""
+    from ..stages.lm import score_surprisal, train_bigram_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lm = train_bigram_lm(ds)
+    return score_surprisal(ds, lm).sort("doc_id").to_pandas()
+
+
+DOCS_BIGRAM_SURPRISAL_SQL = """
+SELECT doc_id, n_bigrams, surprisal
+FROM read_parquet('/tmp/kg_oracle_golden/docs_bigram_surprisal_sf0.01.parquet')
+ORDER BY doc_id
+"""
+
+
 def events_user_overlap(sf_dir: str):
     """Audience-overlap estimate between two event types' user SETS
     (Jaccard / |A∪B| / |A∩B|) from bottom-k sketches —
@@ -5169,6 +5192,7 @@ QUERIES: dict[str, tuple] = {
         EMBEDDINGS_LABEL_CENTROIDS_SQL,
     ),
     "events_user_overlap": (events_user_overlap, EVENTS_USER_OVERLAP_SQL),
+    "docs_bigram_surprisal": (docs_bigram_surprisal, DOCS_BIGRAM_SURPRISAL_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

@@ -604,6 +604,84 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM surprisal (quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_hand_computed():
+    from knowledge_graph_construction_ray.stages.lm import (
+        bigram_surprisal_sequential,
+    )
+
+    out = bigram_surprisal_sequential(["a b a", "a b"], [0, 1], alpha=0.5)
+    # vocab: a(3) id0, b(2) id1, OOV id2 → n_ids=3
+    # bigrams: (a,b)=2, (b,a)=1; ctx: a=2, b=1
+    p_b_a = (2 + 0.5) / (2 + 0.5 * 3)
+    p_a_b = (1 + 0.5) / (1 + 0.5 * 3)
+    want0 = (-np.log(p_b_a) - np.log(p_a_b)) / 2
+    want1 = -np.log(p_b_a)
+    assert out["n_bigrams"].tolist() == [2, 1]
+    assert np.isclose(out["surprisal"].iloc[0], want0)
+    assert np.isclose(out["surprisal"].iloc[1], want1)
+
+
+def test_bigram_surprisal_pruning_and_degenerate_docs():
+    from knowledge_graph_construction_ray.stages.lm import (
+        bigram_surprisal_sequential,
+    )
+
+    out = bigram_surprisal_sequential(
+        ["a b a", "", "x", None], [0, 1, 2, 3], alpha=0.5, max_bigrams=1
+    )
+    # bigrams (a,b)=1 and (b,a)=1 tie; top-1 keeps the smaller key (a,b);
+    # (b,a) scores as unseen but the context counts keep their full mass
+    p_b_a = (1 + 0.5) / (1 + 0.5 * 4)  # vocab a,b,x → n_ids=4
+    p_a_b = (0 + 0.5) / (1 + 0.5 * 4)
+    assert np.isclose(
+        out["surprisal"].iloc[0], (-np.log(p_b_a) - np.log(p_a_b)) / 2
+    )
+    assert out.loc[1:, "n_bigrams"].tolist() == [0, 0, 0]
+    assert (out.loc[1:, "surprisal"] == 0.0).all()
+
+
+def test_bigram_surprisal_distributed_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.lm import (
+        bigram_surprisal_sequential,
+        score_surprisal,
+        train_bigram_lm,
+    )
+
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = bigram_surprisal_sequential(df["text"], df["doc_id"].to_numpy())
+    for blocks in (2, 7):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=blocks,
+        )
+        lm = train_bigram_lm(ds)
+        got = score_surprisal(ds, lm).sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_bigram_surprisal_separates_gibberish_from_fluent():
+    from knowledge_graph_construction_ray.stages.lm import (
+        bigram_surprisal_sequential,
+    )
+
+    corpus = ["the cat sat on the mat"] * 50 + [
+        "the cat sat on the mat",
+        "zqx vbw qpk jjt wvz nlr",
+    ]
+    out = bigram_surprisal_sequential(corpus, list(range(len(corpus))))
+    fluent = out["surprisal"].iloc[-2]
+    gibberish = out["surprisal"].iloc[-1]
+    assert gibberish > fluent + 1.0
+
+
+# ---------------------------------------------------------------------------
 # KMV set operations (Jaccard / union / intersection estimates)
 # ---------------------------------------------------------------------------
 
