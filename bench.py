@@ -396,6 +396,11 @@ BENCH_QUERIES = [
     "events_props_extract",
     "q5_local_supplier_volume",
     "events_activity_islands",
+    "events_kmv_quantiles",
+    "docs_weighted_sample",
+    "embeddings_label_centroids",
+    "events_user_overlap",
+    "docs_bigram_surprisal",
 ]
 
 

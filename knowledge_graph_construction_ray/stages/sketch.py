@@ -314,16 +314,26 @@ def kmv_quantiles(
     sort+limit over blocks×k rows → a k-row driver sample.  Rank error is
     O(n/sqrt(k)) (pytest-bounded); nothing in the plan grows with n.  An
     exact quantile at 100 TB is a full sort of the corpus — this sketch
-    is the scale path, `events_value_percentiles` the exact one."""
+    is the scale path, `events_value_percentiles` the exact one.
+
+    The total row count rides the partials (first row of each block
+    carries its batch size in ``n_rows``) and the bounded partials are
+    materialized once, so the corpus is read exactly ONCE — no separate
+    ``ds.count()`` pass."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return kmv_bottomk_partial(
+        out = kmv_bottomk_partial(
             df[key_col].to_numpy(), df[value_col].to_numpy(), k
         )
+        n_rows = np.zeros(len(out), dtype=np.int64)
+        if len(n_rows):
+            n_rows[0] = len(df)
+        out["n_rows"] = n_rows
+        return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    n_total = int(partials.sum("n_rows") or 0)
     sample = partials.sort("h").limit(k).to_pandas()
-    n_total = ds.count()
     row = _rank_quantiles(sample["value"].to_numpy(), n_total, probs)
     return pd.DataFrame({c: [row[c]] for c in row}).astype(
         {"n_sample": "int64", "n_total": "int64"}
