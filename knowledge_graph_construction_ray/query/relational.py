@@ -2630,6 +2630,67 @@ ORDER BY doc_id
 """
 
 
+def embeddings_silhouette(sf_dir: str):
+    """Clustering-quality metric: per-label mean simplified silhouette
+    over squared distances to integer-quantized label centroids
+    (stages/embed.py::label_silhouette).  Every arithmetic step is
+    either exact int64 or a single IEEE operation on exact ints, so the
+    distributed result matches an INDEPENDENT DuckDB re-computation
+    bit-for-bit (floor division via the truncating-%% fixup, single-cast
+    int→double discipline, per-point floor(s·2^30) so the per-label mean
+    is an integer sum).  Exchanges bounded by labels × dim."""
+    from ..stages.embed import label_silhouette
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return label_silhouette(ds)
+
+
+EMBEDDINGS_SILHOUETTE_SQL = """
+WITH q AS (
+  SELECT vec_id, label, d.dim AS dim,
+         CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS dim) d
+),
+s AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, dim
+),
+c AS (
+  -- floor division matching numpy // on possibly-negative sums:
+  -- subtract the non-negative remainder, then the quotient is exact
+  SELECT label, dim, (sv - (((sv % n) + n) % n)) // n AS cq
+  FROM s
+),
+d2 AS (
+  SELECT q.vec_id, q.label AS plabel, c.label AS clabel,
+         SUM((q.qv - c.cq) * (q.qv - c.cq)) AS d2
+  FROM q JOIN c ON q.dim = c.dim
+  GROUP BY q.vec_id, q.label, c.label
+),
+ab AS (
+  SELECT vec_id, plabel,
+         MAX(CASE WHEN clabel = plabel THEN d2 END) AS a,
+         MIN(CASE WHEN clabel <> plabel THEN d2 END) AS b
+  FROM d2 GROUP BY vec_id, plabel
+),
+sil AS (
+  SELECT plabel AS label,
+         CAST(FLOOR(
+           CAST(b - a AS DOUBLE)
+           / (CASE WHEN GREATEST(a, b) = 0 THEN 1.0
+                   ELSE CAST(GREATEST(a, b) AS DOUBLE) END)
+           * 1073741824.0
+         ) AS BIGINT) AS sil_q
+  FROM ab
+)
+SELECT label,
+       CAST(CAST(SUM(sil_q) AS BIGINT) AS DOUBLE)
+         / (1073741824.0 * COUNT(*)) AS avg_silhouette,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM sil GROUP BY label ORDER BY label
+"""
+
+
 def events_user_overlap(sf_dir: str):
     """Audience-overlap estimate between two event types' user SETS
     (Jaccard / |A∪B| / |A∩B|) from bottom-k sketches —
@@ -5193,6 +5254,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "events_user_overlap": (events_user_overlap, EVENTS_USER_OVERLAP_SQL),
     "docs_bigram_surprisal": (docs_bigram_surprisal, DOCS_BIGRAM_SURPRISAL_SQL),
+    "embeddings_silhouette": (embeddings_silhouette, EMBEDDINGS_SILHOUETTE_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

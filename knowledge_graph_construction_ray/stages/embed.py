@@ -497,3 +497,110 @@ def label_centroids(
         .sort_values(["label", "dim"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (integer-exact clustering quality)
+# ---------------------------------------------------------------------------
+
+_SIL_SCALE = np.int64(1) << np.int64(30)
+
+
+def label_silhouette(
+    embeddings_ds, label_col: str = "label", vec_col: str = "embedding"
+):
+    """Per-label mean simplified silhouette over SQUARED distances to the
+    label centroids — the clustering-quality companion to
+    ``label_centroids``.
+
+    Exactness strategy (everything a pure function of the input set):
+    quantized sums (label_centroids' floor·2^20 int64 path) → centroid
+    at the SAME 2^20 scale via integer floor division s//n (≤ 2^-20
+    value error, deterministic) → per-point squared distances as EXACT
+    int64 sums (diff ≤ 2^26, ×64 dims < 2^59) → silhouette
+    s = (b−a)/max(a,b) as one IEEE division of exact ints → per-point
+    floor(s·2^30) int64 so the per-label MEAN is an integer sum, immune
+    to float summation order.  The DuckDB oracle recomputes the whole
+    chain independently in SQL.
+
+    Plan: one pass for (label, dim) sums (bounded combiner exchange),
+    driver builds the labels×dim int64 centroid matrix (broadcast via
+    closure), one scoring pass emitting per-label int partials, one
+    bucketed sum — every exchange bounded by labels × dim."""
+    import pyarrow as pa
+
+    from ..functions.groupby import bucketed_agg
+
+    cent = label_centroids(embeddings_ds, label_col, vec_col)
+    # rebuild exact integer centroids: centroid column is s/(2^20·n) —
+    # recover s exactly (≤1 ulp round-trip, rint snaps to the integer),
+    # then floor-divide (both arms use s//n)
+    labels = np.sort(cent["label"].unique())
+    if len(labels) < 2:
+        raise ValueError(
+            "label_silhouette needs ≥ 2 labels (inter-cluster distance "
+            "b is undefined otherwise)"
+        )
+    dim = int(cent["dim"].max())
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    s_mat = np.zeros((len(labels), dim), dtype=np.int64)
+    n_vec = np.zeros(len(labels), dtype=np.int64)
+    for lab, sub in cent.groupby("label"):
+        i = lab_pos[int(lab)]
+        n = int(sub["n"].iloc[0])
+        n_vec[i] = n
+        s = np.rint(
+            sub.sort_values("dim")["centroid"].to_numpy()
+            * (float(CENTROID_SCALE) * n)
+        ).astype(np.int64)
+        s_mat[i] = s
+    c_q = s_mat // n_vec[:, None]  # floor division, exact int64
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        flat = t[vec_col].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        n = len(t)
+        if n == 0:
+            return pd.DataFrame(
+                {"label": lab[:0],
+                 "sil_q": np.array([], dtype=np.int64),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        q = centroid_quantize(flat).reshape(n, dim)
+        own = np.searchsorted(labels, lab)  # labels sorted; every label present
+        d2 = np.empty((n, len(labels)), dtype=np.int64)
+        for j in range(len(labels)):
+            diff = q - c_q[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        a = d2[np.arange(n), own]
+        d2[np.arange(n), own] = np.iinfo(np.int64).max
+        b = d2.min(axis=1)
+        denom = np.maximum(a, b).astype(np.float64)
+        denom[denom == 0] = 1.0  # a=b=0 → silhouette 0 by convention
+        sil = (b - a).astype(np.float64) / denom
+        sil_q = np.floor(sil * np.float64(_SIL_SCALE)).astype(np.int64)
+        g = pd.DataFrame({"label": lab, "sil_q": sil_q})
+        agg = g.groupby("label", sort=False)["sil_q"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "label": agg.index.to_numpy(),
+                "sil_q": agg["sum"].to_numpy(np.int64),
+                "n": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    out = bucketed_agg(
+        embeddings_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"],
+        {"sil_q": ("sil_q", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+    out["avg_silhouette"] = out["sil_q"].to_numpy(np.float64) / (
+        np.float64(_SIL_SCALE) * out["n"].to_numpy(np.float64)
+    )
+    return (
+        out[["label", "avg_silhouette", "n"]]
+        .sort_values("label", kind="mergesort")
+        .reset_index(drop=True)
+    )

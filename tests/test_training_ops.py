@@ -604,6 +604,66 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# Simplified silhouette (clustering quality)
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import label_silhouette
+
+    outs = []
+    for blocks in (2, 9):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet",
+            columns=["label", "embedding"],
+            override_num_blocks=blocks,
+        )
+        outs.append(label_silhouette(ds))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0]["avg_silhouette"].abs() <= 1.0).all()
+
+
+def test_silhouette_separates_tight_clusters_from_random_labels(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import label_silhouette
+
+    rng = np.random.default_rng(5)
+    n, dim = 600, 8
+    centers = rng.normal(size=(3, dim)) * 10.0
+    lab = rng.integers(0, 3, size=n)
+    tight = centers[lab] + rng.normal(size=(n, dim)) * 0.05
+    # plain Python lists → Arrow list<double> (the operator's documented
+    # column contract; ndarray cells become Ray's tensor extension type)
+    df_tight = pd.DataFrame(
+        {"label": lab.astype(np.int32),
+         "embedding": [(v.astype(np.float32) * 0.03).tolist() for v in tight]}
+    )
+    df_rand = df_tight.copy()
+    df_rand["label"] = rng.permutation(lab).astype(np.int32)
+    s_tight = label_silhouette(rd.from_pandas(df_tight).repartition(4))
+    s_rand = label_silhouette(rd.from_pandas(df_rand).repartition(4))
+    assert s_tight["avg_silhouette"].mean() > 0.9
+    assert s_rand["avg_silhouette"].mean() < 0.3
+
+
+def test_silhouette_single_label_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import label_silhouette
+
+    df = pd.DataFrame(
+        {"label": np.zeros(4, dtype=np.int32),
+         "embedding": [[0.1, 0.1, 0.1, 0.1]] * 4}
+    )
+    with pytest.raises(ValueError, match="2 labels"):
+        label_silhouette(rd.from_pandas(df))
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM surprisal (quality scoring)
 # ---------------------------------------------------------------------------
 
