@@ -238,6 +238,36 @@ def bigram_surprisal_golden(sf_dir: str) -> pd.DataFrame:
     return bigram_surprisal_sequential(df["text"], df["doc_id"].to_numpy())
 
 
+def bpe_token_counts_golden(sf_dir: str, k: int = 64, max_vocab: int = 10_000) -> pd.DataFrame:
+    """Sequential BPE encode over documents: merges from the pure-Python
+    REFERENCE trainer (independent of the production vectorized trainer;
+    their equality is separately pytest/oracle-pinned via bpe_merges),
+    then the shared encode kernel applied in one process.  Token counts
+    are a pure function of (word, merges) → the distributed actor-pool
+    apply must match exactly."""
+    from collections import Counter
+
+    from .stages.bpe import BPETokenCounter, bpe_train_reference
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    wc = Counter()
+    for t in docs["text"].tolist():
+        wc.update(t.split())
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    merges = bpe_train_reference(dict(top), k)
+    mdf = pd.DataFrame(
+        {
+            "rank": np.arange(len(merges), dtype=np.int64),
+            "left": np.array([m[0] for m in merges], dtype=object),
+            "right": np.array([m[1] for m in merges], dtype=object),
+        }
+    )
+    out = BPETokenCounter(mdf)(docs.reset_index(drop=True))
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -599,6 +629,12 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
             bigram_surprisal_golden(sf_dir), preserve_index=False
         ),
         os.path.join(GOLDEN_DIR, f"docs_bigram_surprisal_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(
+            bpe_token_counts_golden(sf_dir), preserve_index=False
+        ),
+        os.path.join(GOLDEN_DIR, f"docs_bpe_token_counts_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

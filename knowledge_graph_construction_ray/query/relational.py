@@ -2191,6 +2191,31 @@ def bpe_merges(sf_dir: str, k: int = 8, max_vocab: int = 10_000):
     )
 
 
+def docs_bpe_token_counts(sf_dir: str, k: int = 64, max_vocab: int = 10_000):
+    """Tokenizer APPLY (the train→encode other half of ``bpe_merges``):
+    count trained-BPE tokens per doc.  Train is the distributed word-count
+    pass + driver-bounded vectorized merge loop; encode is an actor-pool
+    pass with the merge table ``ray.put`` once and per-distinct-word
+    memoization in each actor (stages/bpe.py::count_bpe_tokens).  Oracle:
+    golden parquet from the independent pure-Python reference trainer +
+    the shared encode kernel run sequentially."""
+    from ..stages.bpe import bpe_train_vectorized, corpus_word_counts, count_bpe_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wc = corpus_word_counts(ds, max_vocab)
+    merges = bpe_train_vectorized(
+        wc["word"].to_numpy(object), wc["n"].to_numpy(np.int64), k
+    )
+    return count_bpe_tokens(ds, merges).sort("doc_id").to_pandas()
+
+
+DOCS_BPE_TOKEN_COUNTS_SQL = """
+SELECT doc_id, n_words, n_bpe_tokens
+FROM read_parquet('/tmp/kg_oracle_golden/docs_bpe_token_counts_sf0.01.parquet')
+ORDER BY doc_id
+"""
+
+
 BPE_MERGES_SQL = """
 SELECT "rank", "left", "right", n
 FROM read_parquet('/tmp/kg_oracle_golden/bpe_merges_sf0.01.parquet')
@@ -5255,6 +5280,7 @@ QUERIES: dict[str, tuple] = {
     "events_user_overlap": (events_user_overlap, EVENTS_USER_OVERLAP_SQL),
     "docs_bigram_surprisal": (docs_bigram_surprisal, DOCS_BIGRAM_SURPRISAL_SQL),
     "embeddings_silhouette": (embeddings_silhouette, EMBEDDINGS_SILHOUETTE_SQL),
+    "docs_bpe_token_counts": (docs_bpe_token_counts, DOCS_BPE_TOKEN_COUNTS_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

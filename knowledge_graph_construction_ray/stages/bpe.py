@@ -33,7 +33,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["bpe_train_reference", "bpe_train_vectorized", "corpus_word_counts"]
+__all__ = [
+    "BPETokenCounter",
+    "bpe_train_reference",
+    "bpe_train_vectorized",
+    "corpus_word_counts",
+    "count_bpe_tokens",
+    "encode_token_count",
+]
 
 
 def corpus_word_counts(ds, max_vocab: int):
@@ -178,4 +185,105 @@ def bpe_train_vectorized(
             "right": np.array([r[2] for r in rows], dtype=object),
             "n": np.array([r[3] for r in rows], dtype=np.int64),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encode / apply: token counting with a trained merge table
+# ---------------------------------------------------------------------------
+
+
+def encode_token_count(word: str, ranks: dict) -> int:
+    """Tokens left after applying merges in RANK order (the standard
+    BPE encode): repeatedly merge the lowest-rank adjacent pair, greedy
+    leftmost over overlaps — the same parity rule as training, so a word
+    seen in training collapses exactly as the trainer left it."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and (syms[i], syms[i + 1]) == best_pair
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+class BPETokenCounter:
+    """Actor-pool batch kernel: count trained-BPE tokens per doc.
+
+    The merge table is built ONCE per actor in ``__init__`` and encode
+    results are memoized per DISTINCT word (process-lifetime, like the
+    dedupe token-hash cache) — the per-word Python loop runs once per
+    new vocabulary entry, not per occurrence; everything per-occurrence
+    is a vectorized map + groupby-sum.  Pure function of (word, merges)
+    → partition-invariant, golden-oracle exact."""
+
+    def __init__(self, merges):
+        if not isinstance(merges, pd.DataFrame):  # broadcast ObjectRef
+            import ray
+
+            merges = ray.get(merges)
+        self._ranks = {
+            (l, r): int(k)
+            for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+        }
+        self._cache: dict[str, int] = {}
+
+    def _count(self, word: str) -> int:
+        c = self._cache.get(word)
+        if c is None:
+            c = encode_token_count(word, self._ranks)
+            self._cache[word] = c
+        return c
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        flat = toks.explode().dropna()
+        if len(flat):
+            mapping = {w: self._count(w) for w in pd.unique(flat.to_numpy(object))}
+            per_doc = flat.map(mapping).groupby(level=0).sum()
+        else:
+            per_doc = pd.Series(dtype="int64")
+        n_words = toks.str.len().astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_words": n_words.to_numpy(np.int64),
+                "n_bpe_tokens": per_doc.reindex(df.index, fill_value=0)
+                .astype("int64")
+                .to_numpy(np.int64),
+            }
+        )
+        return out
+
+
+def count_bpe_tokens(ds, merges: pd.DataFrame, *, concurrency: int = 2,
+                     batch_size: int = 1024):
+    """Apply a trained merge table to every doc (actor pool; the table
+    is ``ray.put`` ONCE and each actor resolves it in ``__init__``)."""
+    import ray
+
+    ref = ray.put(merges)
+    return ds.map_batches(
+        BPETokenCounter,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

@@ -604,6 +604,55 @@ def test_kmv_rank_error_bounded(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# BPE encode / token counting
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_rank_order_and_overlaps():
+    from knowledge_graph_construction_ray.stages.bpe import encode_token_count
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    assert encode_token_count("abc", ranks) == 1   # ab then abc
+    assert encode_token_count("abab", ranks) == 2  # ab|ab
+    assert encode_token_count("cab", ranks) == 2   # c|ab
+    assert encode_token_count("xyz", ranks) == 3   # untouched OOV
+    assert encode_token_count("aaa", {("a", "a"): 0}) == 2  # greedy leftmost
+    assert encode_token_count("", ranks) == 0
+
+
+def test_bpe_token_counts_distributed_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.bpe import (
+        BPETokenCounter,
+        bpe_train_vectorized,
+        corpus_word_counts,
+        count_bpe_tokens,
+    )
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=5,
+    )
+    wc = corpus_word_counts(ds, 10_000)
+    merges = bpe_train_vectorized(
+        wc["word"].to_numpy(object), wc["n"].to_numpy(np.int64), 32
+    )
+    got = count_bpe_tokens(ds, merges).sort("doc_id").to_pandas()
+    df = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = (
+        BPETokenCounter(merges)(df.reset_index(drop=True))
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # merges shorten: every doc's BPE count ≤ its word-char count and
+    # ≥ its word count
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+
+
+# ---------------------------------------------------------------------------
 # Simplified silhouette (clustering quality)
 # ---------------------------------------------------------------------------
 
