@@ -401,6 +401,8 @@ BENCH_QUERIES = [
     "embeddings_label_centroids",
     "events_user_overlap",
     "docs_bigram_surprisal",
+    "embeddings_silhouette",
+    "docs_bpe_token_counts",
 ]
 
 

@@ -268,6 +268,22 @@ def bpe_token_counts_golden(sf_dir: str, k: int = 64, max_vocab: int = 10_000) -
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def grouped_weighted_sample_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential per-language Efraimidis–Spirakis sample of documents by
+    n_chars (same partition-invariant winner-set argument as the global
+    sample; per-group winners are a pure function of each group's
+    (doc_id, n_chars, seed) set)."""
+    from .stages.sketch import grouped_weighted_sample_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "doc_id", "n_chars"],
+    )
+    return grouped_weighted_sample_sequential(
+        df, "lang", "doc_id", "n_chars", k=40, seed=11
+    )
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -635,6 +651,12 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
             bpe_token_counts_golden(sf_dir), preserve_index=False
         ),
         os.path.join(GOLDEN_DIR, f"docs_bpe_token_counts_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(
+            grouped_weighted_sample_golden(sf_dir), preserve_index=False
+        ),
+        os.path.join(GOLDEN_DIR, f"docs_weighted_sample_by_lang_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

@@ -2738,6 +2738,27 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_user_overlap_sf0.01.parquet')
 """
 
 
+def docs_weighted_sample_by_lang(sf_dir: str):
+    """STRATIFIED weight-proportional sampling: 40 Efraimidis–Spirakis
+    winners per language, weighted by n_chars — the curation move 'equal
+    doc budget per language, long docs preferred'.  One bounded exchange
+    (per-batch per-group ≤k partials → per-group k-smallest reduce,
+    groups × k rows).  Uniform-stratified companion:
+    ``curation_stratified_sample``; global companion:
+    ``docs_weighted_sample``."""
+    from ..stages.sketch import grouped_weighted_sample
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return grouped_weighted_sample(ds, "lang", "doc_id", "n_chars", k=40, seed=11)
+
+
+DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL = """
+SELECT lang, doc_id, n_chars, es_key
+FROM read_parquet('/tmp/kg_oracle_golden/docs_weighted_sample_by_lang_sf0.01.parquet')
+ORDER BY lang, doc_id
+"""
+
+
 def embeddings_label_centroids(sf_dir: str):
     """Per-label mean embedding in long format — the class-prototype /
     cluster-profile primitive.  stages/embed.py::label_centroids
@@ -5281,6 +5302,10 @@ QUERIES: dict[str, tuple] = {
     "docs_bigram_surprisal": (docs_bigram_surprisal, DOCS_BIGRAM_SURPRISAL_SQL),
     "embeddings_silhouette": (embeddings_silhouette, EMBEDDINGS_SILHOUETTE_SQL),
     "docs_bpe_token_counts": (docs_bpe_token_counts, DOCS_BPE_TOKEN_COUNTS_SQL),
+    "docs_weighted_sample_by_lang": (
+        docs_weighted_sample_by_lang,
+        DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
+    ),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),

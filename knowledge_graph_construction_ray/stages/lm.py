@@ -109,6 +109,13 @@ def train_bigram_lm(
 
     def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
         flat, _lens = _tokenize(df[text_col])
+        if len(flat) == 0:
+            # empty OBJECT index would become an Arrow null-typed column
+            # and poison the exchange schema (see hll_grouped_cardinality)
+            return pd.DataFrame(
+                {"term": pd.Series(dtype="string"),
+                 "n": pd.Series(dtype="int64")}
+            )
         vc = pd.Series(flat).value_counts()
         return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
 

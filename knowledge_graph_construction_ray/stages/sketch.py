@@ -294,6 +294,8 @@ def _rank_quantiles(sample: np.ndarray, n_total: int, probs) -> dict:
 
     s = np.sort(sample)
     m = len(s)
+    if m == 0:
+        raise ValueError("kmv quantiles over an empty input")
     out = {}
     for p in probs:
         out[f"value_p{int(p * 100)}"] = float(s[max(1, math.ceil(p * m)) - 1])
@@ -524,3 +526,80 @@ def kmv_set_overlap_sequential(
     sa = np.unique(hash_values(np.asarray(keys_a)))[:k]
     sb = np.unique(hash_values(np.asarray(keys_b)))[:k]
     return _overlap_row(group_a, group_b, _overlap_from_sketches(sa, sb, k))
+
+
+def grouped_weighted_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Stratified weight-proportional sampling: k Efraimidis–Spirakis
+    winners PER GROUP, one bounded exchange (per-batch per-group ≤k-row
+    partials → per-group k-smallest reduce, groups × k rows total).
+    Same partition-invariant winner-set argument as weighted_sample, so
+    the per-group sequential sample matches bit-for-bit.  Low/moderate
+    group cardinality (languages, sources) — groups × k must fit one
+    driver frame."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group_col, sort=False):
+            p = es_sample_partial(
+                sub[id_col].to_numpy(), sub[weight_col].to_numpy(), k, seed
+            )
+            p.insert(0, group_col, g)
+            out.append(p)
+        if not out:
+            g0 = df[group_col].iloc[:0]
+            if g0.dtype == object:  # empty object → Arrow null type
+                g0 = g0.astype("string")
+            return pd.DataFrame(
+                {
+                    group_col: g0,
+                    "id": df[id_col].iloc[:0],
+                    "weight": np.array([], dtype=np.float64),
+                    "es_key": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "es_key")
+
+    win = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(reduce_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = win.sort_values([group_col, "id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    return out.rename(columns={"id": id_col, "weight": weight_col})
+
+
+def grouped_weighted_sample_sequential(
+    df: pd.DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Single-process per-group sample — the golden-oracle path."""
+    out = []
+    for g, sub in df.groupby(group_col, sort=True):
+        p = es_sample_partial(
+            sub[id_col].to_numpy(), sub[weight_col].to_numpy(), k, seed
+        )
+        p = p.nsmallest(k, "es_key")
+        p.insert(0, group_col, g)
+        out.append(p)
+    res = pd.concat(out, ignore_index=True)
+    res = res.sort_values([group_col, "id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    return res.rename(columns={"id": id_col, "weight": weight_col})

@@ -964,6 +964,32 @@ def test_weighted_sample_k1_is_weighted_categorical():
     assert abs(wins / n_trials - p) < 4 * sigma, wins / n_trials
 
 
+def test_grouped_weighted_sample_distributed_equals_sequential(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import (
+        grouped_weighted_sample,
+        grouped_weighted_sample_sequential,
+    )
+
+    df = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+    want = grouped_weighted_sample_sequential(
+        df, "lang", "doc_id", "n_chars", k=15, seed=11
+    )
+    for blocks in (3, 8):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["lang", "doc_id", "n_chars"],
+            override_num_blocks=blocks,
+        )
+        got = grouped_weighted_sample(ds, "lang", "doc_id", "n_chars", k=15, seed=11)
+        pd.testing.assert_frame_equal(got, want)
+    # per-group budget respected
+    assert (want.groupby("lang").size() <= 15).all()
+
+
 def test_weighted_sample_excludes_nonpositive_weights():
     from knowledge_graph_construction_ray.stages.sketch import (
         weighted_sample_sequential,
