@@ -284,6 +284,35 @@ def grouped_weighted_sample_golden(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def perplexity_filter_golden(sf_dir: str) -> pd.DataFrame:
+    """Sequential composition of the LM-surprisal score, the KMV p90
+    threshold, and the per-language survivor counts — each stage is the
+    proven-equal sequential twin of its distributed arm, so the composed
+    result must match hash-exactly."""
+    from .stages.lm import bigram_surprisal_sequential
+    from .stages.sketch import kmv_sequential
+
+    df = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    scores = bigram_surprisal_sequential(df["text"], df["doc_id"].to_numpy())
+    q = kmv_sequential(
+        scores["doc_id"].to_numpy(), scores["surprisal"].to_numpy(), probs=(0.9,)
+    )
+    thr = float(q["value_p90"].iloc[0])
+    merged = scores.merge(df[["doc_id", "lang"]], on="doc_id")
+    merged["n_kept"] = (merged["surprisal"].to_numpy() <= thr).astype(np.int64)
+    out = (
+        merged.groupby("lang", as_index=False)
+        .agg(n_docs=("doc_id", "size"), n_kept=("n_kept", "sum"))
+        .sort_values("lang", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["p90_surprisal"] = thr
+    return out[["lang", "n_docs", "n_kept", "p90_surprisal"]]
+
+
 def pq_codes_golden(sf_dir: str) -> pd.DataFrame:
     """Sequential product-quantization train+encode over the embeddings
     table — sample semantics, k-center/Lloyd float ops and argmin order
@@ -657,6 +686,12 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
             grouped_weighted_sample_golden(sf_dir), preserve_index=False
         ),
         os.path.join(GOLDEN_DIR, f"docs_weighted_sample_by_lang_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(
+            perplexity_filter_golden(sf_dir), preserve_index=False
+        ),
+        os.path.join(GOLDEN_DIR, f"curation_perplexity_filter_{tag}.parquet"),
     )
     _atomic_write(
         pa.Table.from_pandas(ppr_golden(sf_dir), preserve_index=False),

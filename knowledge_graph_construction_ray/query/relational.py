@@ -2738,6 +2738,57 @@ FROM read_parquet('/tmp/kg_oracle_golden/events_user_overlap_sf0.01.parquet')
 """
 
 
+def curation_perplexity_filter(sf_dir: str):
+    """End-to-end CCNet-style curation COMPOSITION: fit the bigram LM,
+    score every doc's surprisal (lang passed through), take the p90
+    surprisal via the KMV sketch (one bounded exchange, no full sort),
+    and report per-language survivor counts under 'keep ≤ p90'.  The
+    scored projection (4 narrow columns) is materialized once in the
+    OBJECT STORE (spillable, never the driver) because both the sketch
+    and the filter consume it.  Every stage is partition-invariant →
+    the composed result is golden-oracle hash-EXACT."""
+    from ..functions.groupby import bucketed_agg
+    from ..stages.lm import score_surprisal, train_bigram_lm
+    from ..stages.sketch import kmv_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lm = train_bigram_lm(ds)
+    scored = score_surprisal(ds, lm, extra_cols=("lang",)).materialize()
+    q = kmv_quantiles(scored, "doc_id", "surprisal", probs=(0.9,))
+    thr = float(q["value_p90"].iloc[0])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        kept = (df["surprisal"].to_numpy() <= thr).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "n_kept": kept,
+            }
+        )
+        s = g.groupby("lang", sort=False, as_index=False).sum()
+        return s
+
+    out = bucketed_agg(
+        scored.map_batches(partial, batch_format="pandas"),
+        ["lang"],
+        {"n_docs": ("n_docs", "sum"), "n_kept": ("n_kept", "sum")},
+    ).to_pandas()
+    out["p90_surprisal"] = thr
+    return (
+        out[["lang", "n_docs", "n_kept", "p90_surprisal"]]
+        .sort_values("lang", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+CURATION_PERPLEXITY_FILTER_SQL = """
+SELECT lang, n_docs, n_kept, p90_surprisal
+FROM read_parquet('/tmp/kg_oracle_golden/curation_perplexity_filter_sf0.01.parquet')
+ORDER BY lang
+"""
+
+
 def docs_weighted_sample_by_lang(sf_dir: str):
     """STRATIFIED weight-proportional sampling: 40 Efraimidis–Spirakis
     winners per language, weighted by n_chars — the curation move 'equal
@@ -5305,6 +5356,10 @@ QUERIES: dict[str, tuple] = {
     "docs_weighted_sample_by_lang": (
         docs_weighted_sample_by_lang,
         DOCS_WEIGHTED_SAMPLE_BY_LANG_SQL,
+    ),
+    "curation_perplexity_filter": (
+        curation_perplexity_filter,
+        CURATION_PERPLEXITY_FILTER_SQL,
     ),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pq_codes": (pq_codes, PQ_CODES_SQL),

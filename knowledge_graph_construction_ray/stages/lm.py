@@ -220,14 +220,22 @@ def _score_frame(lm: BigramLM, texts: pd.Series, doc_ids) -> pd.DataFrame:
 
 
 def score_surprisal(
-    ds, lm: BigramLM, text_col: str = "text", id_col: str = "doc_id"
+    ds,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ):
     """Attach mean bigram surprisal to every doc (streaming Dataset out).
     The model arrays are closure-captured: Ray serializes them to the
-    object store once and every task reads them zero-copy."""
+    object store once and every task reads them zero-copy.  ``extra_cols``
+    are copied through unchanged (e.g. ``lang`` for stratified filters)."""
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return _score_frame(lm, df[text_col], df[id_col].to_numpy())
+        out = _score_frame(lm, df[text_col], df[id_col].to_numpy())
+        for c in extra_cols:
+            out[c] = df[c].to_numpy()
+        return out
 
     return ds.map_batches(kernel, batch_format="pandas")
 
