@@ -847,10 +847,13 @@ def ngram_jaccard_dedup(
         # fewer candidates on shared-vocabulary corpora (measured 569k →
         # see BASELINE.md) while keeping EXACTNESS (any consistent total
         # order satisfies the prefix lemma).
+        # materialized: both the DF aggregation and the join below consume
+        # these rows — without the pin Ray re-runs the tokenize+shingle-hash
+        # pass (the measured dominant kernel) once per consumer.
         all_rows = docs_ds.map_batches(
             lambda df: _prefix_shingle_rows(df, num, den, prefix=False),
             batch_format="pandas",
-        )
+        ).materialize()
         dfreq = bucketed_agg(
             all_rows, ["shingle"], {"df": ("doc_id", "size")},
             num_buckets=num_buckets,

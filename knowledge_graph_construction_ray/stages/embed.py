@@ -452,6 +452,25 @@ def label_centroids(
     → centroid = s / (2^20 · n) as one exactly-rounded IEEE division.
     The DuckDB oracle mirrors the same floor/scale arithmetic in SQL —
     a genuinely independent re-computation, not a golden file."""
+    out = _label_centroid_sums(embeddings_ds, label_col, vec_col)
+    out["centroid"] = out["s"].to_numpy(dtype=np.float64) / (
+        CENTROID_SCALE * out["n"].to_numpy(dtype=np.float64)
+    )
+    return (
+        out[["label", "dim", "centroid", "n"]]
+        .sort_values(["label", "dim"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _label_centroid_sums(
+    embeddings_ds, label_col: str = "label", vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """EXACT per-(label, dim) int64 quantized sums + counts — the shared
+    combiner pass behind ``label_centroids`` (which derives the float
+    mean) and ``label_silhouette`` (which needs the exact ``s`` itself:
+    reconstructing it from the float centroid via rint is only exact
+    while |s| < ~2^52, far below the documented 2^63 envelope)."""
     import pyarrow as pa
 
     from ..functions.groupby import bucketed_agg
@@ -488,15 +507,7 @@ def label_centroids(
         ["label", "dim"],
         {"s": ("s", "sum"), "n": ("n", "sum")},
     )
-    out = agg.to_pandas()  # bounded: labels × dim rows
-    out["centroid"] = out["s"].to_numpy(dtype=np.float64) / (
-        CENTROID_SCALE * out["n"].to_numpy(dtype=np.float64)
-    )
-    return (
-        out[["label", "dim", "centroid", "n"]]
-        .sort_values(["label", "dim"], kind="mergesort")
-        .reset_index(drop=True)
-    )
+    return agg.to_pandas()  # bounded: labels × dim rows
 
 
 # ---------------------------------------------------------------------------
@@ -531,10 +542,10 @@ def label_silhouette(
 
     from ..functions.groupby import bucketed_agg
 
-    cent = label_centroids(embeddings_ds, label_col, vec_col)
-    # rebuild exact integer centroids: centroid column is s/(2^20·n) —
-    # recover s exactly (≤1 ulp round-trip, rint snaps to the integer),
-    # then floor-divide (both arms use s//n)
+    cent = _label_centroid_sums(embeddings_ds, label_col, vec_col)
+    # exact int64 sums straight from the combiner pass — no float
+    # round-trip (rint recovery is only exact while |s| < ~2^52, short
+    # of the 2^63 envelope the quantizer guard allows)
     labels = np.sort(cent["label"].unique())
     if len(labels) < 2:
         raise ValueError(
@@ -547,13 +558,8 @@ def label_silhouette(
     n_vec = np.zeros(len(labels), dtype=np.int64)
     for lab, sub in cent.groupby("label"):
         i = lab_pos[int(lab)]
-        n = int(sub["n"].iloc[0])
-        n_vec[i] = n
-        s = np.rint(
-            sub.sort_values("dim")["centroid"].to_numpy()
-            * (float(CENTROID_SCALE) * n)
-        ).astype(np.int64)
-        s_mat[i] = s
+        n_vec[i] = int(sub["n"].iloc[0])
+        s_mat[i] = sub.sort_values("dim")["s"].to_numpy(np.int64)
     c_q = s_mat // n_vec[:, None]  # floor division, exact int64
 
     def partial(t: pa.Table) -> pd.DataFrame:

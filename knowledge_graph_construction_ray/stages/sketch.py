@@ -446,6 +446,11 @@ def _overlap_from_sketches(sa: np.ndarray, sb: np.ndarray, k: int) -> dict:
     |A∩B| ≈ jaccard · |A∪B|.  Every step is a pure function of the two
     hash sets → partition-invariant, golden-oracle exact."""
     union = np.union1d(sa, sb)
+    if len(union) == 0:
+        raise ValueError(
+            "kmv_set_overlap: both groups are empty — check the group "
+            "names (a typo would otherwise yield jaccard = 0/0 = NaN)"
+        )
     if len(sa) < k and len(sb) < k:
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         return {
@@ -498,8 +503,13 @@ def kmv_set_overlap(
             h = np.unique(hash_values(sub[key_col].to_numpy()))[:k]
             out.append(pd.DataFrame({"g": g, "h": h}))
         if not out:
+            # typed empty frame — an object-dtype "g" makes a null-typed
+            # Arrow block, the exchange poison guarded against elsewhere
+            g0 = df[group_col].iloc[:0]
+            if g0.dtype == object:
+                g0 = g0.astype("string")
             return pd.DataFrame(
-                {"g": pd.Series([], dtype=object),
+                {"g": g0.reset_index(drop=True),
                  "h": np.array([], dtype=np.uint64)}
             )
         return pd.concat(out, ignore_index=True)
@@ -514,6 +524,12 @@ def kmv_set_overlap(
         .map_groups(reduce_group, batch_format="pandas")
         .to_pandas()
     )
+    if sk.empty or "g" not in sk.columns:
+        # zero matching rows anywhere → the grouped result has no schema
+        raise ValueError(
+            f"kmv_set_overlap: no rows matched either group "
+            f"({group_a!r}, {group_b!r}) — check the group names"
+        )
     sa = np.sort(sk.loc[sk["g"] == group_a, "h"].to_numpy(dtype=np.uint64))
     sb = np.sort(sk.loc[sk["g"] == group_b, "h"].to_numpy(dtype=np.uint64))
     return _overlap_row(group_a, group_b, _overlap_from_sketches(sa, sb, k))

@@ -822,6 +822,23 @@ def test_kmv_overlap_distributed_equals_sequential(ray_session):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_kmv_overlap_absent_groups_raise(ray_session):
+    """Misspelled / absent group names must raise, not return NaN —
+    and the all-empty partial must stay a typed (non-null) Arrow block
+    through the exchange."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.sketch import kmv_set_overlap
+
+    ds = rd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_type", "user_id"],
+        override_num_blocks=3,
+    )
+    with pytest.raises(ValueError, match="no rows matched either group"):
+        kmv_set_overlap(ds, "event_type", "user_id", "clickk", "vieww")
+
+
 def test_kmv_overlap_estimator_accuracy():
     """Sets ≫ k exercise the estimation branch: with k=1024 over
     |A|=60k, |B|=50k, |A∩B|=20k the Jaccard/union/intersection
