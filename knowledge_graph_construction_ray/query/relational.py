@@ -5306,6 +5306,176 @@ FROM base GROUP BY CUBE(event_type, dow) ORDER BY 1, 2
 """
 
 
+def lineitem_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 1024):
+    """Market-basket co-occurrence: the k part pairs appearing together in
+    the most orders — the support-counting base of frequent-itemset /
+    recommendation mining.  Plan: per-batch distinct (order, part) rows →
+    ONE order-keyed co-locating exchange (only distinct membership pairs
+    cross, never expanded pairs) → per-bucket vectorized self-merge pair
+    expansion (a < b) + pair value_counts partials → a (part_a, part_b)
+    combiner exchange bounded by distinct co-occurring pairs → no-shuffle
+    ``local_topk``.  Pair expansion is O(basket²) per order, so a basket
+    over ``max_basket`` parts raises (the hot-list recall-refusal
+    discipline of ``ngram_jaccard_dedup``) instead of silently exploding
+    a hub order into millions of rows."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups, local_topk
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        sizes = df.groupby("l_orderkey", observed=True)["l_partkey"].size()
+        if len(sizes) and int(sizes.max()) > max_basket:
+            hot = sizes.idxmax()
+            raise ValueError(
+                f"lineitem_part_pairs: order {hot} holds {int(sizes.max())} "
+                f"parts > max_basket={max_basket}; pair expansion is "
+                "O(basket²) — raise max_basket deliberately or pre-filter "
+                "hub orders."
+            )
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        vc = m.groupby(["l_partkey_a", "l_partkey_b"], observed=True).size()
+        out = vc.reset_index(name="n")
+        out.columns = ["part_a", "part_b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    pairs = bucketed_groups(
+        ds.map_batches(prep, batch_format="pandas"), ["l_orderkey"], pair_kernel
+    )
+    counts = bucketed_agg(pairs, ["part_a", "part_b"], {"n": ("n", "sum")})
+    return local_topk(
+        counts, ["n", "part_a", "part_b"], k, descending=[True, False, False]
+    )[["part_a", "part_b", "n"]]
+
+
+PART_PAIRS_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20
+"""
+
+
+def events_rolling_dau(sf_dir: str, window: int = 7):
+    """Rolling 7-day active users per day — the windowed COUNT DISTINCT
+    that plain mergeable aggregates can't express (distinct sets don't
+    sum across overlapping windows).  Exact plan: per-batch distinct
+    (user, day) pairs → ONE user-keyed co-locating exchange (only
+    UN-exploded distinct activity pairs cross the wire) → per-bucket
+    vectorized trail explosion (each active day covers days d..d+w−1 via
+    np.repeat + tiled offsets; ≤ w× rows, bucket-local only) → per-user
+    covered-day dedup, so each user contributes exactly once per covered
+    day → per-bucket per-day partial counts → a (day) combiner exchange
+    bounded by the date range.  Output: every day whose trailing window
+    holds ≥1 active user.  Post-1970 timestamps assumed (the
+    ``_split_hash`` floor-vs-truncate discipline)."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    D = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("datetime64[us]").astype("int64") // D,
+            }
+        ).drop_duplicates()
+
+    def cover_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        u = np.repeat(df["user_id"].to_numpy(np.int64), window)
+        d = np.repeat(df["day"].to_numpy(np.int64), window) + np.tile(
+            np.arange(window, dtype=np.int64), len(df)
+        )
+        cov = pd.DataFrame({"user_id": u, "day": d}).drop_duplicates()
+        vc = cov.groupby("day", observed=True).size()
+        return pd.DataFrame(
+            {"day": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_agg(
+        bucketed_groups(
+            ds.map_batches(prep, batch_format="pandas"), ["user_id"], cover_kernel
+        ),
+        ["day"],
+        {"dau7": ("n", "sum")},
+    )
+    return counts.sort("day").to_pandas()
+
+
+ROLLING_DAU_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+w AS (SELECT DISTINCT day + g.i AS day
+      FROM d CROSS JOIN (SELECT unnest(range(7)) AS i) g)
+SELECT w.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS dau7
+FROM w JOIN d ON d.day BETWEEN w.day - 6 AND w.day
+GROUP BY w.day ORDER BY w.day
+"""
+
+
+def docs_top_terms_by_lang(sf_dir: str, k: int = 5):
+    """Per-language vocabulary head: the k most frequent whitespace tokens
+    PER LANGUAGE — the stratified wordcount behind per-language tokenizer
+    and mixture decisions.  Per-batch (lang, term) value_counts partials
+    (only distinct pairs per block cross), one bucketed (lang, term) sum
+    exchange, then ``grouped_topk`` — per-block per-group heads, driver
+    union ≤ blocks × langs × k (low stratum cardinality by construction)."""
+    from ..functions.groupby import bucketed_agg, grouped_topk
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["lang"]].copy()
+        t["term"] = df["text"].str.split()
+        t = t.explode("term").dropna()
+        t = t[t["term"] != ""]
+        vc = t.groupby(["lang", "term"], observed=True).size()
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = bucketed_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["lang", "term"],
+        {"n": ("n", "sum")},
+    )
+    top = grouped_topk(
+        counts, ["lang"], ["n", "term"], k, ascending=[False, True]
+    )
+    return (
+        top[["lang", "term", "n"]]
+        .sort_values(["lang", "n", "term"], ascending=[True, False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+TOP_TERMS_BY_LANG_SQL = r"""
+WITH t AS (SELECT lang,
+                  unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t WHERE term <> '' GROUP BY lang, term)
+SELECT lang, term, n FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) <= 5
+ORDER BY lang, n DESC, term
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -5316,6 +5486,9 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "lineitem_part_pairs": (lineitem_part_pairs, PART_PAIRS_SQL),
+    "events_rolling_dau": (events_rolling_dau, ROLLING_DAU_SQL),
+    "docs_top_terms_by_lang": (docs_top_terms_by_lang, TOP_TERMS_BY_LANG_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "j7_full_outer_activity": (j7_full_outer_activity, J7_FULL_OUTER_SQL),
     "m8_reindex": (m8_reindex, M8_SQL),

@@ -1113,3 +1113,54 @@ def test_grouped_quantiles_match_duckdb(ray_session):
     )
     gold = con.execute(EVENTS_TYPE_QUANTILES_SQL).df()
     pd.testing.assert_frame_equal(out, gold, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence / rolling-window distinct count
+# ---------------------------------------------------------------------------
+
+
+def test_part_pairs_hot_basket_refusal(ray_session, tmp_path):
+    """A hub order past max_basket must raise (O(basket²) expansion),
+    not silently expand."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.query.relational import (
+        lineitem_part_pairs,
+    )
+
+    big = pd.DataFrame(
+        {"l_orderkey": np.int64(1), "l_partkey": np.arange(50, dtype=np.int64)}
+    )
+    big.to_parquet(tmp_path / "lineitem.parquet")
+    with pytest.raises(Exception, match="max_basket"):
+        lineitem_part_pairs(str(tmp_path), max_basket=10)
+    # and at a permissive cap the same input yields C(50,2) count-1 pairs
+    out = lineitem_part_pairs(str(tmp_path), k=5000, max_basket=64)
+    assert len(out) == 50 * 49 // 2
+    assert (out["n"] == 1).all()
+
+
+def test_rolling_dau_crafted_window(ray_session, tmp_path):
+    """A user active on one day covers exactly the next window-1 days;
+    overlapping users dedup to one per covered day."""
+    from knowledge_graph_construction_ray.query.relational import (
+        events_rolling_dau,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            # user 1 active day 0 twice (dedup), user 2 active day 3
+            "ts": [base, base + pd.Timedelta(hours=5),
+                   base + pd.Timedelta(days=3)],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_rolling_dau(str(tmp_path), window=7)
+    day0 = base.value // (86_400 * 10**9)
+    # user 1 covers days 0-6, user 2 covers days 3-9
+    want = {day0 + i: (2 if 3 <= i <= 6 else 1) for i in range(10)}
+    got = dict(zip(out["day"], out["dau7"]))
+    assert got == want
