@@ -403,6 +403,8 @@ BENCH_QUERIES = [
     "docs_bigram_surprisal",
     "embeddings_silhouette",
     "docs_bpe_token_counts",
+    "events_type_transitions",
+    "lineitem_cov_profile",
     "lineitem_part_pairs",
     "events_rolling_dau",
     "docs_top_terms_by_lang",

@@ -5476,6 +5476,134 @@ ORDER BY lang, n DESC, term
 """
 
 
+def events_type_transitions(sf_dir: str):
+    """Markov transition counts over each user's event sequence: how often
+    event type A is immediately followed by type B (user-ordered LAG →
+    pair counts) — the base of sequence mining / next-action models.
+    One user-keyed co-locating exchange (the ``events_prev_gap`` LAG
+    machinery); the per-bucket kernel is one mergesort + segment-shift +
+    pair value_counts; the final (prev, next) combiner exchange is
+    bounded by types² at any corpus size."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        _, _, pos = _segments(df["user_id"])
+        keep = pos > 0  # rows with a predecessor in the same user segment
+        t = pd.DataFrame(
+            {"prev_type": np.r_[[""], et[:-1]][keep], "next_type": et[keep]}
+        )
+        vc = t.groupby(["prev_type", "next_type"], observed=True).size()
+        out = vc.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = bucketed_agg(
+        bucketed_groups(ds, ["user_id"], kernel),
+        ["prev_type", "next_type"],
+        {"n": ("n", "sum")},
+    )
+    return counts.sort(["prev_type", "next_type"]).to_pandas()
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+
+
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_cov_profile(sf_dir: str):
+    """EXACT pairwise covariance profile across the lineitem measures —
+    the column-statistics pass feature stores / drift monitors run, with
+    zero float summation-order sensitivity.  Measures become int64
+    hundredths; per batch, every ordered pair (x ≤ y of 4 columns) emits
+    (n, Σx, Σy, two-limb Σxy) — each |c| < 2^31 is guarded, so x·y <
+    2^62 fits and each limb sums safely over 2^31 rows — and the driver
+    combine (10 pairs × blocks rows) runs in PYTHON ints, so
+    n·Σxy − Σx·Σy can never wrap at any corpus size.  Output covariance
+    is the integer (n·Σxy − Σx·Σy) // n² under TRUNCATING division,
+    exactly mirroring the HUGEINT SQL oracle's ``//`` sign semantics;
+    self-pairs give the variance diagonal."""
+    _LIMB = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
+    pairs = [
+        (a, b) for i, a in enumerate(_COV_COLS) for b in _COV_COLS[i:]
+    ]
+
+    ds = _read(sf_dir, "lineitem", _COV_COLS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {}
+        for c in _COV_COLS:
+            v = np.round(df[c].to_numpy(np.float64) * 100).astype(np.int64)
+            if len(v) and int(np.abs(v).max()) >= (1 << 31):
+                raise ValueError(f"{c}*100 >= 2^31: x·y would wrap int64")
+            cols[c] = v
+        rows = []
+        n = len(df)
+        for a, b in pairs:
+            xy = cols[a] * cols[b]
+            rows.append(
+                (a, b, n, int(cols[a].sum()), int(cols[b].sum()),
+                 int((xy >> _LIMB).sum()), int((xy & _MASK).sum()))
+            )
+        return pd.DataFrame(
+            rows, columns=["col_x", "col_y", "n", "sx", "sy", "hi", "lo"]
+        )
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for (a, b), sub in small.groupby(["col_x", "col_y"], sort=True):
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sy = sum(int(v) for v in sub["sy"])
+        sxy = sum(int(h) * (1 << 31) + int(lo)
+                  for h, lo in zip(sub["hi"], sub["lo"]))
+        num = n * sxy - sx * sy
+        # TRUNCATING division (DuckDB // truncates toward zero on
+        # negatives while Python floors — the events_hour_regression
+        # discipline) so a negative covariance stays bit-comparable
+        cov = abs(num) // (n * n)
+        out.append((a, b, n, cov if num >= 0 else -cov))
+    return pd.DataFrame(
+        {
+            "col_x": [r[0] for r in out],
+            "col_y": [r[1] for r in out],
+            "n_rows": pd.Series([r[2] for r in out], dtype="int64"),
+            "cov_c100": pd.Series([r[3] for r in out], dtype="int64"),
+        }
+    )
+
+
+LINEITEM_COV_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((CAST(COUNT(*) AS HUGEINT)
+               * SUM(CAST(ROUND({a} * 100) AS HUGEINT)
+                     * CAST(ROUND({b} * 100) AS HUGEINT))
+             - SUM(CAST(ROUND({a} * 100) AS HUGEINT))
+               * SUM(CAST(ROUND({b} * 100) AS HUGEINT)))
+            // (CAST(COUNT(*) AS HUGEINT) * CAST(COUNT(*) AS HUGEINT))
+            AS BIGINT) AS cov_c100
+FROM lineitem"""
+    for i, a in enumerate(_COV_COLS) for b in _COV_COLS[i:]
+) + " ORDER BY col_x, col_y"
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -5486,6 +5614,8 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
+    "lineitem_cov_profile": (lineitem_cov_profile, LINEITEM_COV_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, PART_PAIRS_SQL),
     "events_rolling_dau": (events_rolling_dau, ROLLING_DAU_SQL),
     "docs_top_terms_by_lang": (docs_top_terms_by_lang, TOP_TERMS_BY_LANG_SQL),

@@ -1164,3 +1164,63 @@ def test_rolling_dau_crafted_window(ray_session, tmp_path):
     want = {day0 + i: (2 if 3 <= i <= 6 else 1) for i in range(10)}
     got = dict(zip(out["day"], out["dau7"]))
     assert got == want
+
+
+def test_cov_profile_negative_covariance_trunc_parity(ray_session, tmp_path):
+    """Anti-correlated columns → negative covariance; Python floor vs
+    DuckDB truncating // disagree by 1 on negatives unless handled —
+    both arms must stay bit-comparable."""
+    from knowledge_graph_construction_ray.query.relational import (
+        LINEITEM_COV_SQL,
+        lineitem_cov_profile,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    q = rng.integers(1, 50, n).astype(np.float64)
+    df = pd.DataFrame(
+        {
+            "l_quantity": q,
+            "l_extendedprice": 1000.0 - 17.0 * q + rng.normal(0, 3, n).round(2),
+            "l_discount": rng.uniform(0, 0.1, n).round(2),
+            "l_tax": rng.uniform(0, 0.08, n).round(2),
+        }
+    )
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    got = lineitem_cov_profile(str(tmp_path))
+    neg = got.set_index(["col_x", "col_y"]).loc[
+        ("l_quantity", "l_extendedprice"), "cov_c100"
+    ]
+    assert neg < 0  # the anti-correlation is visible
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = con.execute(LINEITEM_COV_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+def test_transitions_order_sensitive(ray_session, tmp_path):
+    """Transition counts depend on per-user temporal order — a crafted
+    A→B→A sequence yields exactly (A,B) and (B,A), never (A,A)."""
+    from knowledge_graph_construction_ray.query.relational import (
+        events_type_transitions,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": [base, base + pd.Timedelta(minutes=1),
+                   base + pd.Timedelta(minutes=2), base],
+            "event_type": ["A", "B", "A", "C"],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = events_type_transitions(str(tmp_path))
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "A"): 1}
