@@ -403,6 +403,7 @@ BENCH_QUERIES = [
     "docs_bigram_surprisal",
     "embeddings_silhouette",
     "docs_bpe_token_counts",
+    "graph_sssp",
     "events_type_transitions",
     "lineitem_cov_profile",
     "lineitem_part_pairs",

@@ -520,6 +520,54 @@ def core_golden(sf_dir: str) -> pd.DataFrame:
     return peel_core_numbers(pair[:, 0], pair[:, 1])
 
 
+def _doubling_weighted_edges(sf_dir: str) -> pd.DataFrame:
+    """The graph_bfs doubling graph (chain p—p+1 + chord p—2p on part
+    keys) with deterministic integer weights w = 1 + (src + dst) mod 7 —
+    mirrors query/relational.py::graph_sssp's distributed builder."""
+    pk = np.sort(
+        pd.read_parquet(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        )["p_partkey"].to_numpy(np.int64)
+    )
+    mx = int(pk.max())
+    chain = pk[pk + 1 <= mx]
+    dbl = pk[(pk >= 1) & (2 * pk <= mx)]
+    src = np.concatenate([chain, dbl])
+    dst = np.concatenate([chain + 1, 2 * dbl])
+    return pd.DataFrame({"src": src, "dst": dst, "w": 1 + (src + dst) % 7})
+
+
+def sssp_golden(sf_dir: str) -> pd.DataFrame:
+    """Shortest weighted distances from part key 0 by sequential
+    DIJKSTRA (heapq) — a genuinely different algorithm from the
+    distributed Bellman-Ford relaxation graph_sssp runs, so the parity
+    check is algorithm-independent (the graph_core discipline)."""
+    import heapq
+
+    e = _doubling_weighted_edges(sf_dir)
+    adj: dict = {}
+    for s, d, w in zip(
+        e["src"].to_numpy(), e["dst"].to_numpy(), e["w"].to_numpy()
+    ):
+        adj.setdefault(int(s), []).append((int(d), int(w)))
+        adj.setdefault(int(d), []).append((int(s), int(w)))
+    dist = {0: 0}
+    heap = [(0, 0)]
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return pd.DataFrame(
+        {"node": nodes, "dist": np.array([dist[int(n)] for n in nodes], np.int64)}
+    )
+
+
 def bpe_golden(sf_dir: str, k: int = 8, max_vocab: int = 10_000) -> pd.DataFrame:
     """BPE merge table by the pure-Python reference trainer
     (stages/bpe.py::bpe_train_reference — dict/tuple loop, a different
@@ -704,6 +752,10 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
     _atomic_write(
         pa.Table.from_pandas(kcenter_golden(sf_dir), preserve_index=False),
         os.path.join(GOLDEN_DIR, f"kcenter_sample_{tag}.parquet"),
+    )
+    _atomic_write(
+        pa.Table.from_pandas(sssp_golden(sf_dir), preserve_index=False),
+        os.path.join(GOLDEN_DIR, f"graph_sssp_{tag}.parquet"),
     )
     _written_for.add(sf_dir)
     return GOLDEN_DIR

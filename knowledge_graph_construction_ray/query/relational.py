@@ -5476,6 +5476,42 @@ ORDER BY lang, n DESC, term
 """
 
 
+def graph_sssp(sf_dir: str):
+    """Weighted single-source shortest paths
+    (functions/graph.py::sssp_distances — Bellman-Ford frontier
+    relaxation, two bucketed exchanges per round, rounds = hop count of
+    the longest shortest path) over the graph_bfs doubling graph with
+    deterministic integer weights w = 1 + (src + dst) mod 7.  Size
+    dispatch solves the gate scale on the driver's vectorized
+    Bellman-Ford; the distributed arm keeps its exactness gates in
+    tests/test_graph.py.  Oracle: golden parquet from an INDEPENDENT
+    sequential Dijkstra (golden.py::sssp_golden) — a different
+    algorithm, so parity is algorithm-independent (the graph_core
+    discipline)."""
+    from ..functions.graph import sssp_distances
+
+    part = _read(sf_dir, "part", ["p_partkey"], blocks=8)
+    mx = int(part.max("p_partkey"))
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["p_partkey"].to_numpy(np.int64)
+        chain = pk[pk + 1 <= mx]
+        dbl = pk[(pk >= 1) & (2 * pk <= mx)]
+        src = np.concatenate([chain, dbl])
+        dst = np.concatenate([chain + 1, 2 * dbl])
+        return pd.DataFrame({"src": src, "dst": dst, "w": 1 + (src + dst) % 7})
+
+    edges = part.map_batches(mk_edges, batch_format="pandas")
+    return sssp_distances(edges, [0]).sort("node").to_pandas()
+
+
+GRAPH_SSSP_SQL = """
+SELECT node, dist
+FROM read_parquet('/tmp/kg_oracle_golden/graph_sssp_sf0.01.parquet')
+ORDER BY node
+"""
+
+
 def events_type_transitions(sf_dir: str):
     """Markov transition counts over each user's event sequence: how often
     event type A is immediately followed by type B (user-ordered LAG →
@@ -5614,6 +5650,7 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "graph_sssp": (graph_sssp, GRAPH_SSSP_SQL),
     "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
     "lineitem_cov_profile": (lineitem_cov_profile, LINEITEM_COV_SQL),
     "lineitem_part_pairs": (lineitem_part_pairs, PART_PAIRS_SQL),

@@ -468,3 +468,107 @@ def test_bfs_round_exhaustion_raises(ray_session):
     pairs = [(i, i + 1) for i in range(8)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _bfs_solve(pairs, [0], force_distributed=True, num_buckets=2, max_rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# weighted SSSP (Bellman-Ford distributed / vectorized local / Dijkstra ref)
+# ---------------------------------------------------------------------------
+
+
+def _dijkstra_ref(wpairs, seeds):
+    """Independent heapq Dijkstra over undirected weighted pairs."""
+    import heapq
+
+    adj = {}
+    for s, d, w in wpairs:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {s: 0 for s in seeds}
+    heap = [(0, s) for s in seeds]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    nodes = sorted(dist)
+    return pd.DataFrame(
+        {"node": np.array(nodes, np.int64),
+         "dist": np.array([dist[n] for n in nodes], np.int64)}
+    )
+
+
+def _sssp_solve(wpairs, seeds, **kw):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.graph import sssp_distances
+
+    df = pd.DataFrame(wpairs, columns=["src", "dst", "w"]).astype("int64")
+    ds = rd.from_pandas(df) if len(df) else rd.from_pandas(
+        pd.DataFrame({"src": pd.Series(dtype="int64"),
+                      "dst": pd.Series(dtype="int64"),
+                      "w": pd.Series(dtype="int64")})
+    )
+    out = sssp_distances(ds, seeds, **kw).to_pandas()
+    if out.empty:
+        return out
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_sssp_both_arms_match_dijkstra_random(ray_session):
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n, m = 40, 90
+        wpairs = list(
+            zip(
+                rng.integers(0, n, m).tolist(),
+                rng.integers(0, n, m).tolist(),
+                rng.integers(1, 10, m).tolist(),
+            )
+        )
+        seeds = sorted(set(rng.integers(0, n, 2).tolist()))
+        want = _dijkstra_ref(wpairs, seeds)
+        pd.testing.assert_frame_equal(_sssp_solve(wpairs, seeds), want)
+        pd.testing.assert_frame_equal(
+            _sssp_solve(wpairs, seeds, force_distributed=True, num_buckets=4),
+            want,
+        )
+
+
+def test_sssp_weighted_shortcut_beats_hop_count(ray_session):
+    """The weighted answer must differ from BFS: a 3-hop cheap path
+    (1+1+1) beats the 1-hop weight-10 edge."""
+    wpairs = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    want = pd.DataFrame({"node": [0, 1, 2, 3], "dist": [0, 1, 2, 3]}).astype("int64")
+    pd.testing.assert_frame_equal(_sssp_solve(wpairs, [0]), want)
+    pd.testing.assert_frame_equal(
+        _sssp_solve(wpairs, [0], force_distributed=True, num_buckets=2), want
+    )
+
+
+def test_sssp_parallel_edges_zero_weights_and_guards(ray_session):
+    # parallel edges keep the cheapest; zero weights legal
+    wpairs = [(0, 1, 5), (0, 1, 2), (1, 2, 0)]
+    want = pd.DataFrame({"node": [0, 1, 2], "dist": [0, 2, 2]}).astype("int64")
+    pd.testing.assert_frame_equal(_sssp_solve(wpairs, [0]), want)
+    with pytest.raises(Exception, match="negative edge weight"):
+        _sssp_solve([(0, 1, -1)], [0])
+    assert _sssp_solve([(0, 1, 3)], []).empty
+    got = _sssp_solve([], [7])
+    pd.testing.assert_frame_equal(
+        got, pd.DataFrame({"node": [7], "dist": [0]}).astype("int64")
+    )
+
+
+def test_sssp_query_matches_dijkstra_golden(ray_session):
+    from knowledge_graph_construction_ray.golden import sssp_golden
+    from knowledge_graph_construction_ray.query.relational import graph_sssp
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_sssp(sf).reset_index(drop=True)
+    want = sssp_golden(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
