@@ -404,6 +404,8 @@ BENCH_QUERIES = [
     "embeddings_silhouette",
     "docs_bpe_token_counts",
     "graph_sssp",
+    "corpus_vocab_growth",
+    "docs_length_histogram",
     "events_type_transitions",
     "lineitem_cov_profile",
     "lineitem_part_pairs",

@@ -5476,6 +5476,114 @@ ORDER BY lang, n DESC, term
 """
 
 
+def corpus_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve: distinct-token count within the
+    first 10%, 20%, … 100% of the corpus (doc_id order) — the profile
+    tokenizer-sizing and dedup-saturation decisions read.  Plan: each
+    token's FIRST-occurrence doc via per-batch (token, min doc_id)
+    partials → one vocab-bounded bucketed MIN exchange → per-batch
+    searchsorted decile histogram partials (10 rows/batch) → driver
+    cumulative sum over 10 rows.  Decile thresholds use pure integer
+    arithmetic ((i·(max_id+1)) // 10 − 1), mirrored exactly in SQL."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    mx = int(ds.max("doc_id"))
+    thr = np.array([(i * (mx + 1)) // 10 - 1 for i in range(1, 11)], np.int64)
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["doc_id"]].copy()
+        t["term"] = df["text"].str.split()
+        t = t.explode("term").dropna()
+        t = t[t["term"] != ""]
+        m = t.groupby("term", observed=True)["doc_id"].min()
+        return pd.DataFrame(
+            {"term": m.index, "first_doc": m.to_numpy(np.int64)}
+        )
+
+    firsts = bucketed_agg(
+        ds.map_batches(first_seen, batch_format="pandas"),
+        ["term"],
+        {"first_doc": ("first_doc", "min")},
+    )
+
+    def decile_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # smallest decile whose threshold covers the first occurrence
+        idx = np.searchsorted(thr, df["first_doc"].to_numpy(np.int64))
+        n = np.bincount(idx, minlength=10).astype(np.int64)
+        return pd.DataFrame(
+            {"decile": np.arange(1, 11, dtype=np.int64), "n": n}
+        )
+
+    small = firsts.map_batches(decile_partial, batch_format="pandas").to_pandas()
+    per = small.groupby("decile", sort=True)["n"].sum()
+    return pd.DataFrame(
+        {
+            "decile": per.index.to_numpy(np.int64),
+            "docs_prefix": thr + 1,
+            "vocab_size": per.cumsum().to_numpy(np.int64),
+        }
+    )
+
+
+VOCAB_GROWTH_SQL = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+f AS (SELECT term, MIN(doc_id) AS first_doc
+      FROM tok WHERE term <> '' GROUP BY term),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+g AS (SELECT unnest(range(1, 11)) AS decile)
+SELECT g.decile,
+       (g.decile * (mx.m + 1)) // 10 AS docs_prefix,
+       CAST(COUNT(*) FILTER (
+           WHERE f.first_doc <= (g.decile * (mx.m + 1)) // 10 - 1
+       ) AS BIGINT) AS vocab_size
+FROM g CROSS JOIN mx LEFT JOIN f ON TRUE
+GROUP BY g.decile, mx.m ORDER BY g.decile
+"""
+
+
+def docs_length_histogram(sf_dir: str, bin_width: int = 100):
+    """Equi-width document-length histogram (n_chars // 100 bins) — the
+    distribution profile behind batch-size and truncation decisions.
+    One per-batch bincount partial, a bins-bounded combiner exchange,
+    nothing scales with corpus rows."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["n_chars"].to_numpy(np.int64) // bin_width
+        vc = pd.Series(b).value_counts()
+        return pd.DataFrame(
+            {"bin": vc.index.to_numpy(np.int64),
+             "n_docs": vc.to_numpy(np.int64)}
+        )
+
+    out = (
+        bucketed_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["bin"],
+            {"n_docs": ("n_docs", "sum")},
+        )
+        .sort("bin")
+        .to_pandas()
+    )
+    out["lo_chars"] = out["bin"] * bin_width
+    out["hi_chars"] = (out["bin"] + 1) * bin_width - 1
+    return out[["bin", "lo_chars", "hi_chars", "n_docs"]]
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT n_chars // 100 AS bin,
+       (n_chars // 100) * 100 AS lo_chars,
+       (n_chars // 100) * 100 + 99 AS hi_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 ORDER BY bin
+"""
+
+
 def graph_sssp(sf_dir: str):
     """Weighted single-source shortest paths
     (functions/graph.py::sssp_distances — Bellman-Ford frontier
@@ -5650,6 +5758,8 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),
+    "docs_length_histogram": (docs_length_histogram, LENGTH_HISTOGRAM_SQL),
     "graph_sssp": (graph_sssp, GRAPH_SSSP_SQL),
     "events_type_transitions": (events_type_transitions, EVENTS_TRANSITIONS_SQL),
     "lineitem_cov_profile": (lineitem_cov_profile, LINEITEM_COV_SQL),
