@@ -5774,6 +5774,7 @@ QUERIES: dict[str, tuple] = {
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "docs_strip_dup_ngrams": (docs_strip_dup_ngrams, STRIP_DUP_NGRAMS_SQL),
     "dedup_minhash_apply": (dedup_minhash_apply, DEDUP_MINHASH_APPLY_SQL),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_NO_ORDERS_SQL),
     "events_prev_gap": (events_prev_gap, EVENTS_PREV_GAP_SQL),
     "orders_cum_spend": (orders_cum_spend, ORDERS_CUM_SPEND_SQL),
@@ -5865,7 +5866,6 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "ann_topk": (ann_topk, ANN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_PAIRS_SQL),
-    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "kg_fixture_triples": (kg_fixture_triples, KG_FIXTURE_TRIPLES_SQL),
     "j4_native_hash_join": (j4_native_hash_join, J4_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
