@@ -404,6 +404,8 @@ BENCH_QUERIES = [
     "embeddings_silhouette",
     "docs_bpe_token_counts",
     "graph_sssp",
+    "orders_open_backlog",
+    "events_type_entropy",
     "corpus_vocab_growth",
     "docs_length_histogram",
     "events_type_transitions",

@@ -5476,6 +5476,143 @@ ORDER BY lang, n DESC, term
 """
 
 
+def orders_open_backlog(sf_dir: str):
+    """Interval-sweep backlog: how many orders are OPEN (order date →
+    last line shipped) on each day the count changes — the running
+    active-interval counter behind WIP / inventory / concurrency
+    monitoring, the sweep-line complement of the interval-overlap JOIN.
+    Plan: per-order close date via a (l_orderkey → max shipdate)
+    combiner exchange, one native hash join to the order dates, per-batch
+    ±1 delta partials at open day / close day + 1 → a day-bounded
+    combiner exchange → driver sort + cumsum over ≤ date-range rows.
+    Nothing corpus-sized touches the driver; the only all-to-all is the
+    key-bounded max combine and the join."""
+    from ..functions.groupby import bucketed_agg
+    from ..stages.dedupe import _default_join_partitions
+
+    D = 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                "shipday": df["l_shipdate"].astype("datetime64[us]")
+                .astype("int64") // D,
+            }
+        )
+        return t.groupby("l_orderkey", as_index=False)["shipday"].max()
+
+    closes = bucketed_agg(
+        li.map_batches(ship_partial, batch_format="pandas"),
+        ["l_orderkey"],
+        {"shipday": ("shipday", "max")},
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "openday": df["o_orderdate"].astype("datetime64[us]")
+                .astype("int64") // D,
+            }
+        ),
+        batch_format="pandas",
+    )
+    iv = orders.join(
+        closes, join_type="inner",
+        num_partitions=_default_join_partitions(), on=("l_orderkey",),
+    )
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = np.concatenate(
+            [df["openday"].to_numpy(np.int64),
+             df["shipday"].to_numpy(np.int64) + 1]
+        )
+        delta = np.concatenate(
+            [np.ones(len(df), np.int64), -np.ones(len(df), np.int64)]
+        )
+        t = pd.DataFrame({"day": day, "delta": delta})
+        return t.groupby("day", as_index=False)["delta"].sum()
+
+    small = (
+        bucketed_agg(
+            iv.map_batches(delta_partial, batch_format="pandas"),
+            ["day"],
+            {"delta": ("delta", "sum")},
+        )
+        .to_pandas()  # bounded: distinct change days
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    small["open_orders"] = small["delta"].cumsum().astype(np.int64)
+    return small[["day", "open_orders"]]
+
+
+OPEN_BACKLOG_SQL = """
+WITH li AS (SELECT l_orderkey,
+                   MAX(epoch_us(l_shipdate) // 86400000000) AS shipday
+            FROM lineitem GROUP BY l_orderkey),
+iv AS (SELECT epoch_us(o.o_orderdate) // 86400000000 AS openday, li.shipday
+       FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey),
+d AS (SELECT openday AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT shipday + 1, -1 FROM iv),
+s AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
+SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM s ORDER BY day
+"""
+
+
+def events_type_entropy(sf_dir: str):
+    """Shannon entropy of each event type's hour-of-day distribution —
+    the information-theoretic uniformity profile (0 = always the same
+    hour, ln 24 = uniform) behind anomaly / bot detection.  All counts
+    are EXACT integers off one types×24-bounded combiner exchange; the
+    single float expression H = ln(N) − Σ nᵢ·ln(nᵢ)/N is evaluated on
+    the driver from those exact counts and rounded to 6 decimals, the
+    same expression the SQL oracle computes from identical integers."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (
+            (df["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000)
+            % 24
+        ).to_numpy()
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "hr": hr})
+        g = t.groupby(["event_type", "hr"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = bucketed_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["event_type", "hr"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # bounded: types × 24 rows
+    rows = []
+    for et, sub in counts.groupby("event_type", sort=True):
+        n = sub["n"].to_numpy(np.int64).astype(np.float64)
+        tot = n.sum()
+        rows.append((et, round(float(np.log(tot) - (n * np.log(n)).sum() / tot), 6)))
+    return pd.DataFrame(
+        {"event_type": [r[0] for r in rows],
+         "entropy": [r[1] for r in rows]}
+    )
+
+
+TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 6) AS entropy
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 def corpus_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary-growth curve: distinct-token count within the
     first 10%, 20%, … 100% of the corpus (doc_id order) — the profile
@@ -5758,6 +5895,8 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "orders_open_backlog": (orders_open_backlog, OPEN_BACKLOG_SQL),
+    "events_type_entropy": (events_type_entropy, TYPE_ENTROPY_SQL),
     "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),
     "docs_length_histogram": (docs_length_histogram, LENGTH_HISTOGRAM_SQL),
     "graph_sssp": (graph_sssp, GRAPH_SSSP_SQL),
