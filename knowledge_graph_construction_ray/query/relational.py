@@ -5476,6 +5476,97 @@ ORDER BY lang, n DESC, term
 """
 
 
+def events_time_weighted_value(sf_dir: str):
+    """EXACT per-user time-weighted average value (step-function
+    integral: each event's value holds until the next event; TWA =
+    Σ valueᵢ·gapᵢ / Σ gapᵢ) — the metric sensors / billing / utilization
+    pipelines need where the plain mean over-weights bursts.  Users with
+    one event (no interval) are excluded, like LAG NULLs elsewhere.
+
+    Exactness: value → int64 millis, gaps in µs; each product
+    v·gap < 2^63 is guarded, per-user sums are TWO-LIMB decomposed
+    (hi = p >> 31 / lo = low 31 bits, each limb safe over 2^31 rows) and
+    recombined per bucket into PYTHON-int division — floor == truncation
+    because both operands are non-negative... value may be negative, so
+    the quotient uses the explicit truncating form matching DuckDB //.
+    One user-keyed co-locating exchange; per-bucket work is one
+    mergesort + vectorized segment arithmetic; output one row per
+    multi-event user."""
+    from ..functions.groupby import bucketed_groups
+
+    _LIMB = np.int64(31)
+    _MASK = np.int64((1 << 31) - 1)
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = np.round(df["value"].to_numpy(np.float64) * 1000).astype(np.int64)
+        starts, lens, pos = _segments(df["user_id"])
+        nxt = np.r_[us[1:], 0]
+        has_next = pos < np.repeat(lens, lens) - 1
+        gap = np.where(has_next, nxt - us, 0)
+        if len(v):
+            # |v·gap| < 2^63 guard: gaps are bounded by the corpus time
+            # span, so this trips only on absurd value scales
+            mx = np.abs(v).max() if len(v) else 0
+            gx = gap.max() if len(gap) else 0
+            if int(mx) * int(gx) >= (1 << 62):
+                raise ValueError(
+                    "events_time_weighted_value: value·gap would wrap "
+                    "int64 — rescale the value column"
+                )
+        p = v * gap
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "gap": gap,
+                "hi": p >> _LIMB,
+                "lo": p & _MASK,
+            }
+        )
+        g = t.groupby("user_id", as_index=False).agg(
+            gsum=("gap", "sum"), hi=("hi", "sum"), lo=("lo", "sum")
+        )
+        g = g[g["gsum"] > 0]
+        num = [int(h) * (1 << 31) + int(lo) for h, lo in zip(g["hi"], g["lo"])]
+        den = [int(x) for x in g["gsum"]]
+        twa = [
+            (abs(n) // d) * (1 if n >= 0 else -1)  # truncating, DuckDB //
+            for n, d in zip(num, den)
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "twa_millis": pd.Series(twa, dtype="int64").to_numpy(),
+            }
+        )
+
+    return (
+        bucketed_groups(ds, ["user_id"], kernel)
+        .sort("user_id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+TWA_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CAST(ROUND(value * 1000) AS HUGEINT) AS v,
+         LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT user_id, SUM(v * gap) AS num, CAST(SUM(gap) AS HUGEINT) AS den
+  FROM s WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(num // den AS BIGINT) AS twa_millis
+FROM a WHERE den > 0 ORDER BY user_id
+"""
+
+
 def orders_open_backlog(sf_dir: str):
     """Interval-sweep backlog: how many orders are OPEN (order date →
     last line shipped) on each day the count changes — the running
@@ -5895,6 +5986,7 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "events_time_weighted_value": (events_time_weighted_value, TWA_SQL),
     "orders_open_backlog": (orders_open_backlog, OPEN_BACKLOG_SQL),
     "events_type_entropy": (events_type_entropy, TYPE_ENTROPY_SQL),
     "corpus_vocab_growth": (corpus_vocab_growth, VOCAB_GROWTH_SQL),

@@ -1224,3 +1224,47 @@ def test_transitions_order_sensitive(ray_session, tmp_path):
     out = events_type_transitions(str(tmp_path))
     got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
     assert got == {("A", "B"): 1, ("B", "A"): 1}
+
+
+def test_time_weighted_value_hand_computed(ray_session, tmp_path):
+    """Step-function integral by hand, including a NEGATIVE value whose
+    quotient must truncate toward zero (DuckDB //), and a single-event
+    user who must be excluded."""
+    from knowledge_graph_construction_ray.query.relational import (
+        TWA_SQL,
+        events_time_weighted_value,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 2, 2, 3], dtype=np.int64),
+            "event_id": np.arange(7, dtype=np.int64),
+            "ts": [base, base + pd.Timedelta(seconds=10),
+                   base + pd.Timedelta(seconds=30),
+                   base, base + pd.Timedelta(seconds=1),
+                   base + pd.Timedelta(seconds=3),
+                   base],
+            # user 1: 2.0 for 10s then 5.0 for 20s -> (20+100)/30 = 4.0
+            # user 2: -1.0 for 1s then -2.0 for 2s ->
+            #   num = -5e9, den = 3e6 -> -1666.67 -> TRUNC -1666
+            #   (Python floor would give -1667 — the divergence case)
+            "value": [2.0, 5.0, 99.0, -1.0, -2.0, 42.0, 7.0],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = events_time_weighted_value(str(tmp_path)).reset_index(drop=True)
+    want = pd.DataFrame(
+        {"user_id": np.array([1, 2], dtype=np.int64),
+         "twa_millis": np.array([4000, -1666], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert 3 not in set(got["user_id"])  # single-event user excluded
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    pd.testing.assert_frame_equal(
+        got, con.execute(TWA_SQL).df(), check_dtype=False
+    )
