@@ -404,6 +404,7 @@ BENCH_QUERIES = [
     "embeddings_silhouette",
     "docs_bpe_token_counts",
     "graph_sssp",
+    "docs_length_percent_rank",
     "events_time_weighted_value",
     "orders_open_backlog",
     "events_type_entropy",

@@ -5476,6 +5476,107 @@ ORDER BY lang, n DESC, term
 """
 
 
+def docs_length_percent_rank(sf_dir: str):
+    """Exact grouped PERCENT_RANK at scale: each document's length
+    percentile WITHIN its language — the quantile-normalization step
+    that makes per-language quality scores comparable before mixing.
+
+    Scale shape: composing the proven global-ROW_NUMBER plan
+    (``assign_sequential_ids``: sampled range bins → count exchange →
+    driver prefix-sum of counts only → one co-locating exchange) over
+    the composite key ``lang_code · 2^20 + n_chars`` — fine-grained bins
+    stay BALANCED even though the language stratum itself is huge (a
+    lang-keyed exchange would put 1/5th of a 100 TB corpus in one
+    bucket).  The in-language rank is the global rank minus the
+    language's base offset (a 5-row driver histogram); the percent rank
+    ``(rank−1)·10⁶ // (n−1)`` is then embarrassingly parallel integer
+    arithmetic (non-negative, so floor == DuckDB's truncating //)."""
+    from ..functions.groupby import bucketed_agg
+    from ..pipelines.curation import assign_sequential_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    langs = sorted(
+        bucketed_agg(
+            ds.map_batches(
+                lambda df: df[["lang"]].drop_duplicates(), batch_format="pandas"
+            ),
+            ["lang"],
+            {"n": ("lang", "size")},
+        ).to_pandas()["lang"]
+    )
+    code = {l: i for i, l in enumerate(langs)}
+    if int(ds.max("n_chars")) >= (1 << 20):
+        raise ValueError(
+            "docs_length_percent_rank: n_chars >= 2^20 breaks the "
+            "composite bin key; widen the shift"
+        )
+
+    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_lk"] = (
+            df["lang"].map(code).to_numpy(np.int64) * (1 << 20)
+            + df["n_chars"].to_numpy(np.int64)
+        )
+        return out
+
+    ranked = assign_sequential_ids(
+        ds.map_batches(with_key, batch_format="pandas"),
+        ["_lk", "doc_id"],
+        "_rank",
+    )
+    # per-lang sizes → base offsets in the global (lang, ...) order
+    sizes = (
+        bucketed_agg(
+            ds.map_batches(
+                lambda df: df["lang"].value_counts().rename_axis("lang")
+                .reset_index(name="n"),
+                batch_format="pandas",
+            ),
+            ["lang"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .set_index("lang")["n"]
+        .reindex(langs)
+        .to_numpy(np.int64)
+    )
+    base = np.r_[0, np.cumsum(sizes)[:-1]]
+    n_by_code = sizes
+
+    def pr_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["lang"].map(code).to_numpy(np.int64)
+        rk = df["_rank"].to_numpy(np.int64) - base[c]  # 1-based in-lang
+        n = n_by_code[c]
+        pr = np.where(n > 1, (rk - 1) * 1_000_000 // np.maximum(n - 1, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"],
+                "pr_ppm": pr.astype(np.int64),
+            }
+        )
+
+    return (
+        ranked.map_batches(pr_batch, batch_format="pandas")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
+LENGTH_PERCENT_RANK_SQL = """
+SELECT doc_id, lang,
+       CAST(CASE WHEN cnt = 1 THEN 0
+                 ELSE ((rn - 1) * 1000000) // (cnt - 1) END AS BIGINT)
+         AS pr_ppm
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
 def events_time_weighted_value(sf_dir: str):
     """EXACT per-user time-weighted average value (step-function
     integral: each event's value holds until the next event; TWA =
@@ -5986,6 +6087,7 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "docs_length_percent_rank": (docs_length_percent_rank, LENGTH_PERCENT_RANK_SQL),
     "events_time_weighted_value": (events_time_weighted_value, TWA_SQL),
     "orders_open_backlog": (orders_open_backlog, OPEN_BACKLOG_SQL),
     "events_type_entropy": (events_type_entropy, TYPE_ENTROPY_SQL),
