@@ -404,6 +404,7 @@ BENCH_QUERIES = [
     "embeddings_silhouette",
     "docs_bpe_token_counts",
     "graph_sssp",
+    "events_asof_next_purchase",
     "dedup_minhash_keep_best",
     "docs_length_percent_rank",
     "events_time_weighted_value",

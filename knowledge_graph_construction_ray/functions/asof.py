@@ -359,15 +359,24 @@ def asof_join(
     right_on: str,
     right_cols: Mapping[str, str],
     num_buckets: int = 64,
+    direction: str = "backward",
 ):
-    """Backward-inclusive as-of join of two Ray Datasets (LEFT-join
-    semantics: every left row survives; unmatched and null-``left_on``
-    rows carry null payload).
+    """As-of join of two Ray Datasets (LEFT-join semantics: every left
+    row survives; unmatched and null-``left_on`` rows carry null
+    payload).  ``direction``: ``"backward"`` (latest right ≤ left, the
+    default), ``"forward"`` (earliest right ≥ left — next-event
+    attribution), or ``"nearest"`` — a pure pass-through to the
+    per-bucket ``merge_asof``; the null-handling contract is
+    direction-independent (null right time/key rows are dropped at
+    source, masked left rows get their payload re-nulled by the restore
+    stage).
 
     ``right_cols``: {right column → output name} payload to attach (the
     output names must not collide with left columns).  Returns a Dataset
     with every left column plus the renamed payload columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     plan = _Plan(left_ds, right_ds, by, left_on, right_on, right_cols,
                  drop_null_left_time=False)
     by_, payload_dst = plan.by, plan.payload_dst
@@ -385,7 +394,7 @@ def asof_join(
             right.sort_values(_T, kind="mergesort"),
             on=_T,
             by=by_,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
         )
         return out.drop(columns=drop_out)

@@ -714,6 +714,47 @@ ORDER BY c.event_id
 """
 
 
+def events_asof_next_purchase(sf_dir: str):
+    """FORWARD as-of join: for each click, the same user's EARLIEST
+    purchase at or after it — next-event attribution, the conversion
+    companion to the backward ``events_asof_error``.  Same coarse-bucket
+    shuffle + per-bucket ``merge_asof`` plan with ``direction=
+    'forward'``; DuckDB has no forward ASOF keyword, so the oracle is
+    the equivalent windowed-min formulation."""
+    from ..functions.asof import asof_join
+
+    clicks = _events_side(sf_dir, "click", ["event_id", "ts", "user_id"])
+    buys = _events_side(sf_dir, "purchase", ["ts", "user_id", "value"])
+    out = asof_join(
+        clicks,
+        buys,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        right_cols={"ts": "next_buy_ts", "value": "next_buy_value"},
+        num_buckets=16,
+        direction="forward",
+    ).to_pandas()
+    out = out[["event_id", "user_id", "ts", "next_buy_ts", "next_buy_value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+EVENTS_ASOF_FWD_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT c.event_id, c.user_id, c.ts, p.ts AS next_buy_ts,
+         p.value AS next_buy_value,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts, p.value) AS rn
+  FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+)
+SELECT c.event_id, c.user_id, c.ts, m.next_buy_ts, m.next_buy_value
+FROM c LEFT JOIN m ON c.event_id = m.event_id AND m.rn = 1
+ORDER BY c.event_id
+"""
+
+
 def events_band_views(sf_dir: str):
     """Band (range) join: every view by the same user in the 12 h before
     each purchase — the attribution-window join, one (purchase, view) row
@@ -6162,6 +6203,7 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "events_asof_next_purchase": (events_asof_next_purchase, EVENTS_ASOF_FWD_SQL),
     "dedup_minhash_keep_best": (dedup_minhash_keep_best, DEDUP_KEEP_BEST_SQL),
     "docs_length_percent_rank": (docs_length_percent_rank, LENGTH_PERCENT_RANK_SQL),
     "events_time_weighted_value": (events_time_weighted_value, TWA_SQL),

@@ -1084,3 +1084,63 @@ def test_model_mention_detector_length_mismatch_raises(ray_session):
     )
     with _pytest.raises(ValueError, match="1:1"):
         det(batch)
+
+
+def test_asof_join_forward_and_nearest_match_bruteforce(ray_session):
+    """direction='forward' picks the EARLIEST right row with rt >= t;
+    'nearest' the minimal |rt - t| — both against per-row brute force
+    (unique rt per key, so tie-breaking cannot differ between arms)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200, dtype=np.int64),
+            "k": rng.randint(0, 10, 200).astype(np.int64),
+            "t": rng.randint(0, 1000, 200).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, 150).astype(np.int64),
+            "rt": rng.choice(1000, 150, replace=False).astype(np.int64),
+            "rv": rng.randn(150).round(3),
+        }
+    )
+
+    def run(direction):
+        return (
+            asof_join(
+                rd.from_pandas(left).repartition(4),
+                rd.from_pandas(right).repartition(3),
+                by="k", left_on="t", right_on="rt",
+                right_cols={"rt": "m_rt", "rv": "m_rv"},
+                num_buckets=4, direction=direction,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+
+    fwd = run("forward")
+    for row in fwd.itertuples():
+        cand = right[(right["k"] == row.k) & (right["rt"] >= row.t)]
+        if len(cand):
+            best = cand.loc[cand["rt"].idxmin()]
+            assert row.m_rt == best["rt"] and row.m_rv == best["rv"], row
+        else:
+            assert pd.isna(row.m_rt), row
+
+    near = run("nearest")
+    for row in near.itertuples():
+        cand = right[right["k"] == row.k]
+        if len(cand):
+            best = cand.loc[(cand["rt"] - row.t).abs().idxmin()]
+            assert row.m_rt == best["rt"], row
+        else:
+            assert pd.isna(row.m_rt), row
+
+    with pytest.raises(ValueError, match="direction"):
+        run("sideways")
