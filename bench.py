@@ -404,6 +404,8 @@ BENCH_QUERIES = [
     "embeddings_silhouette",
     "docs_bpe_token_counts",
     "graph_sssp",
+    "events_user_discovery",
+    "docs_lang_drift",
     "events_asof_next_purchase",
     "dedup_minhash_keep_best",
     "docs_length_percent_rank",

@@ -5592,6 +5592,154 @@ ORDER BY lang, n DESC, term
 """
 
 
+def events_user_discovery(sf_dir: str):
+    """Per-user discovery curve: the order in which each user first
+    encountered each event type — (user, k-th new type, first time) —
+    the new-item exposure sequence behind onboarding/recommendation
+    analyses.  Plan: per-batch (user, type) min-ts partials → one
+    users×types-bounded bucketed MIN exchange → one user-keyed exchange
+    of those SAME bounded rows → per-bucket rank by (first_ts, type).
+    Nothing event-count-sized crosses after the first combiner."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].to_numpy(),
+                "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+        return t.groupby(["user_id", "event_type"], as_index=False)["us"].min()
+
+    firsts = bucketed_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"us": ("us", "min")},
+    )
+
+    def rank_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_type"], kind="mergesort")
+        _, _, pos = _segments(df["user_id"])
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "k": pos.astype(np.int64) + 1,
+                "event_type": df["event_type"].to_numpy(),
+                "first_us": df["us"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        bucketed_groups(firsts, ["user_id"], rank_kernel)
+        .sort(["user_id", "k"])
+        .to_pandas()
+    )
+
+
+USER_DISCOVERY_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY first_us, event_type) AS BIGINT) AS k,
+       event_type, first_us
+FROM f ORDER BY user_id, k
+"""
+
+
+def docs_lang_drift(sf_dir: str):
+    """Categorical-distribution drift between two corpus snapshots: the
+    per-language share shift and the total-variation distance — the
+    monitoring check a continuously-refreshed corpus runs before
+    retraining.  Snapshot B is the deterministic derivation the
+    snapshot-diff operator uses (drop doc_id % 7, add copies of
+    doc_id % 13).  All arithmetic is EXACT cross-multiplied integers
+    (delta_ppm = (cB·NA − cA·NB)·10⁶ // (NA·NB), driver Python ints so
+    nothing wraps at any corpus size; negative values truncate like
+    DuckDB //); exchanges are lang-bounded count combiners."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        lang = df["lang"].to_numpy()
+        in_a = np.ones(len(df), dtype=bool)
+        in_b = ids % 7 != 0
+        added = ids % 13 == 0  # B additions (re-ingested copies)
+        t = pd.DataFrame(
+            {
+                "lang": np.concatenate([lang[in_a], lang[in_b], lang[added]]),
+                "side": np.concatenate(
+                    [np.zeros(int(in_a.sum()), np.int64),
+                     np.ones(int(in_b.sum()), np.int64),
+                     np.ones(int(added.sum()), np.int64)]
+                ),
+            }
+        )
+        g = t.groupby(["lang", "side"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    small = (
+        bucketed_agg(
+            ds.map_batches(counts, batch_format="pandas"),
+            ["lang", "side"],
+            {"n": ("n", "sum")},
+        ).to_pandas()  # bounded: langs × 2
+    )
+    piv = small.pivot_table(index="lang", columns="side", values="n",
+                            fill_value=0).rename(columns={0: "n_a", 1: "n_b"})
+    na = int(piv["n_a"].sum())
+    nb = int(piv["n_b"].sum())
+    rows = []
+    tv_num = 0
+    for lang in sorted(piv.index):
+        ca, cb = int(piv.loc[lang, "n_a"]), int(piv.loc[lang, "n_b"])
+        num = (cb * na - ca * nb) * 1_000_000
+        d = abs(num) // (na * nb)
+        rows.append((lang, ca, cb, d if num >= 0 else -d))
+        tv_num += abs(cb * na - ca * nb)
+    rows.append(("__TV__", na, nb, (tv_num * 1_000_000) // (2 * na * nb)))
+    return pd.DataFrame(
+        {
+            "lang": [r[0] for r in rows],
+            "n_a": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_b": pd.Series([r[2] for r in rows], dtype="int64"),
+            "delta_ppm": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+LANG_DRIFT_SQL = """
+WITH a AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n_a
+           FROM documents GROUP BY lang),
+b0 AS (SELECT lang FROM documents WHERE doc_id % 7 <> 0
+       UNION ALL
+       SELECT lang FROM documents WHERE doc_id % 13 = 0),
+b AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n_b FROM b0 GROUP BY lang),
+t AS (SELECT (SELECT SUM(n_a) FROM a) AS na, (SELECT SUM(n_b) FROM b) AS nb),
+j AS (SELECT a.lang, a.n_a, COALESCE(b.n_b, 0) AS n_b
+      FROM a LEFT JOIN b USING (lang)),
+rows_ AS (
+  SELECT j.lang, j.n_a, j.n_b,
+         ((j.n_b * t.na - j.n_a * t.nb) * 1000000) // (t.na * t.nb) AS delta_ppm
+  FROM j CROSS JOIN t
+  UNION ALL
+  SELECT '__TV__', t.na, t.nb,
+         (SUM(ABS(j.n_b * t.na - j.n_a * t.nb)) * 1000000) // (2 * t.na * t.nb)
+  FROM j CROSS JOIN t GROUP BY t.na, t.nb
+)
+SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(delta_ppm AS BIGINT) AS delta_ppm
+FROM rows_ ORDER BY lang
+"""
+
+
 def docs_length_percent_rank(sf_dir: str):
     """Exact grouped PERCENT_RANK at scale: each document's length
     percentile WITHIN its language — the quantile-normalization step
@@ -6203,6 +6351,8 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "events_user_discovery": (events_user_discovery, USER_DISCOVERY_SQL),
+    "docs_lang_drift": (docs_lang_drift, LANG_DRIFT_SQL),
     "events_asof_next_purchase": (events_asof_next_purchase, EVENTS_ASOF_FWD_SQL),
     "dedup_minhash_keep_best": (dedup_minhash_keep_best, DEDUP_KEEP_BEST_SQL),
     "docs_length_percent_rank": (docs_length_percent_rank, LENGTH_PERCENT_RANK_SQL),
