@@ -120,6 +120,81 @@ class FrameSampler:
         )
 
 
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → resize to (out_w, out_h) → re-encode.
+
+    Same contract as :class:`ImageFeatureExtractor`: ``decoder`` is the
+    injected extension point (None raises — PIL is not in this
+    container), ``encoder`` turns the resized array back into bytes
+    (default: raw row-major uint8 — a real deployment injects JPEG/PNG).
+    The resize itself is a real vectorized nearest-neighbor index_select
+    on the decoded array — only the codec is stubbed; actor lifecycle,
+    batch fan-through and the typed output schema are production
+    plumbing."""
+
+    def __init__(self, decoder: Callable | None = None, *, out_w: int = 4,
+                 out_h: int = 4, encoder: Callable | None = None):
+        if decoder is None:
+            raise NotImplementedError(
+                "image decode requires an image library not present in this "
+                "container; inject decoder=fake_image_decoder (tests) or a "
+                "PIL-based callable (production)"
+            )
+        self.decoder = decoder
+        self.out_w, self.out_h = out_w, out_h
+        self.encoder = encoder or (
+            lambda arr: arr.astype(np.uint8).tobytes()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, payloads = [], []
+        for ref, payload in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            pixels, meta = self.decoder(payload)
+            h, w = pixels.shape
+            # nearest-neighbor: index arithmetic, no image lib needed
+            ri = (np.arange(self.out_h) * h) // self.out_h
+            ci = (np.arange(self.out_w) * w) // self.out_w
+            resized = pixels[np.ix_(ri, ci)]
+            refs.append(ref)
+            payloads.append(self.encoder(resized))
+        n = len(refs)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": refs,
+                "width": [self.out_w] * n,
+                "height": [self.out_h] * n,
+                "payload": payloads,
+            },
+            schema=RESIZED_SCHEMA,
+        )
+
+
+def resize_images(media_ds, decoder=None, *, out_w: int = 4, out_h: int = 4,
+                  concurrency: int = 2, batch_size: int = 32):
+    """media table → resized payloads via actor pool (small batches:
+    binary payloads dominate memory)."""
+    return media_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"decoder": decoder, "out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def extract_image_features(media_ds, decoder=None, *, concurrency: int = 2,
                            batch_size: int = 32):
     """media table → image features via actor pool (small batches: binary

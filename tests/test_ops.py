@@ -127,6 +127,26 @@ def test_media_stub_pipeline(ray_session, fixture_corpus):
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor()  # decode stub is clearly marked
 
+    from knowledge_graph_construction_ray.stages.media import (
+        ImageResizer,
+        resize_images,
+    )
+
+    resized = resize_images(
+        ds, decoder=fake_image_decoder, out_w=4, out_h=4
+    ).to_pandas()
+    assert len(resized) == media.num_rows
+    assert set(resized.columns) == {"media_ref", "width", "height", "payload"}
+    assert (resized["width"] == 4).all() and (resized["height"] == 4).all()
+    assert all(len(p) == 16 for p in resized["payload"])  # 4x4 uint8
+    # nearest-neighbor picks exact source pixels: 8x8 fake-decoded tile,
+    # rows/cols 0,2,4,6
+    px, _ = fake_image_decoder(media.column("payload")[0].as_py())
+    want = px[np.ix_([0, 2, 4, 6], [0, 2, 4, 6])].astype(np.uint8).tobytes()
+    assert resized["payload"].iloc[0] == want
+    with pytest.raises(NotImplementedError):
+        ImageResizer()
+
 
 def test_ivf_topk_recalls_bruteforce(ray_session):
     import ray.data as rd
