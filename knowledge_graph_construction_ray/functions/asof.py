@@ -389,9 +389,15 @@ def asof_join(
         left, right = plan.split_sides(df)
         if not len(right) or not len(left):
             return plan.null_payload(left).drop(columns=drop_out)
+        # Tie-break equal right timestamps on the payload columns so the
+        # match is deterministic regardless of shuffle arrival order:
+        # forward picks the MIN payload tuple among equal-time rows,
+        # backward the MAX (merge_asof takes the first / last row in
+        # sorted order).  Without this, equal-ts right rows resolve in
+        # data order and the result flakes across runs.
         out = pd.merge_asof(
             left.drop(columns=payload_dst).sort_values(_T, kind="mergesort"),
-            right.sort_values(_T, kind="mergesort"),
+            right.sort_values([_T, *payload_dst], kind="mergesort"),
             on=_T,
             by=by_,
             direction=direction,

@@ -3580,6 +3580,28 @@ ORDER BY doc_id
 """
 
 
+def _apply_drop_set(sf_dir: str, drop: np.ndarray) -> pd.DataFrame:
+    """Broadcast a bounded drop-id set (``ray.put`` once) and stream the
+    corpus through one ``np.isin`` filter — the shared removal stage of
+    every dedup policy (min-id rep, keep-best, ...).  No join, no
+    shuffle; the surviving id column sorts for the deterministic
+    oracle compare."""
+    import ray
+
+    drop_ref = ray.put(drop)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids[~np.isin(ids, ray.get(drop_ref))]})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(keep, batch_format="pandas")
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+
 def dedup_minhash_apply(sf_dir: str):
     """End-to-end near-dup REMOVAL — the composition a user actually
     runs: MinHash/LSH clustering → keep each cluster's representative
@@ -3594,27 +3616,13 @@ def dedup_minhash_apply(sf_dir: str):
     instead (the ``customers_without_orders`` plan).  Oracle: NOT IN
     against the same golden cluster parquet the clustering query is
     checked with."""
-    import ray
-
     # the cluster table comes from the SAME query the golden parquet
     # checks — one tuning surface, no drift between the two oracles
     clusters = dedup_minhash(sf_dir)
     drop = clusters.loc[
         clusters["doc_id"] != clusters["cluster_rep"], "doc_id"
     ].to_numpy(np.int64)
-    drop_ref = ray.put(drop)
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        mask = ~np.isin(ids, ray.get(drop_ref))
-        return pd.DataFrame({"doc_id": ids[mask]})
-
-    return (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(keep, batch_format="pandas")
-        .sort("doc_id")
-        .to_pandas()
-    )
+    return _apply_drop_set(sf_dir, drop)
 
 
 DEDUP_MINHASH_APPLY_SQL = """
@@ -3669,18 +3677,7 @@ def dedup_minhash_keep_best(sf_dir: str):
         .to_numpy(np.int64)
     )
     drop = np.setdiff1d(cl_ids, best)
-    drop_ref = ray.put(drop)
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        return pd.DataFrame({"doc_id": ids[~np.isin(ids, ray.get(drop_ref))]})
-
-    return (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(keep, batch_format="pandas")
-        .sort("doc_id")
-        .to_pandas()
-    )
+    return _apply_drop_set(sf_dir, drop)
 
 
 DEDUP_KEEP_BEST_SQL = """
@@ -5759,15 +5756,25 @@ def docs_length_percent_rank(sf_dir: str):
     from ..pipelines.curation import assign_sequential_ids
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    langs = sorted(
+    # ONE per-lang value_counts exchange provides both the sorted lang
+    # list (code assignment) and the stratum sizes (base offsets below)
+    # — a separate distinct-langs pass would re-scan the corpus for a
+    # 5-row result.
+    lang_counts = (
         bucketed_agg(
             ds.map_batches(
-                lambda df: df[["lang"]].drop_duplicates(), batch_format="pandas"
+                lambda df: df["lang"].value_counts().rename_axis("lang")
+                .reset_index(name="n"),
+                batch_format="pandas",
             ),
             ["lang"],
-            {"n": ("lang", "size")},
-        ).to_pandas()["lang"]
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .set_index("lang")["n"]
+        .sort_index()
     )
+    langs = list(lang_counts.index)
     code = {l: i for i, l in enumerate(langs)}
     if int(ds.max("n_chars")) >= (1 << 20):
         raise ValueError(
@@ -5789,21 +5796,7 @@ def docs_length_percent_rank(sf_dir: str):
         "_rank",
     )
     # per-lang sizes → base offsets in the global (lang, ...) order
-    sizes = (
-        bucketed_agg(
-            ds.map_batches(
-                lambda df: df["lang"].value_counts().rename_axis("lang")
-                .reset_index(name="n"),
-                batch_format="pandas",
-            ),
-            ["lang"],
-            {"n": ("n", "sum")},
-        )
-        .to_pandas()
-        .set_index("lang")["n"]
-        .reindex(langs)
-        .to_numpy(np.int64)
-    )
+    sizes = lang_counts.to_numpy(np.int64)
     base = np.r_[0, np.cumsum(sizes)[:-1]]
     n_by_code = sizes
 
@@ -5943,7 +5936,7 @@ def orders_open_backlog(sf_dir: str):
     combiner exchange → driver sort + cumsum over ≤ date-range rows.
     Nothing corpus-sized touches the driver; the only all-to-all is the
     key-bounded max combine and the join."""
-    from ..functions.groupby import bucketed_agg
+    from ..functions.groupby import bucketed_agg, scrub_empty_blocks
     from ..stages.dedupe import _default_join_partitions
 
     D = 86_400_000_000
@@ -5959,10 +5952,16 @@ def orders_open_backlog(sf_dir: str):
         )
         return t.groupby("l_orderkey", as_index=False)["shipday"].max()
 
-    closes = bucketed_agg(
-        li.map_batches(ship_partial, batch_format="pandas"),
-        ["l_orderkey"],
-        {"shipday": ("shipday", "max")},
+    # bucketed_agg's map_groups can emit schema-less all-empty blocks
+    # when distinct keys < output partitions; scrub before the native
+    # join (same barrier j7_full_outer_activity uses — the aggregate is
+    # per-order, small).
+    closes = scrub_empty_blocks(
+        bucketed_agg(
+            li.map_batches(ship_partial, batch_format="pandas"),
+            ["l_orderkey"],
+            {"shipday": ("shipday", "max")},
+        )
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
@@ -6046,6 +6045,12 @@ def events_type_entropy(sf_dir: str):
         ["event_type", "hr"],
         {"n": ("n", "sum")},
     ).to_pandas()  # bounded: types × 24 rows
+    # Sort by hr inside each type so the float Σ n·ln n is summed in a
+    # FIXED order — the exchange's output order is run-dependent and
+    # float addition is not associative.  Residual oracle risk (numpy
+    # log/sum vs DuckDB LN/SUM within ~1 ulp of a 6-decimal rounding
+    # boundary) is O(1e-10) per value and accepted.
+    counts = counts.sort_values(["event_type", "hr"], kind="mergesort")
     rows = []
     for et, sub in counts.groupby("event_type", sort=True):
         n = sub["n"].to_numpy(np.int64).astype(np.float64)
@@ -6109,7 +6114,12 @@ def corpus_vocab_growth(sf_dir: str):
         )
 
     small = firsts.map_batches(decile_partial, batch_format="pandas").to_pandas()
-    per = small.groupby("decile", sort=True)["n"].sum()
+    if small.empty or "decile" not in small.columns:
+        # token-free corpus: map_batches never ran (empty blocks carry no
+        # schema) — the oracle still returns 10 rows of vocab_size 0
+        per = pd.Series(np.zeros(10, np.int64), index=np.arange(1, 11))
+    else:
+        per = small.groupby("decile", sort=True)["n"].sum()
     return pd.DataFrame(
         {
             "decile": per.index.to_numpy(np.int64),

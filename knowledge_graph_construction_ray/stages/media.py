@@ -183,12 +183,14 @@ class ImageResizer:
 
 
 def resize_images(media_ds, decoder=None, *, out_w: int = 4, out_h: int = 4,
-                  concurrency: int = 2, batch_size: int = 32):
+                  encoder=None, concurrency: int = 2, batch_size: int = 32):
     """media table → resized payloads via actor pool (small batches:
-    binary payloads dominate memory)."""
+    binary payloads dominate memory).  ``encoder`` is the codec
+    injection point (JPEG/PNG in production; raw uint8 bytes default)."""
     return media_ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs={"decoder": decoder, "out_w": out_w, "out_h": out_h},
+        fn_constructor_kwargs={"decoder": decoder, "out_w": out_w,
+                               "out_h": out_h, "encoder": encoder},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1164,3 +1164,72 @@ def test_asof_join_forward_and_nearest_match_bruteforce(ray_session):
 
     with pytest.raises(ValueError, match="direction"):
         run("sideways")
+
+
+def test_asof_join_equal_ts_ties_deterministic(ray_session):
+    """Equal right timestamps resolve by payload order, independent of
+    shuffle arrival: forward picks the MIN payload tuple among equal-ts
+    rows, backward the MAX (the per-bucket sort tie-breaks on payload,
+    so merge_asof's first/last-in-order pick is data-order-free)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.asof import asof_join
+
+    left = pd.DataFrame(
+        {"lid": np.arange(4, dtype=np.int64),
+         "k": np.zeros(4, dtype=np.int64),
+         "t": np.array([5, 10, 15, 20], dtype=np.int64)}
+    )
+    # three right rows at the SAME ts=10, distinct payloads, plus one at 18;
+    # shuffle the input row order to make arrival order non-sorted
+    right = pd.DataFrame(
+        {"k": np.zeros(4, dtype=np.int64),
+         "rt": np.array([10, 10, 10, 18], dtype=np.int64),
+         "rv": np.array([7.0, 3.0, 5.0, 1.0])}
+    ).sample(frac=1.0, random_state=3)
+
+    def run(direction):
+        return (
+            asof_join(
+                rd.from_pandas(left).repartition(2),
+                rd.from_pandas(right).repartition(3),
+                by="k", left_on="t", right_on="rt",
+                right_cols={"rv": "m_rv"},
+                num_buckets=2, direction=direction,
+            )
+            .to_pandas()
+            .sort_values("lid")["m_rv"]
+            .tolist()
+        )
+
+    # forward: t=5,10 match ts=10 → min rv=3.0; t=15 → 1.0; t=20 → null
+    fwd = run("forward")
+    assert fwd[:3] == [3.0, 3.0, 1.0] and pd.isna(fwd[3])
+    # backward: t=10,15 match ts=10 → max rv=7.0; t=20 → 1.0; t=5 → null
+    bwd = run("backward")
+    assert pd.isna(bwd[0]) and bwd[1:] == [7.0, 7.0, 1.0]
+
+
+def test_resize_images_encoder_injection(ray_session):
+    """The encoder= codec injection point is reachable from the public
+    resize_images helper (not just the actor class)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.media import (
+        fake_image_decoder,
+        resize_images,
+    )
+
+    media = pa.table(
+        {"media_ref": ["m0", "m1"],
+         "payload": [b"\x01\x02\x03\x04", b"\x09\x08\x07\x06"]}
+    )
+    out = resize_images(
+        rd.from_arrow(media),
+        decoder=fake_image_decoder,
+        out_w=2, out_h=2,
+        encoder=lambda arr: b"ENC" + arr.astype(np.uint8).tobytes(),
+    ).to_pandas()
+    assert len(out) == 2
+    assert all(p.startswith(b"ENC") and len(p) == 7 for p in out["payload"])
