@@ -681,6 +681,14 @@ def write_goldens(sf_dir: str = GOLDEN_SF_DIR, force: bool = False) -> str:
         fixture_triples_golden(),
         os.path.join(GOLDEN_DIR, "fixture_triples.parquet"),
     )
+    from .fixtures import generate_corpus
+
+    # the RAW span corpus (not a computed result) — the span-bigram
+    # oracle does its own unnest/self-join work in SQL over this file
+    _atomic_write(
+        generate_corpus(),
+        os.path.join(GOLDEN_DIR, "span_corpus.parquet"),
+    )
     _atomic_write(
         pa.Table.from_pandas(label_counts_golden(), preserve_index=False),
         os.path.join(GOLDEN_DIR, "label_counts.parquet"),

@@ -6351,6 +6351,214 @@ FROM lineitem"""
 ) + " ORDER BY col_x, col_y"
 
 
+def corpus_zipf_profile(sf_dir: str, k: int = 50):
+    """Zipf rank-frequency head: the top-k terms with rank and CUMULATIVE
+    corpus-coverage ppm — the curve vocab-size and stopword-list
+    decisions read (how much of the token stream the head covers).
+    Per-batch value_counts partials → one vocab-bounded bucketed SUM
+    exchange, materialized ONCE and consumed twice (the no-shuffle
+    ``local_topk`` combiner + a scalar total-token sum — re-running the
+    corpus scan for the second consumer would double the read); the
+    rank / cumulative arithmetic is k driver rows of exact int64
+    (ppm = cum·10⁶ // total, non-negative so floor == SQL's //)."""
+    from ..functions.groupby import bucketed_agg, local_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"term": vc.index, "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["term"],
+        {"n": ("n", "sum")},
+    ).materialize()  # the wordcount table: vocab-bounded, not corpus-bounded
+    total = int(counts.sum("n"))
+    head = local_topk(
+        counts, ["n", "term"], k, descending=[True, False]
+    ).reset_index(drop=True)
+    cum = head["n"].to_numpy(np.int64).cumsum()
+    return pd.DataFrame(
+        {
+            "term": head["term"],
+            "rank": np.arange(1, len(head) + 1, dtype=np.int64),
+            "n": head["n"].to_numpy(np.int64),
+            "cum_ppm": cum * 1_000_000 // total,
+        }
+    )
+
+
+ZIPF_PROFILE_SQL = r"""
+WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY term),
+tot AS (SELECT SUM(n) AS t FROM c)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING)
+            * 1000000 // tot.t AS BIGINT) AS cum_ppm
+FROM c CROSS JOIN tot ORDER BY n DESC, term LIMIT 50
+"""
+
+
+def docs_prefix_clusters(sf_dir: str, n_tokens: int = 4):
+    """Boilerplate-prefix detector: groups of documents sharing their
+    first ``n_tokens`` whitespace tokens — the cheap template/header
+    report run before the heavier shingle passes (crawl boilerplate
+    clusters on an identical opening line).  Per-batch (prefix → count,
+    min doc_id) partials → one prefix-bounded combiner exchange → a ≥ 2
+    filter; output is bounded by the distinct duplicated prefixes,
+    never corpus rows."""
+    from ..functions.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                # list-slice + join mirrors the SQL's 1-based inclusive
+                # [1:n] slice; ''.split() → [] → join '' matches DuckDB's
+                # [''] → '' on whitespace-only text
+                "prefix": df["text"].str.split().str[:n_tokens].str.join(" "),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
+        )
+        return t.groupby("prefix", as_index=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min")
+        )
+
+    agg = bucketed_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["prefix"],
+        {"n_docs": ("n_docs", "sum"), "first_doc": ("first_doc", "min")},
+    )
+    out = agg.map_batches(
+        lambda df: df[df["n_docs"] >= 2], batch_format="pandas"
+    )
+    return out.sort("prefix").to_pandas()
+
+
+PREFIX_CLUSTERS_SQL = r"""
+WITH p AS (SELECT doc_id,
+                  array_to_string(
+                      (string_split_regex(trim(text), '\s+'))[1:4], ' '
+                  ) AS prefix
+           FROM documents)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM p GROUP BY prefix HAVING COUNT(*) >= 2 ORDER BY prefix
+"""
+
+
+_POW10 = np.power(10, np.arange(1, 19), dtype=np.int64)
+
+
+def events_interarrival_digits(sf_dir: str):
+    """Order-of-magnitude inter-arrival profile: per event type, a
+    histogram of consecutive SAME-TYPE same-user gaps bucketed by the
+    decimal digit count of the whole-second gap — the latency-histogram
+    shape behind arrival-rate / bot-cadence monitoring, exact at any
+    scale because the bucket is integer (a powers-of-10 searchsorted ==
+    the SQL's LENGTH(CAST(gap AS VARCHAR)), no float log).  Per-user
+    segments sort inside one user-bucketed exchange; what crosses the
+    final exchange is types × ≤19 histogram rows per bucket."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        es = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["event_type"].to_numpy()
+        newseg = np.r_[True, (u[1:] != u[:-1]) | (t[1:] != t[:-1])]
+        keep = ~newseg  # rows with a same-(user, type) predecessor
+        gap_s = (es - np.r_[0, es[:-1]])[keep] // 1_000_000
+        digits = (np.searchsorted(_POW10, gap_s, side="right") + 1).astype(np.int64)
+        h = pd.DataFrame({"event_type": t[keep], "digits": digits})
+        return h.groupby(["event_type", "digits"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = bucketed_groups(ds, ["user_id"], kernel)
+    return (
+        bucketed_agg(parts, ["event_type", "digits"], {"n": ("n", "sum")})
+        .sort(["event_type", "digits"])
+        .to_pandas()
+    )
+
+
+INTERARRIVAL_DIGITS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id))
+         // 1000000 AS gap_s
+  FROM events)
+SELECT event_type,
+       CAST(LENGTH(CAST(gap_s AS VARCHAR)) AS BIGINT) AS digits,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def kg_span_modality_bigrams(sf_dir: str):
+    """Interleaved-structure profile over the span corpus: counts of
+    consecutive (kind → kind) span transitions per document — the
+    modality-layout fingerprint of an interleaved text+media corpus
+    (how often media interrupts text, which fields adjoin; reference
+    layout: IMK data loaders' per-record field order).  Vectorized
+    Arrow kernel: flatten the list<struct> kinds once per batch, mask
+    each document's LAST span via the list lengths, pair every
+    remaining span with its flat successor — no per-row Python.
+    Independent oracle: a DuckDB unnest-with-subscripts self-join over
+    the raw corpus parquet (not a precomputed result)."""
+    from ..fixtures import generate_corpus
+    from ..functions.groupby import bucketed_agg
+    from ..sources.readers import from_arrow_docs
+
+    docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        spans = batch.column("spans").combine_chunks()
+        kinds = pc.list_flatten(spans).field("kind").to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        ends = np.cumsum(lengths)
+        mask = np.ones(len(kinds), dtype=bool)
+        mask[ends[lengths > 0] - 1] = False  # last span of each doc
+        a_idx = np.flatnonzero(mask)
+        t = pd.DataFrame({"kind_a": kinds[a_idx], "kind_b": kinds[a_idx + 1]})
+        return t.groupby(["kind_a", "kind_b"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    return (
+        bucketed_agg(
+            docs.map_batches(pairs, batch_format="pyarrow"),
+            ["kind_a", "kind_b"],
+            {"n": ("n", "sum")},
+        )
+        .sort(["kind_a", "kind_b"])
+        .to_pandas()
+    )
+
+
+SPAN_BIGRAMS_SQL = """
+WITH s AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS ord,
+         unnest(spans, recursive := true)
+  FROM read_parquet('/tmp/kg_oracle_golden/span_corpus.parquet')
+)
+SELECT a.kind AS kind_a, b.kind AS kind_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -6361,6 +6569,12 @@ QUERIES: dict[str, tuple] = {
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
     # unchanged entries already green in CORRECTNESS_r03.json.
+    "corpus_zipf_profile": (corpus_zipf_profile, ZIPF_PROFILE_SQL),
+    "docs_prefix_clusters": (docs_prefix_clusters, PREFIX_CLUSTERS_SQL),
+    "events_interarrival_digits": (
+        events_interarrival_digits, INTERARRIVAL_DIGITS_SQL,
+    ),
+    "kg_span_modality_bigrams": (kg_span_modality_bigrams, SPAN_BIGRAMS_SQL),
     "events_user_discovery": (events_user_discovery, USER_DISCOVERY_SQL),
     "docs_lang_drift": (docs_lang_drift, LANG_DRIFT_SQL),
     "events_asof_next_purchase": (events_asof_next_purchase, EVENTS_ASOF_FWD_SQL),

@@ -1268,3 +1268,88 @@ def test_time_weighted_value_hand_computed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, con.execute(TWA_SQL).df(), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: span-modality bigrams, digit buckets, zipf coverage
+# ---------------------------------------------------------------------------
+
+
+def test_span_bigram_kernel_edge_cases(ray_session):
+    """The Arrow offsets-mask pairing handles empty span lists and
+    single-span docs (neither contributes a pair) and never pairs across
+    document boundaries."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.functions.groupby import bucketed_agg
+    from knowledge_graph_construction_ray.query.relational import (
+        kg_span_modality_bigrams,  # noqa: F401  (import sanity)
+    )
+
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+
+    def sp(kind):
+        return {"kind": kind, "text": "x", "media_ref": "", "offset": 0}
+
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "spans": pa.array(
+                [
+                    [sp("t"), sp("m"), sp("t")],  # pairs: (t,m), (m,t)
+                    [],                            # no pairs
+                    [sp("m")],                     # no pairs
+                    [sp("t"), sp("t")],            # pair: (t,t)
+                ],
+                type=pa.list_(span_t),
+            ),
+        }
+    )
+    # reuse the query's kernel via a tiny inline pipeline over this table
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        spans = batch.column("spans").combine_chunks()
+        kinds = pc.list_flatten(spans).field("kind").to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        ends = np.cumsum(lengths)
+        mask = np.ones(len(kinds), dtype=bool)
+        mask[ends[lengths > 0] - 1] = False
+        a_idx = np.flatnonzero(mask)
+        t = pd.DataFrame({"kind_a": kinds[a_idx], "kind_b": kinds[a_idx + 1]})
+        return t.groupby(["kind_a", "kind_b"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    out = (
+        bucketed_agg(
+            rd.from_arrow(docs).map_batches(pairs, batch_format="pyarrow"),
+            ["kind_a", "kind_b"],
+            {"n": ("n", "sum")},
+        )
+        .sort(["kind_a", "kind_b"])
+        .to_pandas()
+    )
+    want = pd.DataFrame(
+        {"kind_a": ["m", "t", "t"], "kind_b": ["t", "m", "t"],
+         "n": np.array([1, 1, 1], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_interarrival_digit_bucket_matches_string_length():
+    """The powers-of-10 searchsorted digit bucket == decimal-string
+    length for every boundary-adjacent value (no float log involved)."""
+    from knowledge_graph_construction_ray.query.relational import _POW10
+
+    vals = np.array(
+        [0, 1, 9, 10, 11, 99, 100, 101, 999, 1000, 10**6 - 1, 10**6,
+         10**12, 10**17, 10**18 - 1],
+        dtype=np.int64,
+    )
+    digits = np.searchsorted(_POW10, vals, side="right") + 1
+    assert digits.tolist() == [len(str(int(v))) for v in vals]
