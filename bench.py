@@ -419,6 +419,10 @@ BENCH_QUERIES = [
     "lineitem_part_pairs",
     "events_rolling_dau",
     "docs_top_terms_by_lang",
+    "corpus_zipf_profile",
+    "docs_prefix_clusters",
+    "events_interarrival_digits",
+    "kg_span_modality_bigrams",
 ]
 
 
