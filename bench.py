@@ -423,6 +423,7 @@ BENCH_QUERIES = [
     "docs_prefix_clusters",
     "events_interarrival_digits",
     "kg_span_modality_bigrams",
+    "kg_span_integrity",
 ]
 
 

@@ -6559,6 +6559,83 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def kg_span_integrity(sf_dir: str):
+    """Span-sequence integrity audit — the north-rule per-row invariant
+    (kind, text, media_ref, order) as a first-class distributed check:
+    per span kind, total spans, spans carrying a media_ref (the
+    media_ref-aware alignment contract: media spans reference payloads,
+    field spans don't), and in-document OFFSET regressions (a span whose
+    offset does not advance past its predecessor — re-anchored clause
+    spans in the fixture legitimately regress, so the count is a data
+    profile, not an assertion).  Same zero-copy flatten+offsets-mask
+    plan as the bigram profile; per-batch kind-bounded partials → one
+    combiner exchange.  Oracle: independent DuckDB LAG over the raw
+    span-corpus parquet."""
+    from ..fixtures import generate_corpus
+    from ..functions.groupby import bucketed_agg
+    from ..sources.readers import from_arrow_docs
+
+    docs = from_arrow_docs(generate_corpus(), override_num_blocks=8)
+
+    def audit(batch: pa.Table) -> pd.DataFrame:
+        spans = batch.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        refs = pd.Series(flat.field("media_ref").to_numpy(zero_copy_only=False))
+        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lengths = lengths.astype(np.int64)
+        starts = np.cumsum(lengths) - lengths
+        first = np.zeros(len(kinds), dtype=bool)
+        first[starts[lengths > 0]] = True
+        prev = np.r_[np.int64(0), offs[:-1]]
+        t = pd.DataFrame(
+            {
+                "kind": kinds,
+                "m": refs.fillna("").ne("").to_numpy().astype(np.int64),
+                "r": ((~first) & (offs <= prev)).astype(np.int64),
+            }
+        )
+        return t.groupby("kind", as_index=False).agg(
+            n_spans=("kind", "size"),
+            n_media_ref=("m", "sum"),
+            n_offset_regr=("r", "sum"),
+        )
+
+    return (
+        bucketed_agg(
+            docs.map_batches(audit, batch_format="pyarrow"),
+            ["kind"],
+            {
+                "n_spans": ("n_spans", "sum"),
+                "n_media_ref": ("n_media_ref", "sum"),
+                "n_offset_regr": ("n_offset_regr", "sum"),
+            },
+        )
+        .sort("kind")
+        .to_pandas()
+    )
+
+
+SPAN_INTEGRITY_SQL = """
+WITH s0 AS (
+  SELECT doc_id, generate_subscripts(spans, 1) AS ord,
+         unnest(spans, recursive := true)
+  FROM read_parquet('/tmp/kg_oracle_golden/span_corpus.parquet')
+),
+s AS (SELECT doc_id, ord, kind, media_ref, "offset" AS off FROM s0),
+w AS (SELECT *, LAG(off) OVER (PARTITION BY doc_id ORDER BY ord) AS prev_off
+      FROM s)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN media_ref IS NOT NULL AND media_ref <> ''
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_media_ref,
+       CAST(SUM(CASE WHEN prev_off IS NOT NULL AND off <= prev_off
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_offset_regr
+FROM w GROUP BY kind ORDER BY kind
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry consumed by __ray_entry__
 # ---------------------------------------------------------------------------
@@ -6575,6 +6652,7 @@ QUERIES: dict[str, tuple] = {
         events_interarrival_digits, INTERARRIVAL_DIGITS_SQL,
     ),
     "kg_span_modality_bigrams": (kg_span_modality_bigrams, SPAN_BIGRAMS_SQL),
+    "kg_span_integrity": (kg_span_integrity, SPAN_INTEGRITY_SQL),
     "events_user_discovery": (events_user_discovery, USER_DISCOVERY_SQL),
     "docs_lang_drift": (docs_lang_drift, LANG_DRIFT_SQL),
     "events_asof_next_purchase": (events_asof_next_purchase, EVENTS_ASOF_FWD_SQL),
