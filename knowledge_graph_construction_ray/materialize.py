@@ -56,20 +56,21 @@ def _edges_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def finalize_nodes(merged_elements: "Dataset") -> "Dataset":
-    """Deduped elements → sorted nodes table (label, name, props-json)."""
-    return (
-        merged_elements.map_batches(_nodes_batch, batch_format="pyarrow")
-        .sort(["label", "name"])
-    )
+def finalize_nodes(merged_elements: "Dataset", *, assume_sorted: bool = False) -> "Dataset":
+    """Deduped elements → sorted nodes table (label, name, props-json).
+
+    ``assume_sorted=True`` skips the Sort exchange: the upstream
+    ``merge_elements_sorted`` plan already emits blocks globally ordered
+    by ``merge_key`` (sort-faithful to ``(label, name)`` within nodes),
+    and the split projection below preserves block order."""
+    nodes = merged_elements.map_batches(_nodes_batch, batch_format="pyarrow")
+    return nodes if assume_sorted else nodes.sort(["label", "name"])
 
 
-def finalize_edges(merged_elements: "Dataset") -> "Dataset":
+def finalize_edges(merged_elements: "Dataset", *, assume_sorted: bool = False) -> "Dataset":
     """Deduped elements → sorted edges table (5-tuple)."""
-    return (
-        merged_elements.map_batches(_edges_batch, batch_format="pyarrow")
-        .sort(list(EDGES_SCHEMA.names))
-    )
+    edges = merged_elements.map_batches(_edges_batch, batch_format="pyarrow")
+    return edges if assume_sorted else edges.sort(list(EDGES_SCHEMA.names))
 
 
 def _triples_batch(batch: pa.Table) -> pa.Table:

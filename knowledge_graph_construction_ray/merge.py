@@ -197,6 +197,113 @@ def merge_elements(
     return folded.map_batches(_normalize_schema, batch_format="pandas")
 
 
+def _fold_bucket_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        fold_frame(df)
+        .sort_values("merge_key", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def _sample_key_bounds(combined: "Dataset", num_buckets: int) -> list:
+    """Range-partition cut points over ``merge_key`` from a bounded
+    per-block sample: ≤64 evenly-spaced keys per block reach the driver
+    (block-count-bounded, never row-bounded), the sorted sample's
+    quantiles become ``searchsorted`` boundaries — the same discipline as
+    ``pipelines.curation._sample_boundaries``.  Boundary placement only
+    decides WHERE a key's bucket sits, never the fold or the final order,
+    so sampling noise cannot change the output."""
+    import numpy as np
+
+    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"merge_key": pd.Series(dtype=object)})
+        take = np.unique(
+            np.linspace(0, len(df) - 1, num=min(len(df), 64)).astype(int)
+        )
+        return pd.DataFrame({"merge_key": df["merge_key"].to_numpy()[take]})
+
+    sample = np.sort(
+        combined.map_batches(sample_keys, batch_format="pandas")
+        .to_pandas()["merge_key"]
+        .to_numpy(),
+        kind="stable",
+    )
+    if not len(sample):
+        return []
+    cuts = np.linspace(0, len(sample) - 1, num=num_buckets + 1).astype(int)[1:-1]
+    return np.unique(sample[cuts]).tolist()
+
+
+def merge_elements_sorted(
+    elements: "Dataset",
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salted: bool = False,
+) -> "Dataset":
+    """:func:`merge_elements` with the shuffle keyed on merge_key RANGES
+    instead of hashes, so the fold output comes back GLOBALLY ORDERED by
+    ``merge_key`` and the sorted materialization (T3) needs no further
+    exchange — the headline plan drops from three all-to-alls (merge
+    groupby + nodes Sort + edges Sort) to ONE.
+
+    Why the order holds: Ray's sort-based groupby emits groups in key
+    order with within-group order preserved (pinned by the old-vs-new
+    parity test, not assumed), bucket ids ascend with key ranges by
+    construction, and each bucket sorts its own rows by ``merge_key``
+    after folding.  ``merge_key`` is sort-faithful to the materialize
+    orders — ``N\\x1flabel\\x1fname`` vs nodes' ``(label, name)`` and
+    ``E\\x1f``-joined 5-tuple vs EDGES_SCHEMA order — because the
+    ``\\x1f`` separator is below every printable/CJK code point, so
+    lexicographic key order equals tuple order (a name containing raw
+    C0 control chars < 0x1f could reorder WITHIN its key's neighborhood;
+    no reference source emits them).
+
+    Cost shape at scale: the combiner partials are materialized once
+    (object-store resident, spillable) to sample boundaries without
+    re-running the upstream extract — exactly what ``Dataset.sort``
+    does internally before ITS range exchange, so this is never an
+    extra pin versus the plan it replaces."""
+    def combine_only(df: pd.DataFrame) -> pd.DataFrame:
+        df = fold_frame(df)  # local combiner: pre-shuffle partial fold
+        if salted:
+            df = df.copy()
+            df["salt"] = df["seq"].to_numpy() % 16
+        return df
+
+    combined = elements.map_batches(
+        combine_only, batch_format="pandas"
+    ).materialize()
+    bounds = _sample_key_bounds(combined, num_buckets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.copy()
+        df["bucket"] = (
+            np.searchsorted(bounds, df["merge_key"].to_numpy(), side="right")
+            if bounds
+            else np.zeros(len(df), dtype=np.int64)
+        )
+        return df
+
+    bucketed = combined.map_batches(assign, batch_format="pandas")
+    if salted:
+        stage1 = bucketed.groupby(["bucket", "salt"]).map_groups(
+            _fold_bucket, batch_format="pandas"
+        )
+        folded = stage1.groupby("bucket").map_groups(
+            _fold_bucket_sorted, batch_format="pandas"
+        )
+        folded = folded.drop_columns(["bucket", "salt"])
+    else:
+        folded = bucketed.groupby("bucket").map_groups(
+            _fold_bucket_sorted, batch_format="pandas"
+        )
+        folded = folded.drop_columns(["bucket"])
+    return folded.map_batches(_normalize_schema, batch_format="pandas")
+
+
 def _normalize_schema(df: pd.DataFrame):
     """Pin the output to ELEMENTS_SCHEMA — buckets containing only nodes
     (or only edges) would otherwise infer null-typed Arrow columns for the

@@ -20,7 +20,7 @@ from ..materialize import (
     finalize_edges,
     finalize_nodes,
 )
-from ..merge import merge_elements
+from ..merge import merge_elements, merge_elements_sorted
 from ..stages.records import extract_elements
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -43,6 +43,7 @@ def build_graph(
     salted: bool = False,
     canonicalize: bool = False,
     batch_size: int = EXTRACT_BATCH_SIZE,
+    sort_strategy: str = "range_merge",
 ):
     """Full pipeline → (nodes Dataset, edges Dataset), both sorted.
 
@@ -50,20 +51,59 @@ def build_graph(
     clustering (D5) and remaps node names and both edge endpoints; the
     default is off to match the reference's emitted graph exactly
     (canonicalization is the reference's *planned* alias stage —
-    Documents/2.16优化汇总.md:98)."""
-    merged = merge_elements(
-        extract(docs, batch_size), num_buckets=num_buckets, salted=salted
-    )
-    if canonicalize:
-        from ..stages.link import canonicalize_elements
+    Documents/2.16优化汇总.md:98).
 
-        merged = canonicalize_elements(
-            merged, num_buckets=num_buckets, salted=salted
-        )
-    # the deduped graph is the final result set — pin it once so the nodes
-    # and edges consumers don't re-run the extract+shuffle lineage twice
-    merged = merged.materialize()
-    return finalize_nodes(merged), finalize_edges(merged)
+    ``sort_strategy``: ``"range_merge"`` (default) keys the merge shuffle
+    on merge_key RANGES so the fold output is already globally ordered
+    and T3 costs zero extra exchanges; ``"post_sort"`` is the original
+    hash-bucket merge + two explicit Sorts (kept as the parity oracle
+    and for the canonicalize path, which remaps names AFTER the merge
+    and so invalidates the pre-established order)."""
+    _, nodes, edges = merge_and_finalize(
+        extract(docs, batch_size),
+        num_buckets=num_buckets,
+        salted=salted,
+        canonicalize=canonicalize,
+        sort_strategy=sort_strategy,
+    )
+    return nodes, edges
+
+
+def merge_and_finalize(
+    elements: "Dataset",
+    *,
+    num_buckets: int = 64,
+    salted: bool = False,
+    canonicalize: bool = False,
+    sort_strategy: str = "range_merge",
+):
+    """Element stream → (merged, nodes, edges); shared by the in-memory
+    API above and the checkpointed at-scale path (``state.checkpoint``).
+
+    ``merged`` is the deduped element set, pinned ONCE (it is the final
+    result set, not the input stream) so the nodes and edges consumers —
+    and the checkpoint runner's count pass — don't re-run the
+    extract+shuffle lineage."""
+    if canonicalize or sort_strategy == "post_sort":
+        merged = merge_elements(elements, num_buckets=num_buckets, salted=salted)
+        if canonicalize:
+            from ..stages.link import canonicalize_elements
+
+            merged = canonicalize_elements(
+                merged, num_buckets=num_buckets, salted=salted
+            )
+        merged = merged.materialize()
+        return merged, finalize_nodes(merged), finalize_edges(merged)
+    if sort_strategy != "range_merge":
+        raise ValueError(f"unknown sort_strategy {sort_strategy!r}")
+    merged = merge_elements_sorted(
+        elements, num_buckets=num_buckets, salted=salted
+    ).materialize()
+    return (
+        merged,
+        finalize_nodes(merged, assume_sorted=True),
+        finalize_edges(merged, assume_sorted=True),
+    )
 
 
 def build_triples(docs: "Dataset", **kwargs) -> "Dataset":

@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..merge import fold_frame, merge_elements
+from ..merge import fold_frame
 from ..stages.records import extract_elements
 
 STAGE_VERSION = 1  # bump to invalidate prior checkpoints on semantic change
@@ -231,7 +231,7 @@ def merge_from_checkpoint(
 
     import ray.data as rd
 
-    from ..materialize import finalize_edges, finalize_nodes
+    from ..pipelines.kg import merge_and_finalize
 
     lineage_dir = Path(ckpt_dir) / "_lineage"
     lineage_files = sorted(lineage_dir.glob("part-*.json"))
@@ -271,14 +271,12 @@ def merge_from_checkpoint(
     shutil.rmtree(os.path.join(out_dir, "edges"), ignore_errors=True)
     files = [str(Path(ckpt_dir) / "elements" / f"part-{pid}.parquet") for pid in pids]
     elements = rd.read_parquet(files)
-    merged = merge_elements(elements, num_buckets=num_buckets, salted=salted)
-    if canonicalize:
-        from ..stages.link import canonicalize_elements
-
-        merged = canonicalize_elements(
-            merged, num_buckets=num_buckets, salted=salted
-        )
-    merged = merged.materialize()
+    merged, nodes, edges = merge_and_finalize(
+        elements,
+        num_buckets=num_buckets,
+        salted=salted,
+        canonicalize=canonicalize,
+    )
     counts = (
         merged.map_batches(
             lambda df: pd.DataFrame(
@@ -289,8 +287,8 @@ def merge_from_checkpoint(
         .to_pandas()
         .sum()
     )
-    finalize_nodes(merged).write_parquet(os.path.join(out_dir, "nodes"))
-    finalize_edges(merged).write_parquet(os.path.join(out_dir, "edges"))
+    nodes.write_parquet(os.path.join(out_dir, "nodes"))
+    edges.write_parquet(os.path.join(out_dir, "edges"))
     done = {
         "pids": pids,
         "manifest_hash": manifest_hash,

@@ -16,6 +16,7 @@ def test_bench_emits_contract_json():
         KG_BENCH_REPLICATE="5",
         KG_BENCH_REPS="1",  # contract smoke, not a measurement
         KG_BENCH_MINHASH_REPLICATE="2",
+        KG_BENCH_QUERY_LIMIT="12",  # contract smoke: cap the 130+ sweep
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],

@@ -60,3 +60,53 @@ def test_salted_two_stage_fold_is_equivalent(ray_session, fixture_corpus, oracle
     props = json.loads(row["props"])
     assert props["icd_code"] == "ICD-DUP25"
     assert "get_way" not in props
+
+
+def _frames_equal(a, b):
+    a = a.reset_index(drop=True)
+    b = b.reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert list(a[col]) == list(b[col]), col
+
+
+def test_range_merge_equals_post_sort_exactly(ray_session, fixture_corpus):
+    """The sort-free range-partitioned merge (default plan) must emit
+    byte-identical row sequences to the original hash-merge + explicit
+    Sort plan — the old path IS the parity oracle for the new one, so
+    Ray's groupby key-ordering guarantee is pinned here, not assumed."""
+    import knowledge_graph_construction_ray.sources.readers as readers
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    n_new, e_new = build_graph(docs, num_buckets=16)
+    n_old, e_old = build_graph(docs, num_buckets=16, sort_strategy="post_sort")
+    _frames_equal(n_new.to_pandas(), n_old.to_pandas())
+    _frames_equal(e_new.to_pandas(), e_old.to_pandas())
+
+
+def test_range_merge_salted_parity(ray_session, fixture_corpus):
+    import knowledge_graph_construction_ray.sources.readers as readers
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    n_new, e_new = build_graph(docs, num_buckets=16, salted=True)
+    n_old, e_old = build_graph(
+        docs, num_buckets=16, salted=True, sort_strategy="post_sort"
+    )
+    _frames_equal(n_new.to_pandas(), n_old.to_pandas())
+    _frames_equal(e_new.to_pandas(), e_old.to_pandas())
+
+
+def test_range_merge_replicated_corpus_parity(ray_session, fixture_corpus):
+    """Duplicate-heavy input (the bench corpus shape): every doc ×13 so
+    each merge_key shows up in many upstream blocks — exercises the
+    combiner + cross-block fold + boundary assignment together."""
+    import pyarrow as pa
+
+    import knowledge_graph_construction_ray.sources.readers as readers
+
+    big = pa.concat_tables([fixture_corpus] * 13)
+    docs = readers.from_arrow_docs(big, override_num_blocks=16)
+    n_new, e_new = build_graph(docs, num_buckets=8)
+    n_old, e_old = build_graph(docs, num_buckets=8, sort_strategy="post_sort")
+    _frames_equal(n_new.to_pandas(), n_old.to_pandas())
+    _frames_equal(e_new.to_pandas(), e_old.to_pandas())
