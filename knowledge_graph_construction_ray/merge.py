@@ -71,7 +71,16 @@ def _fold_real_dup_groups(real_dups: pd.DataFrame) -> pd.DataFrame:
     """Fold ALL duplicate-key groups of property-bearing node rows in one
     pass: group boundaries found on the (already key-sorted) numpy key
     array, one output frame built with a single ``take`` — no per-group
-    pandas slicing or 1-row-frame concat."""
+    pandas slicing or 1-row-frame concat.
+
+    Uniform-group fast path: a group whose props strings are all
+    byte-identical (exact re-ingest, replicated corpus — the COMMON shape
+    of duplicate keys at scale) folds to its first row unchanged, skipping
+    the per-row ``json.loads`` merge entirely.  Exact because the tagged
+    merge of identical maps is the map itself, and every props string in
+    the pipeline is emitted by ``json.dumps`` in one canonical form (the
+    downstream materialize re-parses props anyway, so intermediate byte
+    form never leaks into the final graph)."""
     import numpy as np
 
     keys = real_dups["merge_key"].to_numpy()
@@ -79,14 +88,23 @@ def _fold_real_dup_groups(real_dups: pd.DataFrame) -> pd.DataFrame:
     boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(keys)]])
-    merged = []
-    for s, e in zip(starts, ends):
-        acc = json.loads(props[s])
-        for i in range(s + 1, e):
-            acc = _merge_tagged(acc, json.loads(props[i]))
-        merged.append(json.dumps(acc, ensure_ascii=False))
+    n = len(keys)
+    # uniform[g] ⇔ all consecutive props in group g are equal: sum of
+    # eq_next over [s, e-1) must be the group's internal edge count
+    eq_next = np.concatenate([(props[1:] == props[:-1]).astype(np.int64), [0]])
+    cum = np.concatenate([[0], np.cumsum(eq_next)])
+    uniform = (cum[ends - 1] - cum[starts]) == (ends - starts - 1)
     out = real_dups.iloc[starts].copy()
-    out["props"] = merged
+    if not uniform.all():
+        merged = {}
+        for s, e in zip(starts[~uniform], ends[~uniform]):
+            acc = json.loads(props[s])
+            for i in range(s + 1, e):
+                acc = _merge_tagged(acc, json.loads(props[i]))
+            merged[s] = json.dumps(acc, ensure_ascii=False)
+        new_props = out["props"].to_numpy().copy()
+        new_props[~uniform] = [merged[s] for s in starts[~uniform]]
+        out["props"] = new_props
     return out
 
 
