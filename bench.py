@@ -433,7 +433,7 @@ def bench_queries() -> dict[str, float]:
     # the registry is large enough (130+) that a full sweep at low CPU
     # counts takes minutes of pure per-query session overhead; the smoke
     # test caps it (the driver's real runs leave it unset = everything)
-    limit = int(os.environ.get("KG_BENCH_QUERY_LIMIT", "0"))
+    limit = max(0, int(os.environ.get("KG_BENCH_QUERY_LIMIT", "0")))
     names = BENCH_QUERIES[:limit] if limit else BENCH_QUERIES
     out: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,47 @@
+"""Bounded-sample range partitioning shared by every range exchange.
+
+One discipline, one implementation: ≤64 evenly-spaced keys per block
+reach the driver (block-count-bounded, never row-bounded), the sorted
+sample's quantiles become ``searchsorted`` cut points.  Works for any
+comparable dtype (ints, floats, strings — including '{kind}:{idx}'
+doc_ids and '\\x1f'-joined merge keys, where any fixed byte-prefix
+scheme degenerates to one bin) and load-balances by construction.
+Boundary placement only decides WHERE a key's bin sits, never the
+downstream fold/rank/order, so sampling noise cannot change results.
+
+Consumers: ``merge.merge_elements_sorted`` (sort-free graph
+materialization) and ``pipelines.curation.assign_sequential_ids``
+(distributed ROW_NUMBER).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+KEYS_PER_BLOCK = 64
+
+
+def sample_range_boundaries(ds, key: str, num_bins: int) -> np.ndarray:
+    """Range-partition cut points for ``key`` from a distributed sample
+    of ``ds`` (a materialized Dataset — sampling re-reads its blocks).
+    Returns a sorted, deduplicated ndarray of ≤ ``num_bins - 1`` cut
+    values; empty when the dataset is empty (callers map everything to
+    bin 0)."""
+
+    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object)})
+        take = np.unique(
+            np.linspace(0, len(df) - 1, num=min(len(df), KEYS_PER_BLOCK)).astype(int)
+        )
+        return pd.DataFrame({key: df[key].to_numpy()[take]})
+
+    sample = np.sort(
+        ds.map_batches(sample_keys, batch_format="pandas").to_pandas()[key].to_numpy(),
+        kind="stable",
+    )
+    if not len(sample):
+        return sample
+    cuts = np.linspace(0, len(sample) - 1, num=num_bins + 1).astype(int)[1:-1]
+    return np.unique(sample[cuts])

@@ -88,7 +88,6 @@ def _fold_real_dup_groups(real_dups: pd.DataFrame) -> pd.DataFrame:
     boundaries = np.nonzero(keys[1:] != keys[:-1])[0] + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(keys)]])
-    n = len(keys)
     # uniform[g] ⇔ all consecutive props in group g are equal: sum of
     # eq_next over [s, e-1) must be the group's internal edge count
     eq_next = np.concatenate([(props[1:] == props[:-1]).astype(np.int64), [0]])
@@ -167,14 +166,28 @@ def _bucket_of(keys: pd.Series, num_buckets: int) -> pd.Series:
     return pd.util.hash_pandas_object(keys, index=False) % num_buckets
 
 
-def _combine_batch(num_buckets: int, salted: bool, salt_factor: int = 16):
+DEFAULT_SALT_FACTOR = 16
+
+
+def _fold_and_salt(
+    df: pd.DataFrame, salted: bool, salt_factor: int = DEFAULT_SALT_FACTOR
+) -> pd.DataFrame:
+    """Shared local combiner: pre-shuffle partial fold, plus the salt
+    sub-key when requested (spread each key's rows across salt_factor
+    sub-keys; the commutative fold makes the two-stage reduction exact).
+    Both merge plans MUST use this one combiner so they salt
+    identically."""
+    df = fold_frame(df)
+    if salted:
+        df = df.copy()
+        df["salt"] = df["seq"].to_numpy() % salt_factor
+    return df
+
+
+def _combine_batch(num_buckets: int, salted: bool, salt_factor: int = DEFAULT_SALT_FACTOR):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        df = fold_frame(df)  # local combiner: pre-shuffle partial fold
+        df = _fold_and_salt(df, salted, salt_factor)
         df["bucket"] = _bucket_of(df["merge_key"], num_buckets)
-        if salted:
-            # spread each bucket's rows across salt_factor sub-keys; the
-            # commutative fold makes the two-stage reduction exact
-            df["salt"] = df["seq"].to_numpy() % salt_factor
         return df
 
     return combine
@@ -224,33 +237,11 @@ def _fold_bucket_sorted(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sample_key_bounds(combined: "Dataset", num_buckets: int) -> list:
-    """Range-partition cut points over ``merge_key`` from a bounded
-    per-block sample: ≤64 evenly-spaced keys per block reach the driver
-    (block-count-bounded, never row-bounded), the sorted sample's
-    quantiles become ``searchsorted`` boundaries — the same discipline as
-    ``pipelines.curation._sample_boundaries``.  Boundary placement only
-    decides WHERE a key's bucket sits, never the fold or the final order,
-    so sampling noise cannot change the output."""
-    import numpy as np
+    """Range-partition cut points over ``merge_key`` — the shared
+    bounded-sample discipline (``functions.sampling``)."""
+    from .functions.sampling import sample_range_boundaries
 
-    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"merge_key": pd.Series(dtype=object)})
-        take = np.unique(
-            np.linspace(0, len(df) - 1, num=min(len(df), 64)).astype(int)
-        )
-        return pd.DataFrame({"merge_key": df["merge_key"].to_numpy()[take]})
-
-    sample = np.sort(
-        combined.map_batches(sample_keys, batch_format="pandas")
-        .to_pandas()["merge_key"]
-        .to_numpy(),
-        kind="stable",
-    )
-    if not len(sample):
-        return []
-    cuts = np.linspace(0, len(sample) - 1, num=num_buckets + 1).astype(int)[1:-1]
-    return np.unique(sample[cuts]).tolist()
+    return sample_range_boundaries(combined, "merge_key", num_buckets).tolist()
 
 
 def merge_elements_sorted(
@@ -283,11 +274,7 @@ def merge_elements_sorted(
     does internally before ITS range exchange, so this is never an
     extra pin versus the plan it replaces."""
     def combine_only(df: pd.DataFrame) -> pd.DataFrame:
-        df = fold_frame(df)  # local combiner: pre-shuffle partial fold
-        if salted:
-            df = df.copy()
-            df["salt"] = df["seq"].to_numpy() % 16
-        return df
+        return _fold_and_salt(df, salted)
 
     combined = elements.map_batches(
         combine_only, batch_format="pandas"

@@ -47,26 +47,11 @@ def keyword_filter_kernel(col: str, keywords: Iterable[str]):
 
 
 def _sample_boundaries(rows, key: str, num_bins: int) -> np.ndarray:
-    """Range-partition boundaries for the leading sort key from a
-    distributed sample: ≤64 evenly-spaced keys per batch reach the
-    driver (block-count-bounded, never row-bounded), and the sorted
-    sample's quantiles become ``searchsorted`` cut points.  Works for
-    any comparable dtype (ints, floats, strings — including the repo's
-    '{kind}:{idx}' doc_ids, where any fixed byte-prefix scheme
-    degenerates to one bin) and load-balances by construction."""
+    """Range-partition boundaries for the leading sort key — the shared
+    bounded-sample discipline (``functions.sampling``)."""
+    from ..functions.sampling import sample_range_boundaries
 
-    def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
-        take = np.linspace(0, len(df) - 1, num=min(len(df), 64)).astype(int)
-        return pd.DataFrame({key: df[key].to_numpy()[np.unique(take)]})
-
-    sample = (
-        rows.map_batches(sample_keys, batch_format="pandas")
-        .to_pandas()[key]
-        .to_numpy()
-    )
-    sample = np.sort(sample, kind="stable")
-    cuts = np.linspace(0, len(sample) - 1, num=num_bins + 1).astype(int)[1:-1]
-    return np.unique(sample[cuts])
+    return sample_range_boundaries(rows, key, num_bins)
 
 
 def assign_sequential_ids(

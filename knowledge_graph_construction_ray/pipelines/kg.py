@@ -84,6 +84,7 @@ def merge_and_finalize(
     result set, not the input stream) so the nodes and edges consumers —
     and the checkpoint runner's count pass — don't re-run the
     extract+shuffle lineage."""
+    sort_strategy = _resolve_sort_strategy(sort_strategy)
     if canonicalize or sort_strategy == "post_sort":
         merged = merge_elements(elements, num_buckets=num_buckets, salted=salted)
         if canonicalize:
@@ -94,8 +95,6 @@ def merge_and_finalize(
             )
         merged = merged.materialize()
         return merged, finalize_nodes(merged), finalize_edges(merged)
-    if sort_strategy != "range_merge":
-        raise ValueError(f"unknown sort_strategy {sort_strategy!r}")
     merged = merge_elements_sorted(
         elements, num_buckets=num_buckets, salted=salted
     ).materialize()
@@ -104,6 +103,28 @@ def merge_and_finalize(
         finalize_nodes(merged, assume_sorted=True),
         finalize_edges(merged, assume_sorted=True),
     )
+
+
+def _resolve_sort_strategy(sort_strategy: str) -> str:
+    """Validate the requested plan and pin it to what the configured Ray
+    shuffle can actually guarantee: under ``ShuffleStrategy.HASH_SHUFFLE``
+    ``groupby().map_groups()`` places groups by key hash (per-partition
+    sort only), so the range plan's global-order guarantee would silently
+    not hold — fall back to the explicit-Sort plan rather than emit
+    unsorted output."""
+    if sort_strategy not in ("range_merge", "post_sort"):
+        raise ValueError(f"unknown sort_strategy {sort_strategy!r}")
+    if sort_strategy == "range_merge" and _hash_shuffle_configured():
+        return "post_sort"
+    return sort_strategy
+
+
+def _hash_shuffle_configured() -> bool:
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+    except ImportError:  # pragma: no cover - older Ray without the enum
+        return False
+    return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
 
 
 def build_triples(docs: "Dataset", **kwargs) -> "Dataset":

@@ -110,3 +110,39 @@ def test_range_merge_replicated_corpus_parity(ray_session, fixture_corpus):
     n_old, e_old = build_graph(docs, num_buckets=8, sort_strategy="post_sort")
     _frames_equal(n_new.to_pandas(), n_old.to_pandas())
     _frames_equal(e_new.to_pandas(), e_old.to_pandas())
+
+
+def test_range_merge_falls_back_under_hash_shuffle():
+    """ShuffleStrategy.HASH_SHUFFLE places groups by key hash (no global
+    key order), so the range plan must detect it and dispatch to the
+    explicit-Sort plan instead of silently emitting unsorted output.
+    (Dispatch-only: actually executing a groupby under hash shuffle
+    stalls in 4-CPU local mode, and the post_sort plan it selects is
+    already covered by the parity tests.)"""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    from knowledge_graph_construction_ray.pipelines.kg import (
+        _resolve_sort_strategy,
+    )
+
+    ctx = DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        assert _resolve_sort_strategy("range_merge") == "post_sort"
+        assert _resolve_sort_strategy("post_sort") == "post_sort"
+    finally:
+        ctx.shuffle_strategy = prev
+    assert _resolve_sort_strategy("range_merge") == "range_merge"
+
+
+def test_unknown_sort_strategy_raises_even_with_canonicalize(
+    ray_session, fixture_corpus
+):
+    import pytest
+
+    import knowledge_graph_construction_ray.sources.readers as readers
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=4)
+    with pytest.raises(ValueError, match="sort_strategy"):
+        build_graph(docs, canonicalize=True, sort_strategy="range-merge")
