@@ -22,12 +22,11 @@ import pandas as pd
 KEYS_PER_BLOCK = 64
 
 
-def sample_range_boundaries(ds, key: str, num_bins: int) -> np.ndarray:
-    """Range-partition cut points for ``key`` from a distributed sample
-    of ``ds`` (a materialized Dataset — sampling re-reads its blocks).
-    Returns a sorted, deduplicated ndarray of ≤ ``num_bins - 1`` cut
-    values; empty when the dataset is empty (callers map everything to
-    bin 0)."""
+def sample_sorted_keys(ds, key: str) -> np.ndarray:
+    """The sorted, block-count-bounded key sample underlying
+    :func:`sample_range_boundaries` — exposed so stratified consumers
+    (``merge._sample_key_bounds`` splits it by element kind) can cut one
+    sample several ways without a second pass over the dataset."""
 
     def sample_keys(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -37,11 +36,26 @@ def sample_range_boundaries(ds, key: str, num_bins: int) -> np.ndarray:
         )
         return pd.DataFrame({key: df[key].to_numpy()[take]})
 
-    sample = np.sort(
+    return np.sort(
         ds.map_batches(sample_keys, batch_format="pandas").to_pandas()[key].to_numpy(),
         kind="stable",
     )
+
+
+def cuts_from_sample(sample: np.ndarray, num_bins: int) -> np.ndarray:
+    """Quantile cut points from an already-sorted key sample: ≤
+    ``num_bins - 1`` deduplicated values; empty for an empty sample
+    (callers map everything to bin 0)."""
     if not len(sample):
         return sample
     cuts = np.linspace(0, len(sample) - 1, num=num_bins + 1).astype(int)[1:-1]
     return np.unique(sample[cuts])
+
+
+def sample_range_boundaries(ds, key: str, num_bins: int) -> np.ndarray:
+    """Range-partition cut points for ``key`` from a distributed sample
+    of ``ds`` (a materialized Dataset — sampling re-reads its blocks).
+    Returns a sorted, deduplicated ndarray of ≤ ``num_bins - 1`` cut
+    values; empty when the dataset is empty (callers map everything to
+    bin 0)."""
+    return cuts_from_sample(sample_sorted_keys(ds, key), num_bins)

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+import pyarrow as pa
 
 try:  # imported lazily so pure-Python consumers don't need Ray
     from ray.data import Dataset
@@ -208,24 +209,34 @@ def merge_elements(
     One logical shuffle keyed on ``merge_key`` hash buckets.  Output rows
     keep the ELEMENTS_SCHEMA (props still lineage-tagged); the materialize
     phase strips tags and splits nodes/edges.
-    """
-    combined = elements.map_batches(
-        _combine_batch(num_buckets, salted), batch_format="pandas"
-    )
+
+    Every UDF here takes its batch/group as pandas (the fold kernels are
+    pandas-vectorized) but RETURNS Arrow — blocks at rest and in the
+    shuffle are then compact Arrow buffers, not pickled object-dtype
+    frames (measured at 2M docs: pandas blocks are ~3× the bytes and the
+    shuffle's block merges dominated the exchange wall)."""
+    combine = _combine_batch(num_buckets, salted)
+    extra = ("bucket", "salt") if salted else ("bucket",)
+
+    def combine_arrow(batch: pa.Table) -> pa.Table:
+        return _to_elements_table(combine(batch.to_pandas()), extra)
+
+    combined = elements.map_batches(combine_arrow, batch_format="pyarrow")
     if salted:
         stage1 = combined.groupby(["bucket", "salt"]).map_groups(
-            _fold_bucket, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),
+            batch_format="pandas",
         )
         folded = stage1.groupby("bucket").map_groups(
-            _fold_bucket, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket(df)),
+            batch_format="pandas",
         )
-        folded = folded.drop_columns(["bucket", "salt"])
     else:
         folded = combined.groupby("bucket").map_groups(
-            _fold_bucket, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket(df)),
+            batch_format="pandas",
         )
-        folded = folded.drop_columns(["bucket"])
-    return folded.map_batches(_normalize_schema, batch_format="pandas")
+    return folded
 
 
 def _fold_bucket_sorted(df: pd.DataFrame) -> pd.DataFrame:
@@ -237,11 +248,29 @@ def _fold_bucket_sorted(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sample_key_bounds(combined: "Dataset", num_buckets: int) -> list:
-    """Range-partition cut points over ``merge_key`` — the shared
-    bounded-sample discipline (``functions.sampling``)."""
-    from .functions.sampling import sample_range_boundaries
+    """Range-partition cut points over ``merge_key``, STRATIFIED by
+    element kind (one bounded-sample pass, ``functions.sampling``).
 
-    return sample_range_boundaries(combined, "merge_key", num_buckets).tolist()
+    Edge keys (``E\\x1f…``) sort wholly before node keys (``N\\x1f…``),
+    so a single global quantile cut would allocate buckets to each kind
+    ∝ its row share — on an edge-heavy graph the node rows pack into the
+    tail buckets and the node-side fold + strip-tags + write degenerate
+    toward serial (measured: the nodes-write phase scaled 1.4× on 4×
+    CPUs).  Cutting each kind's sample separately at ``num_buckets``
+    quantiles gives BOTH kinds full-width parallelism while preserving
+    the global merge_key order (all edge buckets precede the ``"N"``
+    separator bound, all node buckets follow it)."""
+    import numpy as np
+
+    from .functions.sampling import cuts_from_sample, sample_sorted_keys
+
+    sample = sample_sorted_keys(combined, "merge_key")
+    if not len(sample):
+        return []
+    split = int(np.searchsorted(sample, "N"))
+    e_cuts = cuts_from_sample(sample[:split], num_buckets)
+    n_cuts = cuts_from_sample(sample[split:], num_buckets)
+    return [*e_cuts.tolist(), "N", *n_cuts.tolist()]
 
 
 def merge_elements_sorted(
@@ -272,51 +301,69 @@ def merge_elements_sorted(
     (object-store resident, spillable) to sample boundaries without
     re-running the upstream extract — exactly what ``Dataset.sort``
     does internally before ITS range exchange, so this is never an
-    extra pin versus the plan it replaces."""
-    def combine_only(df: pd.DataFrame) -> pd.DataFrame:
-        return _fold_and_salt(df, salted)
+    extra pin versus the plan it replaces.
+
+    Block format: pandas compute inside every UDF, Arrow at every block
+    boundary (see :func:`merge_elements`) — the materialized combiner
+    partials and the range exchange move compact Arrow buffers."""
+    import numpy as np
+
+    extra = ("salt",) if salted else ()
+
+    def combine_arrow(batch: pa.Table) -> pa.Table:
+        return _to_elements_table(_fold_and_salt(batch.to_pandas(), salted), extra)
 
     combined = elements.map_batches(
-        combine_only, batch_format="pandas"
+        combine_arrow, batch_format="pyarrow"
     ).materialize()
-    bounds = _sample_key_bounds(combined, num_buckets)
+    bounds = np.array(_sample_key_bounds(combined, num_buckets), dtype=object)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        df = df.copy()
-        df["bucket"] = (
-            np.searchsorted(bounds, df["merge_key"].to_numpy(), side="right")
-            if bounds
-            else np.zeros(len(df), dtype=np.int64)
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column("merge_key").to_numpy(zero_copy_only=False)
+        b = (
+            np.searchsorted(bounds, keys, side="right")
+            if len(bounds)
+            else np.zeros(len(keys), dtype=np.int64)
         )
-        return df
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    bucketed = combined.map_batches(assign, batch_format="pandas")
+    bucketed = combined.map_batches(assign, batch_format="pyarrow")
     if salted:
         stage1 = bucketed.groupby(["bucket", "salt"]).map_groups(
-            _fold_bucket, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),
+            batch_format="pandas",
         )
         folded = stage1.groupby("bucket").map_groups(
-            _fold_bucket_sorted, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket_sorted(df)),
+            batch_format="pandas",
         )
-        folded = folded.drop_columns(["bucket", "salt"])
     else:
         folded = bucketed.groupby("bucket").map_groups(
-            _fold_bucket_sorted, batch_format="pandas"
+            lambda df: _to_elements_table(_fold_bucket_sorted(df)),
+            batch_format="pandas",
         )
-        folded = folded.drop_columns(["bucket"])
-    return folded.map_batches(_normalize_schema, batch_format="pandas")
+    return folded
 
 
-def _normalize_schema(df: pd.DataFrame):
-    """Pin the output to ELEMENTS_SCHEMA — buckets containing only nodes
-    (or only edges) would otherwise infer null-typed Arrow columns for the
-    all-null fields, causing schema-mismatch noise downstream."""
-    import pyarrow as pa
+def _to_elements_table(df: pd.DataFrame, extra: tuple[str, ...] = ()) -> pa.Table:
+    """pandas → Arrow at the UDF boundary, pinned to ELEMENTS_SCHEMA plus
+    optional int64 shuffle columns (``bucket``/``salt``).
 
+    Pinning the schema also protects buckets containing only nodes (or
+    only edges) from inferring null-typed Arrow columns for the all-null
+    fields (schema-mismatch noise downstream)."""
     from .schema import ELEMENTS_SCHEMA
 
+    schema = ELEMENTS_SCHEMA
+    for name in extra:
+        schema = schema.append(pa.field(name, pa.int64()))
     return pa.Table.from_pandas(
-        df[list(ELEMENTS_SCHEMA.names)], schema=ELEMENTS_SCHEMA, preserve_index=False
-    )
+        df[list(schema.names)], schema=schema, preserve_index=False
+        # from_pandas attaches dict-valued pandas metadata that defeats
+        # Ray's schema-dedup hashing — strip it so every block shares the
+        # one pinned schema object
+    ).replace_schema_metadata(None)
+
+
+def _normalize_schema(df: pd.DataFrame) -> pa.Table:
+    return _to_elements_table(df)

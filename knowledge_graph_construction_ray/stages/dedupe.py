@@ -119,7 +119,19 @@ def _hash_token_array(tokens) -> np.ndarray:
     PER TOKEN (backslash-doubling + NUL→'\\0', injective, and a pure
     function of the token so every batch agrees); clean tokens — all of
     them, in real corpora — skip the escape entirely."""
-    idx = pd.Index(np.asarray(tokens, dtype=object))
+    idx = pd.Index(_escape_nul_tokens(np.asarray(tokens, dtype=object)))
+    return pd.util.hash_pandas_object(idx, index=False).to_numpy(
+        dtype=np.uint64
+    )
+
+
+def _escape_nul_tokens(arr: np.ndarray) -> np.ndarray:
+    """The injective NUL/backslash escape (see :func:`_hash_token_array`).
+    Also applied BEFORE ``pd.factorize`` in :func:`_flat_token_hashes`:
+    pandas' string hash TABLE keys on C-strings too, so '' and '\\x00'
+    (or 'a\\x00b' and 'a\\x00c') would factorize to ONE code and silently
+    share a token hash (found by the hypothesis split-invariant test)."""
+    idx = pd.Index(arr)
     if len(idx):
         dirty = idx.str.contains("\x00", regex=False) | idx.str.contains(
             "\\", regex=False
@@ -128,10 +140,8 @@ def _hash_token_array(tokens) -> np.ndarray:
             arr = idx.to_numpy(dtype=object, copy=True)
             for i in np.flatnonzero(np.asarray(dirty)):
                 arr[i] = arr[i].replace("\\", "\\\\").replace("\x00", "\\0")
-            idx = pd.Index(arr)
-    return pd.util.hash_pandas_object(idx, index=False).to_numpy(
-        dtype=np.uint64
-    )
+            return arr
+    return np.asarray(idx.to_numpy(dtype=object), dtype=object)
 
 
 def _flat_token_hashes(docs: list[list[str]]):
@@ -141,8 +151,15 @@ def _flat_token_hashes(docs: list[list[str]]):
     lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
     flat = [tok for d in docs for tok in d]
     if flat:
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        th = _hash_token_array(uniq)[codes]
+        # escape BEFORE factorize — pandas' string hash table keys on
+        # C-strings, so NUL-bearing tokens would factorize to one code
+        # (see _escape_nul_tokens); uniq is then already escaped, so hash
+        # it directly (escaping again would change dirty tokens' hashes)
+        escaped = _escape_nul_tokens(np.asarray(flat, dtype=object))
+        codes, uniq = pd.factorize(escaped)
+        th = pd.util.hash_pandas_object(pd.Index(uniq), index=False).to_numpy(
+            dtype=np.uint64
+        )[codes]
     else:
         th = np.empty(0, dtype=np.uint64)
     starts = np.zeros(len(docs) + 1, dtype=np.int64)
