@@ -85,7 +85,11 @@ def _corpus_version() -> str:
     return h.hexdigest()[:10]
 
 
-KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}_{_corpus_version()}.parquet"
+# directory of 64 part files: read_parquet schedules one DECODE task per
+# file, so a single-file corpus serialized the read (~4.7 s head at 16
+# CPUs no matter the row-group count or override_num_blocks)
+KG_CORPUS_FILES = 64
+KG_CORPUS_PATH = f"/tmp/kg_bench_corpus_x{KG_REPLICATE}_{_corpus_version()}.pqdir"
 KG_OUT = "/tmp/kg_bench_out"
 
 
@@ -96,12 +100,15 @@ def _ensure_corpus() -> int:
 
     if not os.path.exists(KG_CORPUS_PATH):
         tmp = KG_CORPUS_PATH + ".tmp"
-        table = write_corpus(tmp, replicate=KG_REPLICATE)
+        shutil.rmtree(tmp, ignore_errors=True)
+        table = write_corpus(tmp, replicate=KG_REPLICATE, files=KG_CORPUS_FILES)
         os.replace(tmp, KG_CORPUS_PATH)
         return table.num_rows
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    return pq.read_metadata(KG_CORPUS_PATH).num_rows
+    return sum(
+        f.metadata.num_rows for f in pads.dataset(KG_CORPUS_PATH).get_fragments()
+    )
 
 
 def bench_kg(num_cpus: int) -> dict:
@@ -110,10 +117,11 @@ def bench_kg(num_cpus: int) -> dict:
     from knowledge_graph_construction_ray.pipelines.kg import build_graph
 
     n_docs = _ensure_corpus()
-    # measured (r2): all-to-all coordination cost grows superlinearly with
-    # block count — 32 blocks beat 64 by ~38% on the merge exchange at 32
-    # CPUs once the extract kernel was vectorized (one wave suffices)
-    blocks = max(16, num_cpus)
+    # 4 blocks per CPU: a single wave (blocks == cpus) quantizes on the
+    # slowest task — measured at 16 CPUs, 64 blocks beat 16 by 1.4× on
+    # the same input (wave packing).  Re-measured after the Arrow-boundary
+    # merge; the old "32 beat 64 at 32 CPUs" datum predates it.
+    blocks = int(os.environ.get("KG_BENCH_BLOCKS", "0")) or max(16, 4 * num_cpus)
 
     def once(out_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)

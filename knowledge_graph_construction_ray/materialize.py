@@ -37,11 +37,21 @@ def _strip_tags(props: str) -> str:
 def _nodes_batch(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     df = df[df["kind"] == "node"]
+    # strip once per DISTINCT props string: the JSON round-trip is the
+    # dominant node-side cost, and props values repeat heavily (stub '{}'
+    # rows, replicated/re-ingested corpora) — factorize makes the cost
+    # O(distinct) instead of O(rows) with identical output
+    import numpy as np
+    import pandas as pd
+
+    codes, uniq = pd.factorize(df["props"].to_numpy())
+    stripped_uniq = np.asarray([_strip_tags(p) for p in uniq], dtype=object)
+    stripped = stripped_uniq[codes] if len(codes) else stripped_uniq
     return pa.Table.from_pydict(
         {
             "label": df["label"].tolist(),
             "name": df["name"].tolist(),
-            "props": [_strip_tags(p) for p in df["props"]],
+            "props": stripped.tolist(),
         },
         schema=NODES_SCHEMA,
     )
