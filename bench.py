@@ -114,7 +114,7 @@ def _ensure_corpus() -> int:
 def bench_kg(num_cpus: int) -> dict:
     import ray.data as rd
 
-    from knowledge_graph_construction_ray.pipelines.kg import build_graph
+    from knowledge_graph_construction_ray.materialize import write_graph_sorted
 
     n_docs = _ensure_corpus()
     # 4 blocks per CPU: a single wave (blocks == cpus) quantizes on the
@@ -126,18 +126,21 @@ def bench_kg(num_cpus: int) -> dict:
     def once(out_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
         docs = rd.read_parquet(KG_CORPUS_PATH, override_num_blocks=blocks)
-        nodes, edges = build_graph(docs, num_buckets=blocks)
-        nodes.write_parquet(f"{out_dir}/nodes")
-        edges.write_parquet(f"{out_dir}/edges")
-        return edges
+        # fused fold+write path: the folded bucket never round-trips the
+        # object store between merge and materialization (see
+        # materialize.write_graph_sorted); parity with build_graph +
+        # write_parquet is byte-checked in tests
+        return write_graph_sorted(
+            docs, f"{out_dir}/nodes", f"{out_dir}/edges", num_buckets=blocks
+        )
 
     stats: dict = {}
 
     def timed() -> float:
         t0 = time.perf_counter()
-        edges = once(KG_OUT)
+        out = once(KG_OUT)
         wall = time.perf_counter() - t0
-        stats["stages"] = _stage_walls(edges.stats())
+        stats["stages"] = _stage_walls(out["ray_stats"])
         return wall
 
     if os.environ.get("KG_BENCH_ONLY"):

@@ -34,24 +34,27 @@ def _strip_tags(props: str) -> str:
     )
 
 
+def _strip_props_column(props) -> list:
+    """Strip once per DISTINCT props string: the JSON round-trip is the
+    dominant node-side cost, and props values repeat heavily (stub '{}'
+    rows, replicated/re-ingested corpora) — factorize makes the cost
+    O(distinct) instead of O(rows) with identical output."""
+    import numpy as np
+
+    codes, uniq = pd.factorize(np.asarray(props, dtype=object))
+    stripped_uniq = np.asarray([_strip_tags(p) for p in uniq], dtype=object)
+    stripped = stripped_uniq[codes] if len(codes) else stripped_uniq
+    return stripped.tolist()
+
+
 def _nodes_batch(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     df = df[df["kind"] == "node"]
-    # strip once per DISTINCT props string: the JSON round-trip is the
-    # dominant node-side cost, and props values repeat heavily (stub '{}'
-    # rows, replicated/re-ingested corpora) — factorize makes the cost
-    # O(distinct) instead of O(rows) with identical output
-    import numpy as np
-    import pandas as pd
-
-    codes, uniq = pd.factorize(df["props"].to_numpy())
-    stripped_uniq = np.asarray([_strip_tags(p) for p in uniq], dtype=object)
-    stripped = stripped_uniq[codes] if len(codes) else stripped_uniq
     return pa.Table.from_pydict(
         {
             "label": df["label"].tolist(),
             "name": df["name"].tolist(),
-            "props": stripped.tolist(),
+            "props": _strip_props_column(df["props"].to_numpy()),
         },
         schema=NODES_SCHEMA,
     )
@@ -81,6 +84,102 @@ def finalize_edges(merged_elements: "Dataset", *, assume_sorted: bool = False) -
     """Deduped elements → sorted edges table (5-tuple)."""
     edges = merged_elements.map_batches(_edges_batch, batch_format="pyarrow")
     return edges if assume_sorted else edges.sort(list(EDGES_SCHEMA.names))
+
+
+def write_graph_sorted(
+    docs: "Dataset",
+    nodes_dir: str,
+    edges_dir: str,
+    *,
+    num_buckets: int = 64,
+    salted: bool = False,
+    batch_size: int | None = None,
+) -> dict:
+    """The fused at-scale T3 path: extract → combine → range exchange →
+    per-bucket fold + sorted split + DIRECT partitioned write, all inside
+    the bucket task.
+
+    Versus ``build_graph(...)`` + two ``write_parquet`` consumers this
+    removes the merged-elements materialization (one object-store write +
+    TWO full scans) and both finalize projections — the folded bucket
+    never leaves the worker that folds it.  Output layout is
+    ``{nodes,edges}_dir/part-{bucket:05d}.parquet``: deterministic names
+    make task retries idempotent (a re-executed bucket overwrites its own
+    file), the per-bucket fragments are the resumable unit, and because
+    bucket ids ascend with merge_key ranges (``merge.range_bucketed_elements``)
+    the lexicographic file order gives readers the same globally sorted
+    tables the Dataset API path materializes.  Buckets are pure-kind by
+    the stratified boundary construction; the split below handles the
+    bounds-empty degenerate case (single mixed bucket) all the same.
+
+    Returns ``{"nodes": N, "edges": M, "buckets": B}`` (counts summed
+    from the per-bucket stats rows — the only thing that reaches the
+    driver)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .merge import _fold_bucket_sorted, range_bucketed_elements
+    from .pipelines.kg import extract
+
+    os.makedirs(nodes_dir, exist_ok=True)
+    os.makedirs(edges_dir, exist_ok=True)
+    kwargs = {"batch_size": batch_size} if batch_size else {}
+    bucketed = range_bucketed_elements(
+        extract(docs, **kwargs), num_buckets=num_buckets, salted=salted
+    )
+    if salted:
+        from .merge import _fold_bucket, _to_elements_table
+
+        bucketed = bucketed.groupby(["bucket", "salt"]).map_groups(
+            lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),
+            batch_format="pandas",
+        )
+
+    def fold_write(df: pd.DataFrame) -> pd.DataFrame:
+        # output dirs must be shared storage on a multi-node cluster
+        # (object store / NFS URI), same contract as write_parquet
+        os.makedirs(nodes_dir, exist_ok=True)
+        os.makedirs(edges_dir, exist_ok=True)
+        df = _fold_bucket_sorted(df)
+        bucket = int(df["bucket"].iloc[0]) if len(df) else 0
+        is_edge = df["kind"].to_numpy() == "edge"
+        nodes = df[~is_edge]
+        edges = df[is_edge]
+        if len(nodes):
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {
+                        "label": nodes["label"].tolist(),
+                        "name": nodes["name"].tolist(),
+                        "props": _strip_props_column(nodes["props"].to_numpy()),
+                    },
+                    schema=NODES_SCHEMA,
+                ),
+                f"{nodes_dir}/part-{bucket:05d}.parquet",
+            )
+        if len(edges):
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {name: edges[name].tolist() for name in EDGES_SCHEMA.names},
+                    schema=EDGES_SCHEMA,
+                ),
+                f"{edges_dir}/part-{bucket:05d}.parquet",
+            )
+        return pd.DataFrame(
+            {"bucket": [bucket], "nodes": [len(nodes)], "edges": [len(edges)]}
+        )
+
+    stats_ds = bucketed.groupby("bucket").map_groups(
+        fold_write, batch_format="pandas"
+    ).materialize()
+    stats = stats_ds.to_pandas()
+    return {
+        "nodes": int(stats["nodes"].sum()),
+        "edges": int(stats["edges"].sum()),
+        "buckets": int(len(stats)),
+        "ray_stats": stats_ds.stats(),
+    }
 
 
 def _triples_batch(batch: pa.Table) -> pa.Table:

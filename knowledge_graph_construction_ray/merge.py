@@ -273,6 +273,42 @@ def _sample_key_bounds(combined: "Dataset", num_buckets: int) -> list:
     return [*e_cuts.tolist(), "N", *n_cuts.tolist()]
 
 
+def range_bucketed_elements(
+    elements: "Dataset",
+    *,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salted: bool = False,
+) -> "Dataset":
+    """Shared head of the range-keyed merge plans: local combine →
+    materialize partials → stratified boundary sample → bucket
+    assignment.  Bucket ids ascend with merge_key ranges, so a consumer
+    that processes buckets in id order sees globally ordered keys.
+    Consumers: :func:`merge_elements_sorted` (fold → merged Dataset) and
+    ``materialize.write_graph_sorted`` (fold → direct partitioned write)."""
+    import numpy as np
+
+    extra = ("salt",) if salted else ()
+
+    def combine_arrow(batch: pa.Table) -> pa.Table:
+        return _to_elements_table(_fold_and_salt(batch.to_pandas(), salted), extra)
+
+    combined = elements.map_batches(
+        combine_arrow, batch_format="pyarrow"
+    ).materialize()
+    bounds = np.array(_sample_key_bounds(combined, num_buckets), dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column("merge_key").to_numpy(zero_copy_only=False)
+        b = (
+            np.searchsorted(bounds, keys, side="right")
+            if len(bounds)
+            else np.zeros(len(keys), dtype=np.int64)
+        )
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    return combined.map_batches(assign, batch_format="pyarrow")
+
+
 def merge_elements_sorted(
     elements: "Dataset",
     *,
@@ -306,28 +342,7 @@ def merge_elements_sorted(
     Block format: pandas compute inside every UDF, Arrow at every block
     boundary (see :func:`merge_elements`) — the materialized combiner
     partials and the range exchange move compact Arrow buffers."""
-    import numpy as np
-
-    extra = ("salt",) if salted else ()
-
-    def combine_arrow(batch: pa.Table) -> pa.Table:
-        return _to_elements_table(_fold_and_salt(batch.to_pandas(), salted), extra)
-
-    combined = elements.map_batches(
-        combine_arrow, batch_format="pyarrow"
-    ).materialize()
-    bounds = np.array(_sample_key_bounds(combined, num_buckets), dtype=object)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        keys = batch.column("merge_key").to_numpy(zero_copy_only=False)
-        b = (
-            np.searchsorted(bounds, keys, side="right")
-            if len(bounds)
-            else np.zeros(len(keys), dtype=np.int64)
-        )
-        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
-
-    bucketed = combined.map_batches(assign, batch_format="pyarrow")
+    bucketed = range_bucketed_elements(elements, num_buckets=num_buckets, salted=salted)
     if salted:
         stage1 = bucketed.groupby(["bucket", "salt"]).map_groups(
             lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),

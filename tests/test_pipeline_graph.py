@@ -146,3 +146,36 @@ def test_unknown_sort_strategy_raises_even_with_canonicalize(
     docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=4)
     with pytest.raises(ValueError, match="sort_strategy"):
         build_graph(docs, canonicalize=True, sort_strategy="range-merge")
+
+
+def test_write_graph_sorted_matches_dataset_path(
+    ray_session, fixture_corpus, tmp_path
+):
+    """The fused fold+write path (materialize.write_graph_sorted) must emit
+    BYTE-IDENTICAL sorted nodes/edges tables to build_graph + write_parquet
+    — same rows, same order (lexicographic part-file order == global
+    merge_key order), plain and salted."""
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_construction_ray.materialize import write_graph_sorted
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    nodes, edges = build_graph(docs, num_buckets=16)
+    n_d = nodes.to_pandas().reset_index(drop=True)
+    e_d = edges.to_pandas().reset_index(drop=True)
+
+    for salted in (False, True):
+        out = tmp_path / f"wgs_{salted}"
+        docs2 = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+        stats = write_graph_sorted(
+            docs2,
+            str(out / "nodes"),
+            str(out / "edges"),
+            num_buckets=16,
+            salted=salted,
+        )
+        assert stats["nodes"] == len(n_d) and stats["edges"] == len(e_d)
+        n_f = pads.dataset(str(out / "nodes")).to_table().to_pandas()
+        e_f = pads.dataset(str(out / "edges")).to_table().to_pandas()
+        assert n_f.equals(n_d), f"nodes diverge (salted={salted})"
+        assert e_f.equals(e_d), f"edges diverge (salted={salted})"
