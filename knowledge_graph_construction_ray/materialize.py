@@ -119,20 +119,27 @@ def write_graph_sorted(
 
     import pyarrow.parquet as pq
 
-    from .merge import _fold_bucket_sorted, range_bucketed_elements
+    from .merge import (
+        _fold_bucket_sorted,
+        _is_edge_mask,
+        range_bucketed_elements,
+    )
     from .pipelines.kg import extract
 
     os.makedirs(nodes_dir, exist_ok=True)
     os.makedirs(edges_dir, exist_ok=True)
     kwargs = {"batch_size": batch_size} if batch_size else {}
+    # narrow exchange: merge_key already encodes kind + every identity
+    # field; the fold needs only (merge_key, props, src_rank, seq) and the
+    # writer below reconstructs the fields by splitting the key
     bucketed = range_bucketed_elements(
-        extract(docs, **kwargs), num_buckets=num_buckets, salted=salted
+        extract(docs, **kwargs), num_buckets=num_buckets, salted=salted, narrow=True
     )
     if salted:
-        from .merge import _fold_bucket, _to_elements_table
+        from .merge import _fold_bucket, _to_narrow_table
 
         bucketed = bucketed.groupby(["bucket", "salt"]).map_groups(
-            lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),
+            lambda df: _to_narrow_table(_fold_bucket(df), ("bucket",)),
             batch_format="pandas",
         )
 
@@ -143,15 +150,19 @@ def write_graph_sorted(
         os.makedirs(edges_dir, exist_ok=True)
         df = _fold_bucket_sorted(df)
         bucket = int(df["bucket"].iloc[0]) if len(df) else 0
-        is_edge = df["kind"].to_numpy() == "edge"
+        is_edge = _is_edge_mask(df)
         nodes = df[~is_edge]
         edges = df[is_edge]
         if len(nodes):
+            # N \x1f label \x1f name — n=2 keeps any later separator
+            # inside `name` (key injectivity needs \x1f-free fields
+            # anyway; see range_bucketed_elements)
+            parts = nodes["merge_key"].str.split("\x1f", n=2, expand=True)
             pq.write_table(
                 pa.Table.from_pydict(
                     {
-                        "label": nodes["label"].tolist(),
-                        "name": nodes["name"].tolist(),
+                        "label": parts[1].tolist(),
+                        "name": parts[2].tolist(),
                         "props": _strip_props_column(nodes["props"].to_numpy()),
                     },
                     schema=NODES_SCHEMA,
@@ -159,9 +170,13 @@ def write_graph_sorted(
                 f"{nodes_dir}/part-{bucket:05d}.parquet",
             )
         if len(edges):
+            parts = edges["merge_key"].str.split("\x1f", n=5, expand=True)
             pq.write_table(
                 pa.Table.from_pydict(
-                    {name: edges[name].tolist() for name in EDGES_SCHEMA.names},
+                    {
+                        name: parts[i + 1].tolist()
+                        for i, name in enumerate(EDGES_SCHEMA.names)
+                    },
                     schema=EDGES_SCHEMA,
                 ),
                 f"{edges_dir}/part-{bucket:05d}.parquet",

@@ -127,7 +127,7 @@ def fold_frame(df: pd.DataFrame) -> pd.DataFrame:
     # deterministic ordering so "first edge row" and min-lineage node rows
     # are stable regardless of shuffle arrival order
     df = df.sort_values(["merge_key", "src_rank", "seq"], kind="stable")
-    is_edge = df["kind"].to_numpy() == "edge"
+    is_edge = _is_edge_mask(df)
     edges = df[is_edge].drop_duplicates(subset="merge_key", keep="first")
     nodes = df[~is_edge]
     if nodes.empty:
@@ -160,6 +160,15 @@ def fold_frame(df: pd.DataFrame) -> pd.DataFrame:
             if len(real_dups):
                 parts.append(_fold_real_dup_groups(real_dups))
     return pd.concat(parts, ignore_index=True)
+
+
+def _is_edge_mask(df: pd.DataFrame):
+    """Edge-row mask; works on full ELEMENTS_SCHEMA frames and on NARROW
+    frames (no ``kind`` column — derived from the merge_key prefix, which
+    is definitionally 'E'/'N')."""
+    if "kind" in df.columns:
+        return df["kind"].to_numpy() == "edge"
+    return df["merge_key"].str.startswith("E").to_numpy()
 
 
 def _bucket_of(keys: pd.Series, num_buckets: int) -> pd.Series:
@@ -278,19 +287,29 @@ def range_bucketed_elements(
     *,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     salted: bool = False,
+    narrow: bool = False,
 ) -> "Dataset":
     """Shared head of the range-keyed merge plans: local combine →
     materialize partials → stratified boundary sample → bucket
     assignment.  Bucket ids ascend with merge_key ranges, so a consumer
     that processes buckets in id order sees globally ordered keys.
     Consumers: :func:`merge_elements_sorted` (fold → merged Dataset) and
-    ``materialize.write_graph_sorted`` (fold → direct partitioned write)."""
+    ``materialize.write_graph_sorted`` (fold → direct partitioned write).
+
+    ``narrow=True`` ships only ``(merge_key, props, src_rank, seq)``
+    through the exchange — ``merge_key`` already encodes kind + every
+    identity field, so the rest is derivable and shipping it doubles the
+    identity-string bytes.  Reconstruction (splitting the key) is the
+    consumer's job; key injectivity — fields free of the ``\\x1f``
+    separator — is the SAME assumption the key scheme itself needs
+    (two tuples with a separator-bearing field would collide today)."""
     import numpy as np
 
     extra = ("salt",) if salted else ()
+    to_table = _to_narrow_table if narrow else _to_elements_table
 
     def combine_arrow(batch: pa.Table) -> pa.Table:
-        return _to_elements_table(_fold_and_salt(batch.to_pandas(), salted), extra)
+        return to_table(_fold_and_salt(batch.to_pandas(), salted), extra)
 
     combined = elements.map_batches(
         combine_arrow, batch_format="pyarrow"
@@ -382,3 +401,23 @@ def _to_elements_table(df: pd.DataFrame, extra: tuple[str, ...] = ()) -> pa.Tabl
 
 def _normalize_schema(df: pd.DataFrame) -> pa.Table:
     return _to_elements_table(df)
+
+
+NARROW_SCHEMA_FIELDS = (
+    ("merge_key", "string"),
+    ("props", "string"),
+    ("src_rank", "int64"),
+    ("seq", "int64"),
+)
+
+
+def _to_narrow_table(df: pd.DataFrame, extra: tuple[str, ...] = ()) -> pa.Table:
+    """The 4-column exchange projection (see ``range_bucketed_elements``
+    ``narrow=True``) + optional int64 shuffle columns."""
+    schema = pa.schema(
+        [pa.field(n, getattr(pa, t)()) for n, t in NARROW_SCHEMA_FIELDS]
+        + [pa.field(n, pa.int64()) for n in extra]
+    )
+    return pa.Table.from_pandas(
+        df[list(schema.names)], schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
