@@ -2851,6 +2851,64 @@ ORDER BY lang, doc_id
 """
 
 
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=4, 3 assignment rounds) over the
+    embedding column, INTEGER-EXACT end-to-end (quantize floor-2^20,
+    int64 distances, rounded integer centroid updates) so the DuckDB
+    oracle below is a genuinely independent re-computation of the SAME
+    algorithm -- no golden file, no float-order ambiguity.  Seeds = the
+    k smallest vec_ids.  Scale shape: per-iteration streaming pass with
+    a k x dim partial-sum combiner; the driver reduces blocks x k x dim
+    int64 rows and broadcasts the k x dim centroid matrix; assignments
+    come back as a Dataset, never collected."""
+    from ..stages.embed import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds, k=4, iters=3)
+
+
+def _kmeans_round_sql(i: int) -> str:
+    """One unrolled Lloyd round: distances vs c{i-1} -> a{i} -> sums ->
+    c{i} (emptied clusters keep their previous centroid)."""
+    p = i - 1
+    return f"""
+d{i} AS (SELECT q.vec_id, c.j, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+      FROM q JOIN c{p} c ON q.dim = c.dim GROUP BY q.vec_id, c.j),
+a{i} AS (SELECT vec_id, j AS cluster FROM d{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1),
+s{i} AS (SELECT a.cluster AS j, q.dim, SUM(q.v) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cluster, q.dim),
+c{i} AS (SELECT c{p}.j, c{p}.dim,
+             COALESCE(CAST(FLOOR((2.0 * s{i}.s + s{i}.n) / (2.0 * s{i}.n)) AS BIGINT),
+                      c{p}.c) AS c
+      FROM c{p} LEFT JOIN s{i} ON s{i}.j = c{p}.j AND s{i}.dim = c{p}.dim)"""
+
+
+EMBEDDINGS_KMEANS_SQL = (
+    """
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+q AS (
+  SELECT vec_id, d.dim AS dim,
+         CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+  FROM embeddings, dims d
+),
+seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+         FROM embeddings ORDER BY vec_id LIMIT 4),
+c0 AS (SELECT s.j, q.dim, q.v AS c FROM seed s JOIN q ON q.vec_id = s.vec_id),"""
+    + _kmeans_round_sql(1)
+    + ","
+    + _kmeans_round_sql(2)
+    + """,
+d3 AS (SELECT q.vec_id, c.j, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+      FROM q JOIN c2 c ON q.dim = c.dim GROUP BY q.vec_id, c.j)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, j AS cluster FROM d3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+) ORDER BY vec_id
+"""
+)
+
+
 def embeddings_label_centroids(sf_dir: str):
     """Per-label mean embedding in long format — the class-prototype /
     cluster-profile primitive.  stages/embed.py::label_centroids
@@ -6642,6 +6700,7 @@ FROM w GROUP BY kind ORDER BY kind
 
 QUERIES: dict[str, tuple] = {
     # name: (ray_fn, oracle_sql | None)
+    "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     # ORDER MATTERS for the driver's correctness gate: its checked
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds

@@ -610,3 +610,130 @@ def label_silhouette(
         .sort_values("label", kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (integer-exact Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_matrix(t, id_col: str, vec_col: str):
+    """Arrow batch → (ids int64, rows × dim int64 quantized matrix)."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = t[vec_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n and len(flat) % n:
+        raise ValueError("kmeans: ragged embedding column")
+    dim = (len(flat) // n) if n else 0
+    return ids, centroid_quantize(flat).reshape(n, dim)
+
+
+def kmeans_assign(
+    embeddings_ds,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over an embedding column, INTEGER-EXACT
+    so the result is bit-comparable against an independent SQL oracle
+    (same discipline as :func:`label_centroids`):
+
+    * vectors quantize to int64 (floor · 2^20, exact for float32 input);
+    * distances are int64 sums of squares (|q| < 2^25, dim ≤ 2^13 keeps
+      them < 2^63); argmin tie-breaks on the smallest cluster id in both
+      arms (numpy first-occurrence == SQL ORDER BY dist, j);
+    * the Lloyd update ROUNDS the mean back to an int64 centroid via
+      floor((2·S + n) / (2·n)) — computed in float64, exact while
+      2|S| + n < 2^53 (loud guard) — so the next assignment round is
+      again pure integer arithmetic;
+    * an emptied cluster keeps its previous centroid.
+
+    Scale shape: seeds are the k smallest ``id_col`` rows (per-block
+    bounded k-smallest combiner → driver reduce over blocks × k rows);
+    each iteration is one streaming pass emitting k × dim partial-sum
+    rows per block — the driver only ever reduces (blocks × k × dim)
+    int64 rows and holds the k × dim centroid matrix, broadcast into the
+    next pass's task closure.  The input is re-read per iteration
+    (column-pruned), never pinned.
+
+    Returns the final-iteration assignment as a Dataset of
+    ``(id_col, cluster int64)``.
+    """
+    import pyarrow as pa
+
+    def seed_partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select([id_col, vec_col]).to_pandas()
+        return df.nsmallest(k, id_col)
+
+    seeds = (
+        embeddings_ds.map_batches(seed_partial, batch_format="pyarrow")
+        .to_pandas()
+        .nsmallest(k, id_col)
+        .sort_values(id_col, kind="mergesort")
+    )
+    if seeds.empty:
+        raise ValueError("kmeans: empty input")
+    flat = np.concatenate([np.asarray(v, dtype=np.float64) for v in seeds[vec_col]])
+    centroids = centroid_quantize(flat).reshape(len(seeds), -1)
+    if len(centroids) < k:
+        raise ValueError(f"kmeans: k={k} but only {len(centroids)} vectors")
+    dim = centroids.shape[1]
+    if k * dim >= (1 << 26):  # dist sum bound: 2^50 · dim < 2^63
+        raise ValueError("kmeans: k × dim too large for the int64 envelope")
+
+    def assign_rows(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # (n × k) int64 distance matrix; argmin first-occurrence = min j
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    for _ in range(iters - 1):
+        cents = centroids  # freeze for closure capture
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            _, q = _quantized_matrix(t, id_col, vec_col)
+            if not len(q):
+                return pd.DataFrame(
+                    {"j": np.array([], dtype=np.int64),
+                     "dim": np.array([], dtype=np.int64),
+                     "s": np.array([], dtype=np.int64),
+                     "n": np.array([], dtype=np.int64)}
+                )
+            a = assign_rows(q, cents)
+            rows = []
+            for j in np.unique(a):
+                sel = q[a == j]
+                rows.append(pd.DataFrame({
+                    "j": np.int64(j),
+                    "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                    "s": sel.sum(axis=0, dtype=np.int64),
+                    "n": np.int64(len(sel)),
+                }))
+            return pd.concat(rows, ignore_index=True)
+
+        sums = (
+            embeddings_ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["j", "dim"], sort=True)
+            .agg(s=("s", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        s = sums["s"].to_numpy(np.float64)
+        n = sums["n"].to_numpy(np.float64)
+        if len(sums) and (2.0 * np.abs(sums["s"].to_numpy(np.int64)) + sums["n"].to_numpy(np.int64)).max() >= 2**53:
+            raise ValueError("kmeans: |2S|+n ≥ 2^53 breaks exact float64 rounding")
+        new_c = centroids.copy()
+        upd = np.floor((2.0 * s + n) / (2.0 * n)).astype(np.int64)
+        new_c[sums["j"].to_numpy(np.int64), sums["dim"].to_numpy(np.int64) - 1] = upd
+        centroids = new_c
+
+    final_c = centroids
+
+    def final_assign(t: pa.Table) -> pd.DataFrame:
+        ids, q = _quantized_matrix(t, id_col, vec_col)
+        if not len(q):
+            return pd.DataFrame({id_col: ids, "cluster": ids})
+        return pd.DataFrame({id_col: ids, "cluster": assign_rows(q, final_c)})
+
+    return embeddings_ds.map_batches(final_assign, batch_format="pyarrow")

@@ -1353,3 +1353,65 @@ def test_interarrival_digit_bucket_matches_string_length():
     )
     digits = np.searchsorted(_POW10, vals, side="right") + 1
     assert digits.tolist() == [len(str(int(v))) for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# k-means (integer-exact Lloyd)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import kmeans_assign
+
+    outs = []
+    for blocks in (2, 9):
+        ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        )
+        outs.append(
+            kmeans_assign(ds, k=4, iters=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert set(outs[0]["cluster"].unique()) <= {0, 1, 2, 3}
+    # non-degenerate: more than one cluster survives on real data
+    assert outs[0]["cluster"].nunique() > 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """All points identical → every point lands in cluster 0; the three
+    emptied clusters keep their (identical) seed centroids and the run
+    still terminates deterministically."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import kmeans_assign
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(10, dtype=np.int64),
+         "embedding": [[0.5, -0.25, 0.125]] * 10}
+    )
+    out = (
+        kmeans_assign(rd.from_pandas(df).repartition(3), k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert (out["cluster"].to_numpy() == 0).all()
+
+
+def test_kmeans_raises_on_too_few_points(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.embed import kmeans_assign
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(2, dtype=np.int64), "embedding": [[0.1], [0.2]]}
+    )
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_assign(rd.from_pandas(df), k=4, iters=2)
