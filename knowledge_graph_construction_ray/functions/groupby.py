@@ -258,18 +258,30 @@ def bucketed_groups(ds, keys: list[str], kernel, *, num_buckets: int = 64):
     own *vectorized* per-key work (pandas groupby / sort + shift) — the
     contract is that the kernel never dispatches per key in Python either.
     Co-location guarantee: all rows of a key land in exactly one bucket.
-    """
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bucket"] = hash_bucket(df, keys, num_buckets)
-        return df
+    Block format: the bucket tag is appended as a pure-Arrow column so the
+    all-to-all exchange moves compact Arrow buffers, not pickled
+    object-dtype pandas (~3× the bytes — measured on the merge exchange).
+    Only the KEY columns are converted to pandas pre-shuffle (hash parity
+    with ``hash_bucket``'s dtype normalization); the kernel still sees and
+    returns pandas, so per-bucket output schemas stay as permissive as
+    before.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = np.asarray(
+            hash_bucket(batch.select(keys).to_pandas(), keys, num_buckets),
+            dtype=np.int64,
+        )
+        return batch.append_column("_bucket", pa.array(b, type=pa.int64()))
 
     def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return kernel(df.drop(columns=["_bucket"]))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(run_bucket, batch_format="pandas")
     )
