@@ -132,9 +132,16 @@ def write_graph_sorted(
     # narrow exchange: merge_key already encodes kind + every identity
     # field; the fold needs only (merge_key, props, src_rank, seq) and the
     # writer below reconstructs the fields by splitting the key
-    bucketed = range_bucketed_elements(
+    bucketed, bounds = range_bucketed_elements(
         extract(docs, **kwargs), num_buckets=num_buckets, salted=salted, narrow=True
     )
+    # persist the partitioning so update_graph_sorted can route new docs
+    # into the SAME buckets (underscore prefix → ignored by parquet
+    # dataset discovery); both dirs carry a copy for cross-validation
+    meta = {"version": 1, "bounds": bounds, "salted": bool(salted)}
+    for d in (nodes_dir, edges_dir):
+        with open(f"{d}/_kg_meta.json", "w") as f:
+            json.dump(meta, f, ensure_ascii=False)
     if salted:
         from .merge import _fold_bucket, _to_narrow_table
 
@@ -144,46 +151,8 @@ def write_graph_sorted(
         )
 
     def fold_write(df: pd.DataFrame) -> pd.DataFrame:
-        # output dirs must be shared storage on a multi-node cluster
-        # (object store / NFS URI), same contract as write_parquet
-        os.makedirs(nodes_dir, exist_ok=True)
-        os.makedirs(edges_dir, exist_ok=True)
         df = _fold_bucket_sorted(df)
-        bucket = int(df["bucket"].iloc[0]) if len(df) else 0
-        is_edge = _is_edge_mask(df)
-        nodes = df[~is_edge]
-        edges = df[is_edge]
-        if len(nodes):
-            # N \x1f label \x1f name — n=2 keeps any later separator
-            # inside `name` (key injectivity needs \x1f-free fields
-            # anyway; see range_bucketed_elements)
-            parts = nodes["merge_key"].str.split("\x1f", n=2, expand=True)
-            pq.write_table(
-                pa.Table.from_pydict(
-                    {
-                        "label": parts[1].tolist(),
-                        "name": parts[2].tolist(),
-                        "props": _strip_props_column(nodes["props"].to_numpy()),
-                    },
-                    schema=NODES_SCHEMA,
-                ),
-                f"{nodes_dir}/part-{bucket:05d}.parquet",
-            )
-        if len(edges):
-            parts = edges["merge_key"].str.split("\x1f", n=5, expand=True)
-            pq.write_table(
-                pa.Table.from_pydict(
-                    {
-                        name: parts[i + 1].tolist()
-                        for i, name in enumerate(EDGES_SCHEMA.names)
-                    },
-                    schema=EDGES_SCHEMA,
-                ),
-                f"{edges_dir}/part-{bucket:05d}.parquet",
-            )
-        return pd.DataFrame(
-            {"bucket": [bucket], "nodes": [len(nodes)], "edges": [len(edges)]}
-        )
+        return _write_bucket(df, nodes_dir, edges_dir)
 
     stats_ds = bucketed.groupby("bucket").map_groups(
         fold_write, batch_format="pandas"
@@ -193,6 +162,210 @@ def write_graph_sorted(
         "nodes": int(stats["nodes"].sum()),
         "edges": int(stats["edges"].sum()),
         "buckets": int(len(stats)),
+        "ray_stats": stats_ds.stats(),
+    }
+
+
+def _write_bucket(df: pd.DataFrame, nodes_dir: str, edges_dir: str) -> pd.DataFrame:
+    """Write one FOLDED, merge_key-sorted narrow bucket frame as its
+    nodes/edges part files; returns the 1-row stats frame.  Output dirs
+    must be shared storage on a multi-node cluster (object store / NFS
+    URI), same contract as ``write_parquet``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .merge import _is_edge_mask
+
+    os.makedirs(nodes_dir, exist_ok=True)
+    os.makedirs(edges_dir, exist_ok=True)
+    bucket = int(df["bucket"].iloc[0]) if len(df) else 0
+    is_edge = _is_edge_mask(df)
+    nodes = df[~is_edge]
+    edges = df[is_edge]
+    if len(nodes):
+        # N \x1f label \x1f name — n=2 keeps any later separator
+        # inside `name` (key injectivity needs \x1f-free fields
+        # anyway; see range_bucketed_elements)
+        parts = nodes["merge_key"].str.split("\x1f", n=2, expand=True)
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "label": parts[1].tolist(),
+                    "name": parts[2].tolist(),
+                    "props": _strip_props_column(nodes["props"].to_numpy()),
+                },
+                schema=NODES_SCHEMA,
+            ),
+            f"{nodes_dir}/part-{bucket:05d}.parquet",
+        )
+    if len(edges):
+        parts = edges["merge_key"].str.split("\x1f", n=5, expand=True)
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    name: parts[i + 1].tolist()
+                    for i, name in enumerate(EDGES_SCHEMA.names)
+                },
+                schema=EDGES_SCHEMA,
+            ),
+            f"{edges_dir}/part-{bucket:05d}.parquet",
+        )
+    return pd.DataFrame(
+        {"bucket": [bucket], "nodes": [len(nodes)], "edges": [len(edges)]}
+    )
+
+
+def _retag_props(props) -> list:
+    """Stripped plain props → store-lineage tagged maps {k: [-1, -1, v]}
+    (strictly older than any real ``(src_rank ≥ 0, seq ≥ 0)`` tag, so a
+    new ingest's property write wins — MERGE ``SET n += props``
+    semantics); once per DISTINCT string, like :func:`_strip_props_column`."""
+    import numpy as np
+
+    codes, uniq = pd.factorize(np.asarray(props, dtype=object))
+    retagged_uniq = np.asarray(
+        [
+            json.dumps(
+                {k: [-1, -1, v] for k, v in json.loads(p).items()},
+                ensure_ascii=False,
+            )
+            for p in uniq
+        ],
+        dtype=object,
+    )
+    out = retagged_uniq[codes] if len(codes) else retagged_uniq
+    return out.tolist()
+
+
+def _existing_bucket_narrow(
+    bucket: int, nodes_dir: str, edges_dir: str
+) -> pd.DataFrame:
+    """Read one bucket's previously-written part files back into the
+    NARROW elements form (merge_key reconstructed, props re-tagged with
+    store lineage (-1, -1)); empty frame when the bucket had no files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    frames = []
+    npath = f"{nodes_dir}/part-{bucket:05d}.parquet"
+    if os.path.exists(npath):
+        nd = pq.read_table(npath).to_pandas()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "merge_key": ("N\x1f" + nd["label"] + "\x1f" + nd["name"]),
+                    "props": _retag_props(nd["props"].to_numpy()),
+                }
+            )
+        )
+    epath = f"{edges_dir}/part-{bucket:05d}.parquet"
+    if os.path.exists(epath):
+        ed = pq.read_table(epath).to_pandas()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "merge_key": (
+                        "E\x1f" + ed["src_label"] + "\x1f" + ed["src_name"]
+                        + "\x1f" + ed["rel"]
+                        + "\x1f" + ed["dst_label"] + "\x1f" + ed["dst_name"]
+                    ),
+                    "props": None,
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"merge_key": pd.Series(dtype=object), "props": pd.Series(dtype=object)}
+        )
+    out = pd.concat(frames, ignore_index=True)
+    out["src_rank"] = -1
+    out["seq"] = -1
+    return out
+
+
+def update_graph_sorted(
+    new_docs: "Dataset",
+    nodes_dir: str,
+    edges_dir: str,
+    *,
+    batch_size: int | None = None,
+) -> dict:
+    """Incremental ingest into an existing :func:`write_graph_sorted`
+    output: new docs route through the SAME saved range partitioning
+    (``_kg_meta.json``), and only the buckets that receive new rows are
+    re-folded and rewritten — untouched part files stay as they are,
+    which is the whole point at 10^12-doc scale (a daily增量 batch
+    touches the key ranges it mentions, not the corpus).
+
+    The existing store participates in the fold as lineage ``(-1, -1)``
+    rows (strictly older than any real ingest tag), giving MERGE
+    ``SET n += props`` semantics: a new property write wins over the
+    stored value, stubs never overwrite stored props, stored edges
+    dedup against re-emitted ones.  ``update(A-built store, B)`` is
+    byte-identical to ``build(A ∪ B)`` whenever B's lineage wins every
+    A∩B property conflict — exactly the append-only ingest case (and
+    vacuously when A and B write disjoint property keys); the parity
+    test pins this on the fixture corpus.
+
+    Because the partition bounds are FIXED by the original build, the
+    pipeline streams end-to-end (no sampling materialize); repeated
+    updates can skew bucket sizes if the new data's key distribution
+    drifts — rebuild to re-balance (the meta records bounds so drift is
+    inspectable)."""
+    import os
+
+    from .merge import range_bucketed_elements
+    from .pipelines.kg import extract
+
+    metas = []
+    for d in (nodes_dir, edges_dir):
+        path = f"{d}/_kg_meta.json"
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — not a write_graph_sorted output"
+            )
+        with open(path) as f:
+            metas.append(json.load(f))
+    if metas[0] != metas[1]:
+        raise ValueError("nodes/edges _kg_meta.json disagree — mixed outputs?")
+    meta = metas[0]
+
+    kwargs = {"batch_size": batch_size} if batch_size else {}
+    bucketed, _ = range_bucketed_elements(
+        extract(new_docs, **kwargs),
+        salted=meta["salted"],
+        narrow=True,
+        bounds=meta["bounds"],
+    )
+    if meta["salted"]:
+        from .merge import _fold_bucket, _to_narrow_table
+
+        bucketed = bucketed.groupby(["bucket", "salt"]).map_groups(
+            lambda df: _to_narrow_table(_fold_bucket(df), ("bucket",)),
+            batch_format="pandas",
+        )
+
+    def fold_update(df: pd.DataFrame) -> pd.DataFrame:
+        from .merge import _fold_bucket_sorted
+
+        bucket = int(df["bucket"].iloc[0]) if len(df) else 0
+        existing = _existing_bucket_narrow(bucket, nodes_dir, edges_dir)
+        existing["bucket"] = bucket
+        merged = pd.concat(
+            [existing, df[existing.columns]], ignore_index=True
+        )
+        return _write_bucket(_fold_bucket_sorted(merged), nodes_dir, edges_dir)
+
+    stats_ds = bucketed.groupby("bucket").map_groups(
+        fold_update, batch_format="pandas"
+    ).materialize()
+    stats = stats_ds.to_pandas()
+    return {
+        "nodes_written": int(stats["nodes"].sum()),
+        "edges_written": int(stats["edges"].sum()),
+        "buckets_touched": int(len(stats)),
         "ray_stats": stats_ds.stats(),
     }
 

@@ -288,7 +288,8 @@ def range_bucketed_elements(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     salted: bool = False,
     narrow: bool = False,
-) -> "Dataset":
+    bounds: list | None = None,
+):
     """Shared head of the range-keyed merge plans: local combine →
     materialize partials → stratified boundary sample → bucket
     assignment.  Bucket ids ascend with merge_key ranges, so a consumer
@@ -302,7 +303,12 @@ def range_bucketed_elements(
     identity-string bytes.  Reconstruction (splitting the key) is the
     consumer's job; key injectivity — fields free of the ``\\x1f``
     separator — is the SAME assumption the key scheme itself needs
-    (two tuples with a separator-bearing field would collide today)."""
+    (two tuples with a separator-bearing field would collide today).
+
+    ``bounds``: pass a saved cut-point list (e.g. from a prior build's
+    ``_kg_meta.json``) to skip the sampling pass AND the materialize
+    barrier — the pipeline then streams end-to-end.  Returns
+    ``(bucketed Dataset, bounds list)``."""
     import numpy as np
 
     extra = ("salt",) if salted else ()
@@ -311,21 +317,22 @@ def range_bucketed_elements(
     def combine_arrow(batch: pa.Table) -> pa.Table:
         return to_table(_fold_and_salt(batch.to_pandas(), salted), extra)
 
-    combined = elements.map_batches(
-        combine_arrow, batch_format="pyarrow"
-    ).materialize()
-    bounds = np.array(_sample_key_bounds(combined, num_buckets), dtype=object)
+    combined = elements.map_batches(combine_arrow, batch_format="pyarrow")
+    if bounds is None:
+        combined = combined.materialize()
+        bounds = _sample_key_bounds(combined, num_buckets)
+    bounds_np = np.array(bounds, dtype=object)
 
     def assign(batch: pa.Table) -> pa.Table:
         keys = batch.column("merge_key").to_numpy(zero_copy_only=False)
         b = (
-            np.searchsorted(bounds, keys, side="right")
-            if len(bounds)
+            np.searchsorted(bounds_np, keys, side="right")
+            if len(bounds_np)
             else np.zeros(len(keys), dtype=np.int64)
         )
         return batch.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    return combined.map_batches(assign, batch_format="pyarrow")
+    return combined.map_batches(assign, batch_format="pyarrow"), list(bounds)
 
 
 def merge_elements_sorted(
@@ -361,7 +368,9 @@ def merge_elements_sorted(
     Block format: pandas compute inside every UDF, Arrow at every block
     boundary (see :func:`merge_elements`) — the materialized combiner
     partials and the range exchange move compact Arrow buffers."""
-    bucketed = range_bucketed_elements(elements, num_buckets=num_buckets, salted=salted)
+    bucketed, _ = range_bucketed_elements(
+        elements, num_buckets=num_buckets, salted=salted
+    )
     if salted:
         stage1 = bucketed.groupby(["bucket", "salt"]).map_groups(
             lambda df: _to_elements_table(_fold_bucket(df), ("bucket",)),

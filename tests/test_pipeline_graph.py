@@ -179,3 +179,57 @@ def test_write_graph_sorted_matches_dataset_path(
         e_f = pads.dataset(str(out / "edges")).to_table().to_pandas()
         assert n_f.equals(n_d), f"nodes diverge (salted={salted})"
         assert e_f.equals(e_d), f"edges diverge (salted={salted})"
+
+
+def test_update_graph_sorted_matches_full_rebuild(
+    ray_session, fixture_corpus, tmp_path
+):
+    """Incremental ingest parity: build on the first half of the corpus,
+    update with the second half → byte-identical nodes/edges tables to a
+    full build over everything, and only a subset of buckets rewritten.
+    Pins the store-lineage (-1,-1) fold semantics, plain and salted."""
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_construction_ray.materialize import (
+        update_graph_sorted,
+        write_graph_sorted,
+    )
+
+    half = fixture_corpus.num_rows // 2
+    A, B = fixture_corpus.slice(0, half), fixture_corpus.slice(half)
+    for salted in (False, True):
+        full = tmp_path / f"full_{salted}"
+        inc = tmp_path / f"inc_{salted}"
+        write_graph_sorted(
+            readers.from_arrow_docs(fixture_corpus, override_num_blocks=8),
+            str(full / "nodes"), str(full / "edges"),
+            num_buckets=16, salted=salted,
+        )
+        write_graph_sorted(
+            readers.from_arrow_docs(A, override_num_blocks=4),
+            str(inc / "nodes"), str(inc / "edges"),
+            num_buckets=16, salted=salted,
+        )
+        stats = update_graph_sorted(
+            readers.from_arrow_docs(B, override_num_blocks=4),
+            str(inc / "nodes"), str(inc / "edges"),
+        )
+        assert 0 < stats["buckets_touched"] < 33  # incremental, not a rebuild
+        for side in ("nodes", "edges"):
+            f = pads.dataset(str(full / side)).to_table().to_pandas()
+            i = pads.dataset(str(inc / side)).to_table().to_pandas()
+            assert f.equals(i), f"{side} diverge (salted={salted})"
+
+
+def test_update_graph_sorted_rejects_non_store(ray_session, fixture_corpus, tmp_path):
+    import pytest
+
+    from knowledge_graph_construction_ray.materialize import update_graph_sorted
+
+    (tmp_path / "nodes").mkdir()
+    (tmp_path / "edges").mkdir()
+    with pytest.raises(FileNotFoundError, match="_kg_meta"):
+        update_graph_sorted(
+            readers.from_arrow_docs(fixture_corpus, override_num_blocks=2),
+            str(tmp_path / "nodes"), str(tmp_path / "edges"),
+        )
