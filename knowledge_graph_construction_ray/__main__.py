@@ -50,6 +50,42 @@ def cmd_build(args: argparse.Namespace) -> dict:
     )
 
 
+def cmd_write(args: argparse.Namespace) -> dict:
+    """Fused fold+write build (materialize.write_graph_sorted): fastest
+    full-build path — per-bucket sorted part files + saved partitioning
+    (``_kg_meta.json``) that ``ingest`` reuses.  Not checkpointed; use
+    ``build`` when per-partition resume matters more than wall time."""
+    import ray.data as rd
+
+    from .materialize import write_graph_sorted
+
+    out = write_graph_sorted(
+        rd.read_parquet(args.input),
+        f"{args.out}/nodes",
+        f"{args.out}/edges",
+        num_buckets=args.num_buckets,
+        salted=args.salted,
+    )
+    out.pop("ray_stats", None)
+    return out
+
+
+def cmd_ingest(args: argparse.Namespace) -> dict:
+    """Incremental ingest into a ``write`` output: only buckets receiving
+    new rows are re-folded and rewritten (materialize.update_graph_sorted)."""
+    import ray.data as rd
+
+    from .materialize import update_graph_sorted
+
+    out = update_graph_sorted(
+        rd.read_parquet(args.input),
+        f"{args.out}/nodes",
+        f"{args.out}/edges",
+    )
+    out.pop("ray_stats", None)
+    return out
+
+
 def cmd_metrics(args: argparse.Namespace) -> list:
     from .state.checkpoint import read_metrics
 
@@ -109,6 +145,22 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salted", action="store_true")
     b.add_argument("--num-buckets", type=int, default=64)
     b.set_defaults(fn=cmd_build)
+
+    w = sub.add_parser(
+        "write", help="fused fold+write build (fastest; saves partitioning)"
+    )
+    w.add_argument("--input", required=True, help="directory of docs parquet")
+    w.add_argument("--out", required=True, help="output dir (nodes/ + edges/)")
+    w.add_argument("--salted", action="store_true")
+    w.add_argument("--num-buckets", type=int, default=64)
+    w.set_defaults(fn=cmd_write)
+
+    i = sub.add_parser(
+        "ingest", help="incremental ingest into a `write` output"
+    )
+    i.add_argument("--input", required=True, help="directory of NEW docs parquet")
+    i.add_argument("--out", required=True, help="existing write output dir")
+    i.set_defaults(fn=cmd_ingest)
 
     m = sub.add_parser("metrics", help="print per-partition metrics")
     m.add_argument("--work", required=True)

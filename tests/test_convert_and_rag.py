@@ -234,3 +234,30 @@ def test_cmd_triples_refuses_dirty_out(tmp_path):
     with pytest.raises(SystemExit, match="refusing to clear"):
         cmd_triples(argparse.Namespace(work=str(work), out=str(out)))
     assert (out / "keep.txt").read_text() == "precious"
+
+
+def test_cli_write_then_ingest_roundtrip(ray_session, fixture_corpus, tmp_path):
+    """`write` then `ingest` through the CLI command functions equals the
+    full-corpus graph (the parity depth lives in test_pipeline_graph; this
+    pins the CLI plumbing: arg wiring, meta reuse, stats keys)."""
+    import argparse
+
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_construction_ray.__main__ import cmd_ingest, cmd_write
+    from knowledge_graph_construction_ray.state.checkpoint import (
+        split_docs_to_files,
+    )
+
+    half = fixture_corpus.num_rows // 2
+    split_docs_to_files(fixture_corpus.slice(0, half), str(tmp_path / "a"), 2)
+    split_docs_to_files(fixture_corpus.slice(half), str(tmp_path / "b"), 2)
+    out = tmp_path / "graph"
+    w = cmd_write(argparse.Namespace(
+        input=str(tmp_path / "a"), out=str(out), salted=False, num_buckets=16,
+    ))
+    assert w["nodes"] > 0 and "buckets" in w
+    i = cmd_ingest(argparse.Namespace(input=str(tmp_path / "b"), out=str(out)))
+    assert 0 < i["buckets_touched"] <= 33
+    assert pads.dataset(str(out / "nodes")).to_table().num_rows == 553
+    assert pads.dataset(str(out / "edges")).to_table().num_rows == 322
