@@ -172,6 +172,50 @@ def bench_kg(num_cpus: int) -> dict:
     }
 
 
+def bench_incremental(num_cpus: int) -> dict:
+    """Incremental ingest into the store the headline just wrote: a ×40
+    delta corpus (19.7k docs, keys spread across the key space — the
+    WORST case for bucket skipping, every bucket is touched) vs the 2M-doc
+    full rebuild the headline measured.  The win reported is wall: the
+    update streams 1% of the docs and re-folds only per-bucket store rows."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.fixtures import write_corpus
+    from knowledge_graph_construction_ray.materialize import update_graph_sorted
+
+    delta_path = f"/tmp/kg_bench_delta_x40_{_corpus_version()}.pqdir"
+    if not os.path.exists(delta_path):
+        tmp = delta_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_corpus(tmp, replicate=40, files=8)
+        os.replace(tmp, delta_path)
+
+    def one(docs, tag):
+        t0 = time.perf_counter()
+        out = update_graph_sorted(docs, f"{KG_OUT}/nodes", f"{KG_OUT}/edges")
+        return {
+            f"{tag}_sec": round(time.perf_counter() - t0, 3),
+            f"{tag}_buckets_touched": out["buckets_touched"],
+            f"{tag}_rows_written": out["nodes_written"] + out["edges_written"],
+        }
+
+    import pyarrow.compute as pc
+
+    scattered = rd.read_parquet(delta_path, override_num_blocks=8)
+    # localized arm: one source kind → keys confined to a narrow label
+    # range → few buckets touched (the shape a real daily delta has when
+    # it concentrates on one table/source)
+    localized = scattered.map_batches(
+        lambda b: b.filter(pc.starts_with(b["doc_id"], "medicine:")),
+        batch_format="pyarrow",
+    )
+    out = one(scattered, "scattered")
+    out.update(one(localized, "localized"))
+    out["delta_docs"] = 19680
+    out["sec"] = out["scattered_sec"]
+    return out
+
+
 def _bench_gazetteer() -> dict:
     from knowledge_graph_construction_ray.fixtures import (
         disease_records,
@@ -502,14 +546,17 @@ def run_once() -> dict:
         mentions5k = bench_mentions(NUM_CPUS, gaz5k, "5k_gazetteer_ahocorasick", reps=1)
         mention_count = bench_mention_count(NUM_CPUS, gaz)
         minhash = bench_minhash(NUM_CPUS)
+        incremental = bench_incremental(NUM_CPUS)
         queries = bench_queries()
         queries["kg_mention_detection"] = mentions["sec"]
         queries["kg_mention_detection_5k"] = mentions5k["sec"]
         queries["dedup_minhash_large"] = minhash["sec"]
+        queries["kg_incremental_ingest"] = incremental["sec"]
         extra = {
             "mentions_5k": mentions5k,
             "mention_count_2m": mention_count,
             "minhash_large": minhash,
+            "incremental_ingest": incremental,
         }
     result = {
         "metric": "kg_build_wall_sec (docs->extract->merge->materialize, "
