@@ -483,6 +483,7 @@ BENCH_QUERIES = [
     "kg_span_modality_bigrams",
     "kg_span_integrity",
     "embeddings_kmeans",
+    "events_last_touch",
 ]
 
 

@@ -755,6 +755,78 @@ ORDER BY c.event_id
 """
 
 
+def events_last_touch(sf_dir: str):
+    """Last-touch attribution: each purchase takes the same user's most
+    recent view at-or-before it (backward as-of), is ATTRIBUTED iff that
+    view falls inside a 6 h window, and the result aggregates to an
+    int-exact per-hour conversion profile -- the composition pattern
+    (as-of join -> derived flag -> bucketed combiner aggregate) a real
+    attribution pipeline runs; 24-row output, nothing event-count-sized
+    leaves the join."""
+    import pandas as pd
+
+    from ..functions.asof import asof_join
+    from ..functions.groupby import bucketed_agg
+
+    purchases = _events_side(sf_dir, "purchase", ["event_id", "ts", "user_id"])
+    views = _events_side(sf_dir, "view", ["ts", "user_id"])
+    j = asof_join(
+        purchases,
+        views,
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        right_cols={"ts": "view_ts"},
+        num_buckets=16,
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        attributed = df["view_ts"].notna() & (
+            (df["ts"] - df["view_ts"]) <= pd.Timedelta(hours=6)
+        )
+        return pd.DataFrame(
+            {
+                "hour": df["ts"].dt.hour.astype("int64"),
+                "n_purchases": 1,
+                "n_attributed": attributed.astype("int64"),
+            }
+        )
+
+    out = bucketed_agg(
+        j.map_batches(flag, batch_format="pandas"),
+        ["hour"],
+        {
+            "n_purchases": ("n_purchases", "sum"),
+            "n_attributed": ("n_attributed", "sum"),
+        },
+        num_buckets=8,
+    ).to_pandas()
+    out["hour"] = out["hour"].astype("int64")
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    out["n_attributed"] = out["n_attributed"].astype("int64")
+    return (
+        out[["hour", "n_purchases", "n_attributed"]]
+        .sort_values("hour", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_LAST_TOUCH_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+a AS (
+  SELECT p.event_id, p.ts, v.ts AS view_ts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL
+                      AND ts - view_ts <= INTERVAL 6 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_band_views(sf_dir: str):
     """Band (range) join: every view by the same user in the 12 h before
     each purchase — the attribution-window join, one (purchase, view) row
@@ -6701,6 +6773,7 @@ FROM w GROUP BY kind ORDER BY kind
 QUERIES: dict[str, tuple] = {
     # name: (ray_fn, oracle_sql | None)
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
+    "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     # ORDER MATTERS for the driver's correctness gate: its checked
     # prefix is capped (50 entries in round 3), so entries changed or
     # never driver-checked last round come FIRST; the tail holds
