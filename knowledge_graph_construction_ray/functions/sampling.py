@@ -36,10 +36,10 @@ def sample_sorted_keys(ds, key: str) -> np.ndarray:
         )
         return pd.DataFrame({key: df[key].to_numpy()[take]})
 
-    return np.sort(
-        ds.map_batches(sample_keys, batch_format="pandas").to_pandas()[key].to_numpy(),
-        kind="stable",
-    )
+    pdf = ds.map_batches(sample_keys, batch_format="pandas").to_pandas()
+    if key not in pdf.columns:  # fully-empty Dataset: schema lost in to_pandas
+        return np.array([], dtype=object)
+    return np.sort(pdf[key].to_numpy(), kind="stable")
 
 
 def cuts_from_sample(sample: np.ndarray, num_bins: int) -> np.ndarray:

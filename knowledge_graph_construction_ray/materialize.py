@@ -158,6 +158,8 @@ def write_graph_sorted(
         fold_write, batch_format="pandas"
     ).materialize()
     stats = stats_ds.to_pandas()
+    if stats.empty:  # empty input: no buckets, schema-less stats frame
+        return {"nodes": 0, "edges": 0, "buckets": 0, "ray_stats": stats_ds.stats()}
     return {
         "nodes": int(stats["nodes"].sum()),
         "edges": int(stats["edges"].sum()),
@@ -362,6 +364,13 @@ def update_graph_sorted(
         fold_update, batch_format="pandas"
     ).materialize()
     stats = stats_ds.to_pandas()
+    if stats.empty:  # empty delta: no bucket touched, store untouched
+        return {
+            "nodes_written": 0,
+            "edges_written": 0,
+            "buckets_touched": 0,
+            "ray_stats": stats_ds.stats(),
+        }
     return {
         "nodes_written": int(stats["nodes"].sum()),
         "edges_written": int(stats["edges"].sum()),

@@ -233,3 +233,37 @@ def test_update_graph_sorted_rejects_non_store(ray_session, fixture_corpus, tmp_
             readers.from_arrow_docs(fixture_corpus, override_num_blocks=2),
             str(tmp_path / "nodes"), str(tmp_path / "edges"),
         )
+
+
+def test_write_and_update_graph_sorted_empty_inputs(
+    ray_session, fixture_corpus, tmp_path
+):
+    """Empty corpus → zero-count build (schema-less empty stats frame must
+    not KeyError); empty delta → store byte-untouched."""
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_construction_ray.materialize import (
+        update_graph_sorted,
+        write_graph_sorted,
+    )
+
+    empty = fixture_corpus.slice(0, 0)
+    out0 = tmp_path / "empty_build"
+    st = write_graph_sorted(
+        readers.from_arrow_docs(empty, override_num_blocks=1),
+        str(out0 / "nodes"), str(out0 / "edges"),
+    )
+    assert (st["nodes"], st["edges"], st["buckets"]) == (0, 0, 0)
+
+    store = tmp_path / "store"
+    write_graph_sorted(
+        readers.from_arrow_docs(fixture_corpus, override_num_blocks=4),
+        str(store / "nodes"), str(store / "edges"),
+    )
+    before = pads.dataset(str(store / "nodes")).to_table()
+    st = update_graph_sorted(
+        readers.from_arrow_docs(empty, override_num_blocks=1),
+        str(store / "nodes"), str(store / "edges"),
+    )
+    assert st["buckets_touched"] == 0
+    assert pads.dataset(str(store / "nodes")).to_table().equals(before)
