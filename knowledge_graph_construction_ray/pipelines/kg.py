@@ -55,10 +55,11 @@ def build_graph(
 
     ``sort_strategy``: ``"range_merge"`` (default) keys the merge shuffle
     on merge_key RANGES so the fold output is already globally ordered
-    and T3 costs zero extra exchanges; ``"post_sort"`` is the original
-    hash-bucket merge + two explicit Sorts (kept as the parity oracle
-    and for the canonicalize path, which remaps names AFTER the merge
-    and so invalidates the pre-established order)."""
+    and T3 costs zero extra exchanges — with ``canonicalize=True`` the
+    POST-REMAP re-merge is the range-keyed one, restoring order after
+    the rename; ``"post_sort"`` is the original hash-bucket merge + two
+    explicit Sorts (kept as the parity oracle and as the fallback under
+    ``ShuffleStrategy.HASH_SHUFFLE``)."""
     _, nodes, edges = merge_and_finalize(
         extract(docs, batch_size),
         num_buckets=num_buckets,
@@ -85,7 +86,7 @@ def merge_and_finalize(
     and the checkpoint runner's count pass — don't re-run the
     extract+shuffle lineage."""
     sort_strategy = _resolve_sort_strategy(sort_strategy)
-    if canonicalize or sort_strategy == "post_sort":
+    if sort_strategy == "post_sort":
         merged = merge_elements(elements, num_buckets=num_buckets, salted=salted)
         if canonicalize:
             from ..stages.link import canonicalize_elements
@@ -95,6 +96,24 @@ def merge_and_finalize(
             )
         merged = merged.materialize()
         return merged, finalize_nodes(merged), finalize_edges(merged)
+    if canonicalize:
+        from ..stages.link import canonicalize_elements
+
+        # the pre-clustering merge is range-keyed too, so BOTH exits of
+        # canonicalize_elements (remapped re-merge, or the no-mapping
+        # passthrough of its input) come back globally ordered — two
+        # post-merge Sorts dropped, same as the plain headline
+        merged = merge_elements_sorted(
+            elements, num_buckets=num_buckets, salted=salted
+        )
+        merged = canonicalize_elements(
+            merged, num_buckets=num_buckets, salted=salted, sorted_output=True
+        ).materialize()
+        return (
+            merged,
+            finalize_nodes(merged, assume_sorted=True),
+            finalize_edges(merged, assume_sorted=True),
+        )
     merged = merge_elements_sorted(
         elements, num_buckets=num_buckets, salted=salted
     ).materialize()

@@ -242,7 +242,8 @@ def _remap_batch(mapping: dict[tuple[str, str], str]):
 
 def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
                           salted: bool = False,
-                          alias_map: dict[str, str] | None = None):
+                          alias_map: dict[str, str] | None = None,
+                          sorted_output: bool = False):
     """D5: cluster surface variants, remap nodes + both edge endpoints, then
     re-run the merge fold to collapse renamed duplicates exactly.
 
@@ -250,7 +251,17 @@ def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
     reduction — canonicalization concentrates rows onto head entities (every
     variant of a hot name lands on ONE key), which is exactly where salting
     pays (north_star's salted canonicalization shuffle).  Correct because
-    the fold is commutative (per-key lineage tags)."""
+    the fold is commutative (per-key lineage tags).
+
+    ``sorted_output=True`` keys the post-remap fold on merge_key RANGES
+    (``merge.merge_elements_sorted``) so the canonicalized element stream
+    comes back globally ordered and T3 needs no further Sort — the same
+    plan upgrade the non-canonical headline got.  CAVEAT: when the
+    alias scan finds nothing to remap the input is returned as-is, whose
+    order is whatever the upstream merge produced — callers gating
+    ``assume_sorted`` must feed an ordered ``merged_elements`` in that
+    case or handle the no-op path (``pipelines.kg`` re-sorts only when
+    a mapping existed)."""
     # pin the input once: it is consumed up to three times (candidate
     # pipeline, alias presence scan, remap) and would otherwise re-execute
     # its full upstream extract+merge lineage on every pass
@@ -261,6 +272,12 @@ def canonicalize_elements(merged_elements, *, num_buckets: int = 64,
     remapped = merged_elements.map_batches(
         _remap_batch(mapping), batch_format="pandas"
     )
+    if sorted_output:
+        from ..merge import merge_elements_sorted
+
+        return merge_elements_sorted(
+            remapped, num_buckets=num_buckets, salted=salted
+        )
     return merge_elements(remapped, num_buckets=num_buckets, salted=salted)
 
 

@@ -267,3 +267,19 @@ def test_write_and_update_graph_sorted_empty_inputs(
     )
     assert st["buckets_touched"] == 0
     assert pads.dataset(str(store / "nodes")).to_table().equals(before)
+
+
+def test_canonicalize_range_merge_matches_post_sort(ray_session, fixture_corpus):
+    """The canonicalized range_merge plan (post-remap range-keyed re-merge,
+    no finalize Sorts) must emit EXACTLY the post_sort plan's sorted
+    nodes/edges — same rows, same order."""
+    outs = []
+    for strategy in ("range_merge", "post_sort"):
+        docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+        nodes, edges = build_graph(
+            docs, canonicalize=True, num_buckets=16, sort_strategy=strategy
+        )
+        outs.append((nodes.to_pandas().reset_index(drop=True),
+                     edges.to_pandas().reset_index(drop=True)))
+    assert outs[0][0].equals(outs[1][0])
+    assert outs[0][1].equals(outs[1][1])
