@@ -135,13 +135,6 @@ def write_graph_sorted(
     bucketed, bounds = range_bucketed_elements(
         extract(docs, **kwargs), num_buckets=num_buckets, salted=salted, narrow=True
     )
-    # persist the partitioning so update_graph_sorted can route new docs
-    # into the SAME buckets (underscore prefix → ignored by parquet
-    # dataset discovery); both dirs carry a copy for cross-validation
-    meta = {"version": 1, "bounds": bounds, "salted": bool(salted)}
-    for d in (nodes_dir, edges_dir):
-        with open(f"{d}/_kg_meta.json", "w") as f:
-            json.dump(meta, f, ensure_ascii=False)
     if salted:
         from .merge import _fold_bucket, _to_narrow_table
 
@@ -158,6 +151,15 @@ def write_graph_sorted(
         fold_write, batch_format="pandas"
     ).materialize()
     stats = stats_ds.to_pandas()
+    # persist the partitioning LAST so update_graph_sorted can route new
+    # docs into the SAME buckets (underscore prefix → ignored by parquet
+    # dataset discovery); both dirs carry a copy for cross-validation.
+    # Written only after every bucket committed: a killed build leaves no
+    # meta, and `ingest` refuses a store that isn't complete.
+    meta = {"version": 1, "bounds": bounds, "salted": bool(salted)}
+    for d in (nodes_dir, edges_dir):
+        with open(f"{d}/_kg_meta.json", "w") as f:
+            json.dump(meta, f, ensure_ascii=False)
     if stats.empty:  # empty input: no buckets, schema-less stats frame
         return {"nodes": 0, "edges": 0, "buckets": 0, "ray_stats": stats_ds.stats()}
     return {
