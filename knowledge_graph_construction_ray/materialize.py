@@ -42,6 +42,10 @@ def _strip_props_column(props) -> list:
     import numpy as np
 
     codes, uniq = pd.factorize(np.asarray(props, dtype=object))
+    if len(codes) and codes.min() < 0:
+        # factorize codes nulls as -1, which would silently index the
+        # LAST distinct value — fail loudly like the per-row loop did
+        raise ValueError("_strip_props_column: null props in node rows")
     stripped_uniq = np.asarray([_strip_tags(p) for p in uniq], dtype=object)
     stripped = stripped_uniq[codes] if len(codes) else stripped_uniq
     return stripped.tolist()
@@ -86,6 +90,34 @@ def finalize_edges(merged_elements: "Dataset", *, assume_sorted: bool = False) -
     return edges if assume_sorted else edges.sort(list(EDGES_SCHEMA.names))
 
 
+def _prepare_store_dir(d: str) -> None:
+    """Create-or-clear one graph output dir.  A prior build with a
+    different bucket count would leave stale ``part-*.parquet`` files
+    that a fresh build doesn't overwrite, silently mixing two graphs in
+    reads — so an existing dir is cleared, but ONLY when it holds nothing
+    but a previous store (part files + ``_kg_meta.json``); anything else
+    refuses rather than rm-rf'ing a shared tree (the ``cmd_triples``
+    dirty-out discipline)."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(d):
+        if os.path.exists(d):
+            raise SystemExit(f"{d} exists and is not a directory")
+        os.makedirs(d, exist_ok=True)
+        return
+    pat = re.compile(r"^(part-\d+\.parquet(\.tmp)?|_kg_meta\.json)$")
+    stray = [e for e in os.listdir(d) if not pat.match(e)]
+    if stray:
+        raise SystemExit(
+            f"{d} exists and contains non-store entries (e.g. {stray[:3]}); "
+            "refusing to clear it — pass an empty or store-only directory"
+        )
+    shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+
+
 def write_graph_sorted(
     docs: "Dataset",
     nodes_dir: str,
@@ -115,19 +147,11 @@ def write_graph_sorted(
     Returns ``{"nodes": N, "edges": M, "buckets": B}`` (counts summed
     from the per-bucket stats rows — the only thing that reaches the
     driver)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from .merge import (
-        _fold_bucket_sorted,
-        _is_edge_mask,
-        range_bucketed_elements,
-    )
+    from .merge import _fold_bucket_sorted, range_bucketed_elements
     from .pipelines.kg import extract
 
-    os.makedirs(nodes_dir, exist_ok=True)
-    os.makedirs(edges_dir, exist_ok=True)
+    for d in (nodes_dir, edges_dir):
+        _prepare_store_dir(d)
     kwargs = {"batch_size": batch_size} if batch_size else {}
     # narrow exchange: merge_key already encodes kind + every identity
     # field; the fold needs only (merge_key, props, src_rank, seq) and the
@@ -187,12 +211,20 @@ def _write_bucket(df: pd.DataFrame, nodes_dir: str, edges_dir: str) -> pd.DataFr
     is_edge = _is_edge_mask(df)
     nodes = df[~is_edge]
     edges = df[is_edge]
+
+    def atomic_write(table: pa.Table, path: str) -> None:
+        # tmp + rename: a task killed mid-write never leaves a truncated
+        # parquet file behind, and a RETRIED task replaces its own output
+        # idempotently
+        pq.write_table(table, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
     if len(nodes):
         # N \x1f label \x1f name — n=2 keeps any later separator
         # inside `name` (key injectivity needs \x1f-free fields
         # anyway; see range_bucketed_elements)
         parts = nodes["merge_key"].str.split("\x1f", n=2, expand=True)
-        pq.write_table(
+        atomic_write(
             pa.Table.from_pydict(
                 {
                     "label": parts[1].tolist(),
@@ -205,7 +237,7 @@ def _write_bucket(df: pd.DataFrame, nodes_dir: str, edges_dir: str) -> pd.DataFr
         )
     if len(edges):
         parts = edges["merge_key"].str.split("\x1f", n=5, expand=True)
-        pq.write_table(
+        atomic_write(
             pa.Table.from_pydict(
                 {
                     name: parts[i + 1].tolist()
@@ -228,6 +260,8 @@ def _retag_props(props) -> list:
     import numpy as np
 
     codes, uniq = pd.factorize(np.asarray(props, dtype=object))
+    if len(codes) and codes.min() < 0:
+        raise ValueError("_retag_props: null props in stored node rows")
     retagged_uniq = np.asarray(
         [
             json.dumps(
@@ -280,8 +314,15 @@ def _existing_bucket_narrow(
             )
         )
     if not frames:
+        # full NARROW schema even when empty: fold_update projects onto
+        # these columns, and fold_frame sorts on src_rank/seq
         return pd.DataFrame(
-            {"merge_key": pd.Series(dtype=object), "props": pd.Series(dtype=object)}
+            {
+                "merge_key": pd.Series(dtype=object),
+                "props": pd.Series(dtype=object),
+                "src_rank": pd.Series(dtype="int64"),
+                "seq": pd.Series(dtype="int64"),
+            }
         )
     out = pd.concat(frames, ignore_index=True)
     out["src_rank"] = -1
@@ -335,6 +376,12 @@ def update_graph_sorted(
     if metas[0] != metas[1]:
         raise ValueError("nodes/edges _kg_meta.json disagree — mixed outputs?")
     meta = metas[0]
+    # invalidate the meta for the duration of the rewrite (mirrors the
+    # build's meta-written-last discipline): a killed ingest leaves a
+    # store WITHOUT meta, which the next ingest refuses, instead of a
+    # half-updated store indistinguishable from a complete one
+    for d in (nodes_dir, edges_dir):
+        os.remove(f"{d}/_kg_meta.json")
 
     kwargs = {"batch_size": batch_size} if batch_size else {}
     bucketed, _ = range_bucketed_elements(
@@ -366,6 +413,11 @@ def update_graph_sorted(
         fold_update, batch_format="pandas"
     ).materialize()
     stats = stats_ds.to_pandas()
+    # every touched bucket committed → the store is whole again: restore
+    # the meta (same content; bounds are fixed for the store's lifetime)
+    for d in (nodes_dir, edges_dir):
+        with open(f"{d}/_kg_meta.json", "w") as f:
+            json.dump(meta, f, ensure_ascii=False)
     if stats.empty:  # empty delta: no bucket touched, store untouched
         return {
             "nodes_written": 0,

@@ -408,10 +408,6 @@ def _to_elements_table(df: pd.DataFrame, extra: tuple[str, ...] = ()) -> pa.Tabl
     ).replace_schema_metadata(None)
 
 
-def _normalize_schema(df: pd.DataFrame) -> pa.Table:
-    return _to_elements_table(df)
-
-
 NARROW_SCHEMA_FIELDS = (
     ("merge_key", "string"),
     ("props", "string"),

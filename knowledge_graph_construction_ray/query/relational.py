@@ -5549,6 +5549,29 @@ FROM base GROUP BY CUBE(event_type, dow) ORDER BY 1, 2
 """
 
 
+def _expand_basket_pairs(df: pd.DataFrame, max_basket: int) -> pd.DataFrame:
+    """One order-co-located bucket of distinct (l_orderkey, l_partkey)
+    membership → per-bucket (part_a < part_b, n) pair-count partials, with
+    the hub-order recall-refusal guard (pair expansion is O(basket²))."""
+    df = df.drop_duplicates()
+    sizes = df.groupby("l_orderkey", observed=True)["l_partkey"].size()
+    if len(sizes) and int(sizes.max()) > max_basket:
+        hot = sizes.idxmax()
+        raise ValueError(
+            f"basket pair expansion: order {hot} holds {int(sizes.max())} "
+            f"parts > max_basket={max_basket}; pair expansion is "
+            "O(basket²) — raise max_basket deliberately or pre-filter "
+            "hub orders."
+        )
+    m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+    m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+    vc = m.groupby(["l_partkey_a", "l_partkey_b"], observed=True).size()
+    out = vc.reset_index(name="n")
+    out.columns = ["part_a", "part_b", "n"]
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def lineitem_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 1024):
     """Market-basket co-occurrence: the k part pairs appearing together in
     the most orders — the support-counting base of frequent-itemset /
@@ -5574,23 +5597,7 @@ def lineitem_part_pairs(sf_dir: str, k: int = 20, max_basket: int = 1024):
         ).drop_duplicates()
 
     def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        sizes = df.groupby("l_orderkey", observed=True)["l_partkey"].size()
-        if len(sizes) and int(sizes.max()) > max_basket:
-            hot = sizes.idxmax()
-            raise ValueError(
-                f"lineitem_part_pairs: order {hot} holds {int(sizes.max())} "
-                f"parts > max_basket={max_basket}; pair expansion is "
-                "O(basket²) — raise max_basket deliberately or pre-filter "
-                "hub orders."
-            )
-        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
-        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
-        vc = m.groupby(["l_partkey_a", "l_partkey_b"], observed=True).size()
-        out = vc.reset_index(name="n")
-        out.columns = ["part_a", "part_b", "n"]
-        out["n"] = out["n"].astype(np.int64)
-        return out
+        return _expand_basket_pairs(df, max_basket)
 
     pairs = bucketed_groups(
         ds.map_batches(prep, batch_format="pandas"), ["l_orderkey"], pair_kernel
@@ -5611,22 +5618,25 @@ GROUP BY 1, 2 ORDER BY n DESC, part_a, part_b LIMIT 20
 """
 
 
-def basket_rules(sf_dir: str, k: int = 20):
+def basket_rules(sf_dir: str, k: int = 20, max_basket: int = 1024):
     """Association-rule support table over the top-k co-occurring part
     pairs: (pair_n, a_n, b_n, n_baskets) — every quantity an EXACT int64
     count, so confidence (pair_n/a_n) and lift
     (pair_n*n_baskets/(a_n*b_n)) are derivable without a float ever
-    crossing the oracle compare.  Plan: the pair counts reuse
-    ``lineitem_part_pairs``'s order-co-located expansion; per-item basket
-    counts ride the SAME order-keyed exchange shape (distinct membership
-    only); the global distinct-basket count is one 1-row-per-bucket
-    partial sum; the final enrich touches only the ≤ 2k part ids the
-    top-k mentions (broadcast filter, never the parts dimension)."""
+    crossing the oracle compare.
+
+    ONE read and ONE order-keyed exchange produce all three count
+    families: each bucket kernel emits its pair-count partials
+    (``_expand_basket_pairs``, shared with ``lineitem_part_pairs``), its
+    per-part distinct-basket partials (tagged ``part_b = -1``) and a
+    single distinct-basket sentinel row (``part_a = part_b = -1`` —
+    buckets partition orders, so bucket-local nunique sums exactly);
+    one (part_a, part_b) combiner exchange reduces them all, and the
+    driver sees only top-k rows, the ≤ 2k item counts those mention, and
+    one scalar."""
     import numpy as np
 
-    from ..functions.groupby import bucketed_agg, bucketed_groups
-
-    top = lineitem_part_pairs(sf_dir, k=k).rename(columns={"n": "pair_n"})
+    from ..functions.groupby import bucketed_agg, bucketed_groups, local_topk
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -5638,31 +5648,56 @@ def basket_rules(sf_dir: str, k: int = 20):
             }
         ).drop_duplicates()
 
-    mem = ds.map_batches(prep, batch_format="pandas")
-
-    def item_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    def counts_kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()
-        out = df.groupby("l_partkey", observed=True).size().reset_index(name="c")
-        out["c"] = out["c"].astype(np.int64)
+        pairs = _expand_basket_pairs(df, max_basket)
+        items = (
+            df.groupby("l_partkey", observed=True).size().reset_index(name="n")
+        )
+        items.columns = ["part_a", "n"]
+        items["part_b"] = np.int64(-1)
+        sentinel = pd.DataFrame(
+            {
+                "part_a": [np.int64(-1)],
+                "part_b": [np.int64(-1)],
+                "n": [np.int64(df["l_orderkey"].nunique())],
+            }
+        )
+        out = pd.concat(
+            [pairs, items[["part_a", "part_b", "n"]], sentinel],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
         return out
 
-    item_counts = bucketed_agg(
-        bucketed_groups(mem, ["l_orderkey"], item_kernel),
-        ["l_partkey"],
-        {"c": ("c", "sum")},
+    counts = bucketed_agg(
+        bucketed_groups(
+            ds.map_batches(prep, batch_format="pandas"),
+            ["l_orderkey"],
+            counts_kernel,
+        ),
+        ["part_a", "part_b"],
+        {"n": ("n", "sum")},
+    ).materialize()
+
+    real_pairs = counts.map_batches(
+        lambda df: df[(df["part_a"] >= 0) & (df["part_b"] >= 0)],
+        batch_format="pandas",
     )
+    top = local_topk(
+        real_pairs, ["n", "part_a", "part_b"], k, descending=[True, False, False]
+    )[["part_a", "part_b", "n"]].rename(columns={"n": "pair_n"})
+
     need = set(top["part_a"]) | set(top["part_b"])
-    ic = item_counts.map_batches(
-        lambda df: df[df["l_partkey"].isin(need)], batch_format="pandas"
+    small = counts.map_batches(
+        lambda df: df[
+            (df["part_b"] == -1) & (df["part_a"].isin(need) | (df["part_a"] == -1))
+        ],
+        batch_format="pandas",
     ).to_pandas()
-    ic_map = dict(zip(ic["l_partkey"].astype("int64"), ic["c"].astype("int64")))
-
-    def basket_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [np.int64(df["l_orderkey"].nunique())]})
-
-    n_baskets = int(
-        bucketed_groups(mem, ["l_orderkey"], basket_kernel).to_pandas()["n"].sum()
-    )
+    n_baskets = int(small.loc[small["part_a"] == -1, "n"].sum())
+    ic = small[small["part_a"] >= 0]
+    ic_map = dict(zip(ic["part_a"].astype("int64"), ic["n"].astype("int64")))
 
     top["a_n"] = top["part_a"].map(ic_map).astype("int64")
     top["b_n"] = top["part_b"].map(ic_map).astype("int64")

@@ -680,8 +680,14 @@ def kmeans_assign(
     if len(centroids) < k:
         raise ValueError(f"kmeans: k={k} but only {len(centroids)} vectors")
     dim = centroids.shape[1]
-    if k * dim >= (1 << 26):  # dist sum bound: 2^50 · dim < 2^63
-        raise ValueError("kmeans: k × dim too large for the int64 envelope")
+    # distance envelope: |q| < 2^25 (centroid_quantize's guard) → a
+    # per-dim squared diff < 2^52, so the int64 distance sum is safe only
+    # while dim ≤ 2^10; k never enters the per-pair sum
+    if dim > (1 << 10):
+        raise ValueError(
+            f"kmeans: dim={dim} can overflow the int64 distance sum "
+            "(2^52 per dim); reduce dim or lower CENTROID_SCALE"
+        )
 
     def assign_rows(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
         # (n × k) int64 distance matrix; argmin first-occurrence = min j
