@@ -219,6 +219,17 @@ def test_update_graph_sorted_matches_full_rebuild(
             f = pads.dataset(str(full / side)).to_table().to_pandas()
             i = pads.dataset(str(inc / side)).to_table().to_pandas()
             assert f.equals(i), f"{side} diverge (salted={salted})"
+        # the meta is invalidated during the rewrite and restored after —
+        # a SECOND ingest (idempotent re-ingest of B) must be accepted
+        # and leave the store unchanged (MERGE semantics)
+        again = update_graph_sorted(
+            readers.from_arrow_docs(B, override_num_blocks=4),
+            str(inc / "nodes"), str(inc / "edges"),
+        )
+        assert again["buckets_touched"] == stats["buckets_touched"]
+        f = pads.dataset(str(full / "nodes")).to_table().to_pandas()
+        i = pads.dataset(str(inc / "nodes")).to_table().to_pandas()
+        assert f.equals(i), f"re-ingest changed the store (salted={salted})"
 
 
 def test_update_graph_sorted_rejects_non_store(ray_session, fixture_corpus, tmp_path):
