@@ -190,7 +190,17 @@ def bench_incremental(num_cpus: int) -> dict:
         write_corpus(tmp, replicate=40, files=8)
         os.replace(tmp, delta_path)
 
+    # each arm must ingest into the PRISTINE headline store — the arms'
+    # deltas overlap, so running one after the other would time an
+    # idempotent re-ingest of rows the store already holds (ADVICE r4).
+    # Snapshot once (untimed), restore between arms.
+    snap = KG_OUT + ".pristine"
+    shutil.rmtree(snap, ignore_errors=True)
+    shutil.copytree(KG_OUT, snap)
+
     def one(docs, tag):
+        shutil.rmtree(KG_OUT, ignore_errors=True)
+        shutil.copytree(snap, KG_OUT)
         t0 = time.perf_counter()
         out = update_graph_sorted(docs, f"{KG_OUT}/nodes", f"{KG_OUT}/edges")
         return {

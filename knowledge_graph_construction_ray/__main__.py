@@ -59,13 +59,16 @@ def cmd_write(args: argparse.Namespace) -> dict:
 
     from .materialize import write_graph_sorted
 
-    out = write_graph_sorted(
-        rd.read_parquet(args.input),
-        f"{args.out}/nodes",
-        f"{args.out}/edges",
-        num_buckets=args.num_buckets,
-        salted=args.salted,
-    )
+    try:
+        out = write_graph_sorted(
+            rd.read_parquet(args.input),
+            f"{args.out}/nodes",
+            f"{args.out}/edges",
+            num_buckets=args.num_buckets,
+            salted=args.salted,
+        )
+    except ValueError as e:  # library raises catchable; CLI exits
+        raise SystemExit(str(e)) from e
     out.pop("ray_stats", None)
     return out
 

@@ -97,20 +97,22 @@ def _prepare_store_dir(d: str) -> None:
     reads — so an existing dir is cleared, but ONLY when it holds nothing
     but a previous store (part files + ``_kg_meta.json``); anything else
     refuses rather than rm-rf'ing a shared tree (the ``cmd_triples``
-    dirty-out discipline)."""
+    dirty-out discipline).  Raises ValueError — library code must stay
+    catchable from an embedding process; the CLI layer (``__main__``)
+    translates to SystemExit."""
     import os
     import re
     import shutil
 
     if not os.path.isdir(d):
         if os.path.exists(d):
-            raise SystemExit(f"{d} exists and is not a directory")
+            raise ValueError(f"{d} exists and is not a directory")
         os.makedirs(d, exist_ok=True)
         return
-    pat = re.compile(r"^(part-\d+\.parquet(\.tmp)?|_kg_meta\.json)$")
+    pat = re.compile(r"^(part-\d+\.parquet(\.[\w-]+\.tmp|\.tmp)?|_kg_meta\.json)$")
     stray = [e for e in os.listdir(d) if not pat.match(e)]
     if stray:
-        raise SystemExit(
+        raise ValueError(
             f"{d} exists and contains non-store entries (e.g. {stray[:3]}); "
             "refusing to clear it — pass an empty or store-only directory"
         )
@@ -215,9 +217,15 @@ def _write_bucket(df: pd.DataFrame, nodes_dir: str, edges_dir: str) -> pd.DataFr
     def atomic_write(table: pa.Table, path: str) -> None:
         # tmp + rename: a task killed mid-write never leaves a truncated
         # parquet file behind, and a RETRIED task replaces its own output
-        # idempotently
-        pq.write_table(table, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        # idempotently.  The tmp name is per-attempt unique (pid + uuid):
+        # on shared storage a zombie duplicate of the same bucket task
+        # must never interleave with a live writer on one tmp file, or
+        # os.replace could publish a truncated parquet.
+        import uuid
+
+        tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
 
     if len(nodes):
         # N \x1f label \x1f name — n=2 keeps any later separator

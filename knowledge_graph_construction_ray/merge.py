@@ -268,7 +268,13 @@ def _sample_key_bounds(combined: "Dataset", num_buckets: int) -> list:
     CPUs).  Cutting each kind's sample separately at ``num_buckets``
     quantiles gives BOTH kinds full-width parallelism while preserving
     the global merge_key order (all edge buckets precede the ``"N"``
-    separator bound, all node buckets follow it)."""
+    separator bound, all node buckets follow it).
+
+    NOTE: ``num_buckets`` is therefore PER KIND — a mixed node+edge
+    stream yields up to 2 × num_buckets buckets / part files / fold
+    tasks (``write_graph_sorted`` and ``merge_elements_sorted`` callers
+    size parallelism accordingly; a single-kind stream yields exactly
+    ``num_buckets``)."""
     import numpy as np
 
     from .functions.sampling import cuts_from_sample, sample_sorted_keys

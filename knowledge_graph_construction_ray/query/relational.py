@@ -7121,3 +7121,28 @@ QUERIES: dict[str, tuple] = {
     "events_value_percentiles": (events_value_percentiles, EVENTS_PERCENTILES_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
 }
+
+
+# Driver CORRECTNESS rounds sample a PREFIX-biased subset of this registry;
+# rounds 1-4 covered 96 of 136 entries.  Reorder so the 40 entries no
+# driver round has ever checked lead (round-4 verdict item 2) — every
+# entry should appear in some CORRECTNESS_r*.json.  Contents unchanged.
+_NEVER_DRIVER_CHECKED_R4 = [
+    "graph_ppr", "profile_events", "events_type_hll", "events_kmv_quantiles",
+    "docs_weighted_sample", "embeddings_label_centroids", "events_user_overlap",
+    "docs_bigram_surprisal", "embeddings_silhouette", "docs_bpe_token_counts",
+    "docs_weighted_sample_by_lang", "curation_perplexity_filter",
+    "mixture_epochs", "pq_codes", "text_normalize", "customer_name_editjoin",
+    "events_key_skew", "lineitem_qty_variance", "orders_price_date_skyline",
+    "events_hour_regression", "events_rollup", "events_cube", "bm25_search",
+    "docs_chunk_windows", "corpus_heavy_terms", "graph_bfs",
+    "corpus_top_bigrams", "bpe_merges", "corpus_snapshot_diff",
+    "events_type_modal_hour", "orders_price_ntile", "curation_funnel",
+    "events_incident_overlap", "events_user_median", "embeddings_kcenter_sample",
+    "events_funnel_users", "events_weekly_retention", "events_value_outliers",
+    "events_props_extract", "events_activity_islands",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED_R4},
+    **{k: v for k, v in QUERIES.items() if k not in set(_NEVER_DRIVER_CHECKED_R4)},
+}

@@ -641,8 +641,11 @@ def kmeans_assign(
     (same discipline as :func:`label_centroids`):
 
     * vectors quantize to int64 (floor · 2^20, exact for float32 input);
-    * distances are int64 sums of squares (|q| < 2^25, dim ≤ 2^13 keeps
-      them < 2^63); argmin tie-breaks on the smallest cluster id in both
+    * distances are int64 sums of squares: each squared coordinate delta
+      can reach (2·2^25)² = 2^52, so dim must stay ≤ 2^11 for a provable
+      < 2^63 sum (the runtime guard enforces dim ≤ 2^10 for headroom —
+      do not relax it past 2^11); argmin tie-breaks on the smallest
+      cluster id in both
       arms (numpy first-occurrence == SQL ORDER BY dist, j);
     * the Lloyd update ROUNDS the mean back to an int64 centroid via
       floor((2·S + n) / (2·n)) — computed in float64, exact while
