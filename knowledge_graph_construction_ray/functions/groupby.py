@@ -93,8 +93,10 @@ def scrub_empty_blocks(ds):
     This scrub materializes (callers sit after a shuffle barrier anyway)
     and rebuilds the dataset from the non-empty block refs — metadata
     only, no data moves; one block is fetched to pick the ref
-    constructor.  An all-empty input is returned as-is (nothing to
-    join)."""
+    constructor.  An ALL-empty input is rebuilt as one TYPED empty Arrow
+    block when a schema is recoverable (so a downstream join sees the
+    key fields instead of failing), else returned as-is."""
+    import pyarrow as pa
     import ray
     import ray.data as rd
 
@@ -106,6 +108,24 @@ def scrub_empty_blocks(ds):
         if (meta.num_rows or 0) > 0
     ]
     if not refs:
+        sch = mat.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if isinstance(base, pa.Schema):
+            return rd.from_arrow(base.empty_table())
+        if sch is not None:  # pandas-block schema: numpy dtypes
+            import numpy as np
+
+            fields = []
+            for n, t in zip(sch.names, sch.types):
+                if isinstance(t, pa.DataType):
+                    fields.append(pa.field(n, t))
+                    continue
+                try:
+                    fields.append(pa.field(n, pa.from_numpy_dtype(np.dtype(t))))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    fields.append(pa.field(n, pa.string()))
+            if fields:
+                return rd.from_arrow(pa.schema(fields).empty_table())
         return mat
     if isinstance(ray.get(refs[0]), pd.DataFrame):
         return rd.from_pandas_refs(refs)

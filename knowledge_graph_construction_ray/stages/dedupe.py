@@ -343,6 +343,29 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
     # block loses its schema and poisons the Arrow join (see
     # scrub_empty_blocks) — scrub at this already-barriered point
     pairs_ds = scrub_empty_blocks(pairs_ds)
+    if pairs_ds.count() == 0:
+        # an ENTIRELY empty candidate set (all-unique corpus) would still
+        # poison the join pipeline (the first join's empty output
+        # partitions are schema-less); short-circuit with the typed empty
+        # joined shape — count() is free, pairs_ds is materialized above
+        import ray.data as rd
+
+        sch = pairs_ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if isinstance(base, pa.Schema):
+            pair_fields = [f for f in base if f.name in ("a", "b")]
+        else:
+            pair_fields = [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+        ptype = pa.string()
+        psch = payload_ds.schema()
+        pbase = getattr(psch, "base_schema", None) if psch is not None else None
+        if isinstance(pbase, pa.Schema) and payload_col in pbase.names:
+            ptype = pbase.field(payload_col).type
+        out_fields = pair_fields + [
+            pa.field(f"{payload_col}_a", ptype),
+            pa.field(f"{payload_col}_b", ptype),
+        ]
+        return rd.from_arrow(pa.schema(out_fields).empty_table())
     payload = payload_ds.select_columns([id_col, payload_col])
     if sparse_safe:
         # the payload side can also arrive with schema-less empty pandas
@@ -445,14 +468,57 @@ def verify_pairs_distributed(pairs_ds, docs_ds, threshold: float,
 
 def cluster_pairs(pairs: "list[tuple]") -> dict:
     """Connected components over verified pairs → {doc_id: cluster_rep
-    (min doc_id)}.  Driver-side union-find; the verified pair set is sparse
-    (SURVEY §7.5 smallness assumption, same as canonicalization)."""
+    (min doc_id)}.  Driver-side union-find — TEST/ORACLE-SIZED ONLY
+    (golden.py keeps using it as the independent sequential arm); the
+    production pipelines label clusters with the distributed
+    :func:`..functions.graph.connected_components` instead
+    (:func:`_label_clusters`)."""
     from ..state.unionfind import UnionFind
 
     uf = UnionFind().add_pairs(pairs)
     return {
         m: min(cluster) for _, cluster in uf.clusters().items() for m in cluster
     }
+
+
+def _label_clusters(edges_ds, *, force_distributed: bool = False,
+                    local_threshold: int = 5_000_000):
+    """(a, b) edge Dataset → (doc_id, cluster_rep) label Dataset via the
+    engine's own :func:`..functions.graph.connected_components` —
+    cluster_rep is the component's MINIMUM doc_id, exactly the
+    representative :func:`cluster_pairs` picked.  Size-dispatched like
+    every CC call: a bounded edge set solves on one worker with the
+    vectorized numpy kernel; past ``local_threshold`` deduped directed
+    edges it runs the pointer-jumping distributed arm — no
+    whole-population driver touch at any corpus size (round-4 verdict
+    item 1 replaced the driver union-find that used to finish these
+    pipelines)."""
+    from ..functions.graph import connected_components
+
+    labels = connected_components(
+        edges_ds, "a", "b",
+        force_distributed=force_distributed,
+        local_threshold=local_threshold,
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(np.int64),
+                "cluster_rep": df["component"].to_numpy(np.int64),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pandas")
+
+
+def _labels_to_pandas(labels_ds) -> pd.DataFrame:
+    """Bounded final collect for the query wrappers: near-dup labels are
+    O(docs-in-clusters) rows; sort for the deterministic oracle compare."""
+    out = labels_ds.to_pandas()
+    if out.empty:  # empty Ray results drop their schema
+        return pd.DataFrame(columns=["doc_id", "cluster_rep"])
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def collapse_pairs_to_forest(df: pd.DataFrame) -> pd.DataFrame:
@@ -478,17 +544,19 @@ def collapse_pairs_to_forest(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": out_a, "b": out_b})
 
 
-def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None = None,
-                  stats_out: dict | None = None):
-    """Full near-dup pipeline → pandas DataFrame (doc_id, cluster_rep) for
+def minhash_dedup_ds(docs_ds, *, threshold: float = 0.5,
+                     num_partitions: int | None = None,
+                     stats_out: dict | None = None,
+                     force_distributed: bool = False):
+    """Full near-dup pipeline → (doc_id, cluster_rep) label DATASET for
     every doc that belongs to a near-dup cluster.
 
     End-to-end distributed: band shuffle → candidate pairs → two-pass
     shuffle join attaching both texts → vectorized exact-Jaccard verify in
-    ``map_batches`` → per-batch spanning-forest collapse.  Only collapsed
-    (O(cluster members), not O(cluster²)) verified edges ever reach the
-    driver, where union-find labels the components; neither the candidate
-    set nor the dense pair set materializes anywhere whole."""
+    ``map_batches`` → per-batch spanning-forest collapse → distributed
+    connected-components labeling (:func:`_label_clusters`).  Neither the
+    candidate set, the dense pair set, nor the whole cluster population
+    ever materializes on the driver."""
     cand = minhash_candidate_pairs(docs_ds)
     verified = verify_pairs_distributed(
         cand, docs_ds.select_columns(["doc_id", "text"]), threshold,
@@ -497,14 +565,21 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None
     collapsed_ds = verified.map_batches(
         lambda df: collapse_pairs_to_forest(df[["a", "b"]]), batch_format="pandas"
     )
-    collapsed = collapsed_ds.to_pandas()
     if stats_out is not None:  # bench hook: per-stage wall attribution
+        collapsed_ds = collapsed_ds.materialize()
         stats_out["stats"] = collapsed_ds.stats()
-    if collapsed.empty:  # empty Ray results drop their schema
-        return pd.DataFrame(columns=["doc_id", "cluster_rep"])
-    mapping = cluster_pairs(list(zip(collapsed["a"], collapsed["b"])))
-    return pd.DataFrame(
-        sorted(mapping.items()), columns=["doc_id", "cluster_rep"]
+    return _label_clusters(collapsed_ds, force_distributed=force_distributed)
+
+
+def minhash_dedup(docs_ds, *, threshold: float = 0.5, num_partitions: int | None = None,
+                  stats_out: dict | None = None, force_distributed: bool = False):
+    """Bounded-final-collect wrapper over :func:`minhash_dedup_ds` →
+    sorted pandas (doc_id, cluster_rep) — the query/oracle surface."""
+    return _labels_to_pandas(
+        minhash_dedup_ds(
+            docs_ds, threshold=threshold, num_partitions=num_partitions,
+            stats_out=stats_out, force_distributed=force_distributed,
+        )
     )
 
 
@@ -669,27 +744,35 @@ def simhash_candidates(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
     return sorted(zip(deduped["a"], deduped["b"]))
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3, num_buckets: int = 64):
-    """Full SimHash near-dup pipeline → pandas DataFrame (doc_id,
-    cluster_rep) for every doc in a near-dup cluster — the SimHash mirror
-    of :func:`minhash_dedup`: verified pair edges stay a Dataset (and
-    identical-signature groups star-collapse BEFORE pair expansion —
-    ``connectivity_only``), each batch is collapsed to a spanning forest
-    in ``map_batches``, and the driver's union-find sees O(cluster
-    members) edges instead of O(cluster²) even on boilerplate-dense
-    corpora."""
+def simhash_dedup_ds(docs_ds, max_hamming: int = 3, num_buckets: int = 64,
+                     *, force_distributed: bool = False):
+    """Full SimHash near-dup pipeline → (doc_id, cluster_rep) label
+    DATASET — the SimHash mirror of :func:`minhash_dedup_ds`: verified
+    pair edges stay a Dataset (identical-signature groups star-collapse
+    BEFORE pair expansion — ``connectivity_only``), each batch collapses
+    to a spanning forest in ``map_batches``, and the distributed
+    connected-components labeling (:func:`_label_clusters`) finishes the
+    job — O(cluster members) edges, no whole-population driver touch,
+    even on boilerplate-dense corpora."""
     edges = simhash_pair_edges(
         docs_ds, max_hamming, num_buckets, connectivity_only=True
     )
     collapsed = edges.map_batches(
         lambda df: collapse_pairs_to_forest(df[["a", "b"]]),
         batch_format="pandas",
-    ).to_pandas()
-    if collapsed.empty:  # empty Ray results drop their schema
-        return pd.DataFrame(columns=["doc_id", "cluster_rep"])
-    mapping = cluster_pairs(list(zip(collapsed["a"], collapsed["b"])))
-    return pd.DataFrame(
-        sorted(mapping.items()), columns=["doc_id", "cluster_rep"]
+    )
+    return _label_clusters(collapsed, force_distributed=force_distributed)
+
+
+def simhash_dedup(docs_ds, max_hamming: int = 3, num_buckets: int = 64,
+                  *, force_distributed: bool = False):
+    """Bounded-final-collect wrapper over :func:`simhash_dedup_ds` →
+    sorted pandas (doc_id, cluster_rep) — the query/oracle surface."""
+    return _labels_to_pandas(
+        simhash_dedup_ds(
+            docs_ds, max_hamming, num_buckets,
+            force_distributed=force_distributed,
+        )
     )
 
 

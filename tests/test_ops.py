@@ -1233,3 +1233,50 @@ def test_resize_images_encoder_injection(ray_session):
     ).to_pandas()
     assert len(out) == 2
     assert all(p.startswith(b"ENC") and len(p) == 7 for p in out["payload"])
+
+
+def test_neardup_labeling_distributed_arm_parity(neardup_docs):
+    """The pointer-jumping distributed connected-components arm (the
+    100-TB path, forced regardless of size) labels near-dup clusters
+    identically to the size-dispatched local arm — round-4 verdict item
+    1 replaced the driver union-find with this plan."""
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    ds, _ = neardup_docs
+    local = minhash_dedup(ds, threshold=0.5)
+    dist = minhash_dedup(ds, threshold=0.5, force_distributed=True)
+    pd.testing.assert_frame_equal(local, dist)
+    assert len(local) == 40  # non-trivial: 20 clusters of 2
+
+    s_local = simhash_dedup(ds)
+    s_dist = simhash_dedup(ds, force_distributed=True)
+    pd.testing.assert_frame_equal(s_local, s_dist)
+
+
+def test_neardup_labeling_empty_edges(ray_session):
+    """No near-dups → empty (doc_id, cluster_rep) frame with stable
+    columns from BOTH labeling arms (the repo-wide empty-result trap)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import (
+        minhash_dedup,
+        simhash_dedup,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+                "red orange yellow green blue indigo",
+            ],
+        }
+    )
+    for fn in (minhash_dedup, simhash_dedup):
+        out = fn(rd.from_pandas(df))
+        assert list(out.columns) == ["doc_id", "cluster_rep"]
+        assert len(out) == 0
