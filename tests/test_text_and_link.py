@@ -418,3 +418,28 @@ def test_model_mention_detector_default_factory_raises():
 
     with pytest.raises(NotImplementedError, match="model_factory"):
         ModelMentionDetector()
+
+
+def test_canonical_map_distributed_arm_parity(ray_session, fixture_corpus):
+    """The distributed clustering arm (int64 ids via ROW_NUMBER + native
+    joins + connected_components + bucketed representative pick) produces
+    the IDENTICAL (label, variant) → canonical mapping as the bounded
+    driver union-find arm, with and without alias seeds — round-4
+    verdict item 1 for the canonicalization pipeline."""
+    from knowledge_graph_construction_ray.merge import merge_elements
+    from knowledge_graph_construction_ray.pipelines.kg import extract
+    from knowledge_graph_construction_ray.stages.link import build_canonical_map
+
+    docs = readers.from_arrow_docs(fixture_corpus, override_num_blocks=8)
+    merged = merge_elements(extract(docs)).materialize()
+
+    local = build_canonical_map(merged)
+    dist = build_canonical_map(merged, force_distributed=True)
+    assert local == dist
+    assert len(local) >= 1  # non-trivial: the 恶性肿瘤-重度 variant
+
+    alias = {"病症902": "病症000", "高血压": "病症000"}
+    local_a = build_canonical_map(merged, alias_map=alias)
+    dist_a = build_canonical_map(merged, alias_map=alias, force_distributed=True)
+    assert local_a == dist_a
+    assert ("Disease", "高血压") in dist_a

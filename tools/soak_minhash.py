@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=1000)
     ap.add_argument("--cluster-size", type=int, default=100)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--force-distributed", action="store_true",
+                    help="force the pointer-jumping connected-components "
+                         "labeling arm regardless of edge-set size")
     args = ap.parse_args()
 
     import ray
@@ -80,7 +83,8 @@ def main() -> None:
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024  # MiB
     t0 = time.time()
     ds = rd.read_parquet(corpus, override_num_blocks=max(16, args.cpus))
-    out = minhash_dedup(ds, threshold=0.5)
+    out = minhash_dedup(ds, threshold=0.5,
+                        force_distributed=args.force_distributed)
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 

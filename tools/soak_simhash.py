@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=500)
     ap.add_argument("--cluster-size", type=int, default=100)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--force-distributed", action="store_true",
+                    help="force the pointer-jumping connected-components "
+                         "labeling arm regardless of edge-set size")
     args = ap.parse_args()
 
     import ray
@@ -79,7 +82,7 @@ def main() -> None:
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024  # MiB
     t0 = time.time()
     ds = rd.read_parquet(corpus, override_num_blocks=max(16, args.cpus))
-    out = simhash_dedup(ds)
+    out = simhash_dedup(ds, force_distributed=args.force_distributed)
     wall = time.time() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
