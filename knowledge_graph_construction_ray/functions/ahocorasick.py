@@ -1,10 +1,35 @@
-"""Pure-Python Aho-Corasick automaton for large-gazetteer mention scans.
+"""Vectorized Aho-Corasick automaton for large-gazetteer mention scans.
 
 Python ``re`` alternation ("name1|name2|...") retries alternatives per
 position, so a scan costs O(text × gazetteer) in the worst case — fine for
 hundreds of names (C-speed regex beats any pure-Python loop there), but it
 degrades linearly with gazetteer size.  The automaton walks each character
 once regardless of dictionary size: O(text + matches).
+
+The classic dict-transition walk is pure Python per character — measured
+as the single most expensive stage in the engine at a 5k-name gazetteer
+(round-4 verdict item 3).  This implementation resolves the failure links
+into a DFA and steps WHOLE BATCHES of documents in lock-step with numpy:
+
+* **Compact alphabet**: only codepoints that appear in some pattern get an
+  id (1..A); every other character maps to 0, whose transition is root
+  from every state — so the transition table never depends on the unicode
+  range, only on the gazetteer.
+* **Size-dispatched DFA storage**: when states × (A+1) fits
+  ``DENSE_BUDGET`` cells (default 48M ≈ 192 MB int32 — any
+  reference-scale gazetteer) the resolved transitions live in ONE dense
+  int32 matrix and a step is a single fancy-index gather; past the
+  budget a two-level form takes over — a dense ``root_row[c]`` plus a
+  sorted sparse table of EXCEPTIONAL transitions (the (state, char)
+  pairs whose resolved target differs from scanning that char at root),
+  looked up with one vectorized ``searchsorted`` per step.  The sparse
+  form is O(Σ|exc[s]|) memory (bounded by trie edges × fail-chain
+  depth), never O(states × alphabet).
+* **Doc-parallel stepping**: documents sort longest-first inside the
+  batch, all live documents advance one character per iteration
+  (``states = delta[states, chars[:, i]]`` in effect), and the live set
+  is a shrinking PREFIX — the loop runs max_len times over vector ops,
+  never per (doc, char) in Python.
 
 ``find_leftmost_longest`` reproduces the EXACT semantics of the sorted
 alternation regex the MentionDetector compiles (names sorted by length
@@ -16,71 +41,260 @@ from __future__ import annotations
 
 from collections import deque
 
+import numpy as np
+
 
 class AhoCorasick:
-    """Dict-transition automaton; build once per actor, scan per batch."""
+    """Numpy-DFA automaton; build once per actor, scan whole batches."""
+
+    # dense transition matrix budget, in int32 cells (48M ≈ 192 MB):
+    # far above any reference-scale gazetteer (5k CJK names ≈ 33M cells)
+    # yet bounded — a million-name dictionary falls back to the sparse
+    # two-level form instead of allocating states × alphabet
+    DENSE_BUDGET = 48_000_000
 
     def __init__(self, names: "list[str]"):
         names = [n for n in names if n]
-        self.goto: list[dict] = [{}]
-        self.lens: list[tuple] = [()]  # name lengths ending at each state
-        for name in names:
+        self.names = names
+        goto: list[dict] = [{}]
+        # (length, pattern_id) pairs ending at each state — (state, length)
+        # identifies exactly ONE name (the last `length` chars of the path
+        # into the state), so the scan can report WHICH name matched and
+        # callers never re-slice text or re-hash surfaces
+        lens: list[tuple] = [()]
+        for pid, name in enumerate(names):
             s = 0
             for ch in name:
-                nxt = self.goto[s].get(ch)
+                nxt = goto[s].get(ch)
                 if nxt is None:
-                    self.goto.append({})
-                    self.lens.append(())
-                    nxt = len(self.goto) - 1
-                    self.goto[s][ch] = nxt
+                    goto.append({})
+                    lens.append(())
+                    nxt = len(goto) - 1
+                    goto[s][ch] = nxt
                 s = nxt
-            if len(name) not in self.lens[s]:
-                self.lens[s] = self.lens[s] + (len(name),)
+            if len(name) not in {l for l, _ in lens[s]}:
+                lens[s] = lens[s] + ((len(name), pid),)
         # BFS failure links; merge suffix outputs so every name ending at a
         # position is reported from its state directly
-        self.fail = [0] * len(self.goto)
-        q: deque[int] = deque(self.goto[0].values())
+        fail = [0] * len(goto)
+        order: list[int] = []
+        q: deque[int] = deque(goto[0].values())
         while q:
             r = q.popleft()
-            for ch, s in self.goto[r].items():
+            order.append(r)
+            for ch, s in goto[r].items():
                 q.append(s)
-                f = self.fail[r]
-                while f and ch not in self.goto[f]:
-                    f = self.fail[f]
-                cand = self.goto[f].get(ch, 0)
-                self.fail[s] = cand if cand != s else 0
-                if self.lens[self.fail[s]]:
-                    merged = self.lens[s] + tuple(
-                        l for l in self.lens[self.fail[s]] if l not in self.lens[s]
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                cand = goto[f].get(ch, 0)
+                fail[s] = cand if cand != s else 0
+                if lens[fail[s]]:
+                    have = {l for l, _ in lens[s]}
+                    merged = lens[s] + tuple(
+                        e for e in lens[fail[s]] if e[0] not in have
                     )
-                    self.lens[s] = merged
+                    lens[s] = merged
+        self.goto, self.fail, self.lens = goto, fail, lens
+
+        # ---- compact alphabet: pattern codepoints → 1..A, other → 0 ----
+        # direct-addressed LUT over the codepoint range (≤ 0x110000 int32
+        # = 4.25 MB worst case): ONE gather maps a whole text, vs a
+        # log₂(A) searchsorted per char that measured as the scan's
+        # single largest cost
+        chars = sorted({ch for g in goto for ch in g})
+        self._chars = np.array([ord(c) for c in chars], dtype=np.uint32)
+        A = len(chars)
+        self._A1 = np.int64(A + 1)
+        aid = {c: i + 1 for i, c in enumerate(chars)}
+        lut_size = (int(self._chars.max()) + 2) if A else 1
+        self._alpha_lut = np.zeros(lut_size, dtype=np.int32)
+        if A:
+            self._alpha_lut[self._chars.astype(np.int64)] = np.arange(
+                1, A + 1, dtype=np.int32
+            )
+
+        # ---- resolve failures into the two-level DFA ----
+        root_row = np.zeros(A + 1, dtype=np.int32)
+        for ch, t in goto[0].items():
+            root_row[aid[ch]] = t
+        self._root_row = root_row
+        # exc[s] = exc[fail[s]] overridden by goto[s]; delta(s, c) =
+        # exc[s].get(c, root_row[c]).  BFS order guarantees fail[s] is
+        # resolved before s.
+        exc: list[dict] = [dict() for _ in goto]
+        n_exc = 0
+        for s in order:
+            d = dict(exc[fail[s]])
+            for ch, t in goto[s].items():
+                d[aid[ch]] = t
+            exc[s] = d
+            n_exc += len(d)
+        keys = np.empty(n_exc, dtype=np.int64)
+        vals = np.empty(n_exc, dtype=np.int32)
+        i = 0
+        for s, d in enumerate(exc):
+            for c, t in d.items():
+                keys[i] = s * self._A1 + c
+                vals[i] = t
+                i += 1
+        ks = np.argsort(keys)
+        self._exc_keys = keys[ks]
+        self._exc_vals = vals[ks]
+        # dense full-DFA matrix when it fits the budget: a step becomes
+        # ONE flat gather (delta[s · (A+1) + c]) instead of a binary
+        # search over the exceptional table
+        self._dense = None
+        n_cells = len(goto) * int(self._A1)
+        if A and n_cells <= self.DENSE_BUDGET:
+            dense = np.broadcast_to(root_row, (len(goto), A + 1)).copy()
+            if n_exc:
+                dense[
+                    self._exc_keys // self._A1, self._exc_keys % self._A1
+                ] = self._exc_vals
+            self._dense = dense.ravel()
+
+        # ---- per-state match table (ragged, flattened) ----
+        counts = np.fromiter((len(t) for t in lens), np.int32, count=len(lens))
+        self._emit_counts = counts
+        self._emit_offsets = np.concatenate(
+            [[0], np.cumsum(counts, dtype=np.int64)]
+        )
+        total_emits = int(counts.sum())
+        self._emit_lens = np.fromiter(
+            (l for t in lens for l, _ in t), np.int64, count=total_emits
+        )
+        self._emit_pids = np.fromiter(
+            (p for t in lens for _, p in t), np.int64, count=total_emits
+        )
+
+    # ------------------------------------------------------------------
+    # batch scan core
+    # ------------------------------------------------------------------
+
+    def _scan_batch(self, texts: "list[str]"):
+        """Lock-step DFA scan → (doc_idx, start, end, pattern_id) int64
+        arrays of ALL matches (overlapping included)."""
+        n = len(texts)
+        empty = np.empty(0, dtype=np.int64)
+        if n == 0 or len(self._chars) == 0:
+            return empty, empty, empty, empty
+        lengths = np.fromiter((len(t) for t in texts), np.int64, count=n)
+        maxlen = int(lengths.max()) if n else 0
+        if maxlen == 0:
+            return empty, empty, empty, empty
+        # longest-first: the live set at step i is a prefix
+        order = np.argsort(-lengths, kind="stable")
+        sorted_lens = lengths[order]
+        # flat codepoints + per-doc starts (no padded matrix: memory stays
+        # O(total chars) even when one huge doc shares a batch)
+        joined = "".join(texts[int(i)] for i in order)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        starts = np.concatenate([[0], np.cumsum(sorted_lens)])[:-1]
+        # alphabet mapping, whole batch in ONE LUT gather (out-of-range
+        # codepoints clamp onto the always-zero sentinel tail entry)
+        lut = self._alpha_lut
+        alpha = lut[
+            np.minimum(codes.astype(np.int64), len(lut) - 1)
+        ].astype(np.int64)
+
+        exc_keys, exc_vals = self._exc_keys, self._exc_vals
+        dense = self._dense
+        root_row, counts = self._root_row, self._emit_counts
+        states = np.zeros(n, dtype=np.int64)
+        # live-prefix boundary per step: docs sorted desc by length, so the
+        # number of docs with length > i is a searchsorted on the reversed
+        # (ascending) length array
+        out_doc: list = []
+        out_pos: list = []
+        out_state: list = []
+        n_exc = len(exc_keys)
+        neg_lens = -sorted_lens  # ascending; live prefix = lens > i
+        for i in range(maxlen):
+            live = int(np.searchsorted(neg_lens, -i, side="left"))
+            # equivalent to (sorted_lens > i).sum(); prefix property holds
+            if live == 0:
+                break
+            c = alpha[starts[:live] + i]
+            q = states[:live] * self._A1 + c
+            if dense is not None:
+                ns = dense[q].astype(np.int64)
+            elif n_exc:
+                idx = np.searchsorted(exc_keys, q)
+                idxc = np.minimum(idx, n_exc - 1)
+                hit = exc_keys[idxc] == q
+                ns = np.where(hit, exc_vals[idxc], root_row[c])
+            else:
+                ns = root_row[c]
+            states[:live] = ns
+            emit = counts[ns] > 0
+            if emit.any():
+                w = np.flatnonzero(emit)
+                out_doc.append(w)
+                out_pos.append(np.full(len(w), i, dtype=np.int64))
+                out_state.append(ns[w].astype(np.int64))
+        if not out_doc:
+            return empty, empty, empty, empty
+        doc_s = np.concatenate(out_doc)
+        pos = np.concatenate(out_pos)
+        st = np.concatenate(out_state)
+        # expand multi-length states (a state can end several names)
+        cnt = counts[st].astype(np.int64)
+        reps = np.repeat(np.arange(len(st)), cnt)
+        total = int(cnt.sum())
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        flat = self._emit_offsets[st[reps]] + offs
+        lens_ = self._emit_lens[flat]
+        pids = self._emit_pids[flat]
+        ends = pos[reps] + 1
+        return order[doc_s[reps]], ends - lens_, ends, pids
+
+    def scan_selected(self, texts: "list[str]"):
+        """One vectorized scan + alternation-regex selection for a whole
+        batch → (doc_idx, start, end, pattern_id) int64 arrays of the
+        NON-OVERLAPPING leftmost-longest matches, ordered by (doc, start).
+        Only the final greedy pick walks the (sparse) match list in
+        Python — everything per-character is numpy."""
+        doc, start, end, pid = self._scan_batch(texts)
+        if not len(doc):
+            return doc, start, end, pid
+        sel = np.lexsort((start - end, start, doc))  # (doc, start, -len)
+        doc, start, end, pid = doc[sel], start[sel], end[sel], pid[sel]
+        keep = np.zeros(len(doc), dtype=bool)
+        cur_doc = -1
+        cur_end = 0
+        i = 0
+        for d, s, e in zip(doc.tolist(), start.tolist(), end.tolist()):
+            if d != cur_doc:
+                cur_doc, cur_end = d, 0
+            if s >= cur_end:
+                keep[i] = True
+                cur_end = e
+            i += 1
+        return doc[keep], start[keep], end[keep], pid[keep]
+
+    def find_leftmost_longest_batch(
+        self, texts: "list[str]"
+    ) -> "list[list[tuple[int, int]]]":
+        """Per text: non-overlapping matches with the alternation-regex
+        semantics (leftmost start, longest name there, resume after the
+        end)."""
+        doc, start, end, _pid = self.scan_selected(texts)
+        out: "list[list[tuple[int, int]]]" = [[] for _ in texts]
+        for d, s, e in zip(doc.tolist(), start.tolist(), end.tolist()):
+            out[d].append((s, e))
+        return out
+
+    # ------------------------------------------------------------------
+    # single-text conveniences (parity-test / small-call surface)
+    # ------------------------------------------------------------------
 
     def find_all(self, text: str) -> "list[tuple[int, int]]":
         """All (start, end) matches, overlapping included."""
-        out: list[tuple[int, int]] = []
-        s = 0
-        goto, fail, lens = self.goto, self.fail, self.lens
-        for i, ch in enumerate(text):
-            while s and ch not in goto[s]:
-                s = fail[s]
-            s = goto[s].get(ch, 0)
-            if lens[s]:
-                for l in lens[s]:
-                    out.append((i - l + 1, i + 1))
-        return out
+        _doc, start, end, _pid = self._scan_batch([text])
+        return sorted(zip(start.tolist(), end.tolist()), key=lambda m: (m[1], m[0]))
 
     def find_leftmost_longest(self, text: str) -> "list[tuple[int, int]]":
-        """Non-overlapping matches with the alternation-regex semantics:
-        scan left to right, at the first matching position take the
-        LONGEST name, resume after its end."""
-        all_matches = self.find_all(text)
-        if not all_matches:
-            return []
-        all_matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
-        picked: list[tuple[int, int]] = []
-        current_end = 0
-        for start, end in all_matches:
-            if start >= current_end:
-                picked.append((start, end))
-                current_end = end
-        return picked
+        return self.find_leftmost_longest_batch([text])[0]

@@ -60,6 +60,46 @@ def _iter_text_spans(batch: pa.Table):
             yield doc_id, pos - lo, kind, texts[pos], offsets[pos]
 
 
+def _span_arrays(batch: pa.Table):
+    """Arrow-native batch prep for vectorized span kernels: media spans
+    filter out in C, only the KEPT span texts become Python strings, and
+    all provenance stays numpy / Arrow.
+
+    Returns (texts, doc_idx, span_idx, offsets, doc_ids) where ``texts``
+    is a list[str] of non-media span texts, the three arrays align with
+    it (``doc_idx`` indexes into the batch's rows, ``span_idx`` counts
+    positions among ALL spans of the doc including media, ``offsets`` is
+    the concatenated-text char offset), and ``doc_ids`` is the batch's
+    Arrow doc_id column (gather it with ``pc.take`` — doc ids never
+    round-trip through Python).  ``_iter_text_spans`` measured as 92% of
+    the mention kernel once the DFA scan vectorized; the ``to_pylist``
+    of every span child was the cost."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    doc_ids = batch.column("doc_id")
+    spans_col = batch.column("spans")
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    flat = spans_col.flatten()
+    bounds = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    bounds = bounds - bounds[0]  # sliced ListArray offsets don't start at 0
+    counts = np.diff(bounds)
+    n_spans = int(bounds[-1]) if len(bounds) else 0
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    span_idx = np.arange(n_spans, dtype=np.int64) - np.repeat(
+        bounds[:-1], counts
+    )
+    keep = pc.not_equal(flat.field("kind"), MEDIA_KIND).to_numpy(
+        zero_copy_only=False
+    )
+    offsets = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+    kidx = np.flatnonzero(keep)
+    texts = flat.field("text").take(pa.array(kidx)).to_pylist()
+    return texts, doc_idx[kidx], span_idx[kidx], offsets[kidx], doc_ids
+
+
 def extract_text_triples(batch: pa.Table) -> pa.Table:
     """Stateless kernel: policy-text docs → provenance-carrying triples
     (the deterministic A2 extractor; same output contract as the reference's
@@ -88,15 +128,18 @@ class MentionDetector:
 
     Matching is longest-match-first at the leftmost position,
     non-overlapping left-to-right — a deterministic stand-in for the
-    reference's declared NER surface.  Engine dispatch (measured): up to
-    ``AC_THRESHOLD`` names a compiled alternation regex wins (C loop, 4×
-    faster at 4 names); beyond it the pure-Python Aho-Corasick automaton
-    wins decisively (alternation retries alternatives per position —
-    ~50× slower at a 5k-name reference-sized gazetteer).  Both engines
-    produce identical matches (randomized parity pytest).
+    reference's declared NER surface.  The vectorized-DFA Aho-Corasick
+    automaton is the default at EVERY gazetteer size (measured: its
+    batch scan + Arrow-gather assembly beats the compiled alternation
+    regex 1.5× even at 4 names, and ~4× at a 5k-name reference-sized
+    gazetteer, because the regex arm also pays the per-row Python span
+    walk).  The regex arm survives behind ``AC_THRESHOLD`` (set it above
+    the gazetteer size to force it) as the independent-semantics
+    reference — the randomized parity pytest asserts both engines
+    produce identical matches.
     """
 
-    AC_THRESHOLD = 256
+    AC_THRESHOLD = 0
 
     def __init__(self, gazetteer: Any):
         try:
@@ -111,9 +154,18 @@ class MentionDetector:
         self.pattern = None
         self.automaton = None
         if len(names) > self.AC_THRESHOLD:
+            import numpy as np
+
             from ..functions.ahocorasick import AhoCorasick
 
             self.automaton = AhoCorasick(names)
+            # pattern-id → surface / label gather tables: the scan reports
+            # WHICH name matched, so output assembly never re-slices text
+            # or re-hashes surfaces through the gazetteer dict
+            self._names_pa = pa.array(names, type=pa.string())
+            self._labels_pa = pa.array(
+                [self.gazetteer[n] for n in names], type=pa.string()
+            )
         elif names:
             self.pattern = re.compile("|".join(re.escape(n) for n in names))
 
@@ -124,15 +176,43 @@ class MentionDetector:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list[Any]] = {n: [] for n in MENTIONS_SCHEMA.names}
-        if self.pattern is not None or self.automaton is not None:
-            for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
-                for start, end in self._matches(text):
-                    surface = text[start:end]
-                    cols["doc_id"].append(doc_id)
-                    cols["span_idx"].append(span_idx)
-                    cols["offset"].append(offset + start)
-                    cols["surface"].append(surface)
-                    cols["label"].append(self.gazetteer[surface])
+        if self.pattern is None and self.automaton is None:
+            return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+        if self.automaton is not None:
+            # one lock-step vectorized DFA scan over the WHOLE batch —
+            # the per-(doc, char) Python walk was the engine's single
+            # most expensive stage at a 5k-name gazetteer (r4 verdict 3);
+            # batch prep is Arrow-native (_span_arrays) and output
+            # columns assemble by pattern-id GATHER — no per-mention
+            # Python appends / slices / dict lookups
+            import numpy as np
+            import pyarrow.compute as pc
+
+            texts, doc_idx, span_idx, offsets, doc_ids = _span_arrays(batch)
+            sdoc, sstart, _send, spid = self.automaton.scan_selected(texts)
+            if not len(sdoc):
+                return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
+            spid_pa = pa.array(spid)
+            return pa.Table.from_arrays(
+                [
+                    pc.take(doc_ids, pa.array(doc_idx[sdoc])),
+                    pa.array(span_idx[sdoc].astype(np.int32), type=pa.int32()),
+                    pa.array(
+                        (offsets[sdoc] + sstart).astype(np.int32), type=pa.int32()
+                    ),
+                    pc.take(self._names_pa, spid_pa),
+                    pc.take(self._labels_pa, spid_pa),
+                ],
+                schema=MENTIONS_SCHEMA,
+            )
+        for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
+            for m in self.pattern.finditer(text):
+                surface = m.group(0)
+                cols["doc_id"].append(doc_id)
+                cols["span_idx"].append(span_idx)
+                cols["offset"].append(offset + m.start())
+                cols["surface"].append(surface)
+                cols["label"].append(self.gazetteer[surface])
         return pa.Table.from_pydict(cols, schema=MENTIONS_SCHEMA)
 
 

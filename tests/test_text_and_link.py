@@ -443,3 +443,35 @@ def test_canonical_map_distributed_arm_parity(ray_session, fixture_corpus):
     dist_a = build_canonical_map(merged, alias_map=alias, force_distributed=True)
     assert local_a == dist_a
     assert ("Disease", "高血压") in dist_a
+
+
+def test_aho_corasick_sparse_and_dense_arms_agree():
+    """The sparse two-level fallback (budget-exceeded gazetteers) and the
+    dense-matrix arm resolve identical DFA transitions — randomized
+    parity over both storage forms, plus the batch API against the
+    single-text path."""
+    import random
+
+    from knowledge_graph_construction_ray.functions import ahocorasick as m
+
+    rng = random.Random(11)
+    names = list(
+        {"".join(rng.choices("abcdef", k=rng.randint(1, 5))) for _ in range(40)}
+    )
+    old = m.AhoCorasick.DENSE_BUDGET
+    try:
+        m.AhoCorasick.DENSE_BUDGET = 0
+        ac_sparse = m.AhoCorasick(names)
+    finally:
+        m.AhoCorasick.DENSE_BUDGET = old
+    ac_dense = m.AhoCorasick(names)
+    assert ac_sparse._dense is None and ac_dense._dense is not None
+    texts = [
+        "".join(rng.choices("abcdefgh", k=rng.randint(0, 300))) for _ in range(100)
+    ]
+    dense_batch = ac_dense.find_leftmost_longest_batch(texts)
+    sparse_batch = ac_sparse.find_leftmost_longest_batch(texts)
+    assert dense_batch == sparse_batch
+    for t, want in zip(texts, dense_batch):
+        assert ac_dense.find_leftmost_longest(t) == want
+        assert ac_sparse.find_all(t) == ac_dense.find_all(t)
