@@ -289,23 +289,17 @@ def _existing_bucket_narrow(
 ) -> pd.DataFrame:
     """Read one bucket's previously-written part files back into the
     NARROW elements form (merge_key reconstructed, props re-tagged with
-    store lineage (-1, -1)); empty frame when the bucket had no files."""
+    store lineage (-1, -1)); empty frame when the bucket had no files.
+
+    Emitted EDGES-THEN-NODES: each stored part file is merge_key-sorted
+    and every edge key ('E\\x1f…') precedes every node key ('N\\x1f…'),
+    so the concatenation is globally sorted — the invariant the
+    sorted-run delta merge (merge._fold_bucket_delta) relies on."""
     import os
 
     import pyarrow.parquet as pq
 
     frames = []
-    npath = f"{nodes_dir}/part-{bucket:05d}.parquet"
-    if os.path.exists(npath):
-        nd = pq.read_table(npath).to_pandas()
-        frames.append(
-            pd.DataFrame(
-                {
-                    "merge_key": ("N\x1f" + nd["label"] + "\x1f" + nd["name"]),
-                    "props": _retag_props(nd["props"].to_numpy()),
-                }
-            )
-        )
     epath = f"{edges_dir}/part-{bucket:05d}.parquet"
     if os.path.exists(epath):
         ed = pq.read_table(epath).to_pandas()
@@ -318,6 +312,17 @@ def _existing_bucket_narrow(
                         + "\x1f" + ed["dst_label"] + "\x1f" + ed["dst_name"]
                     ),
                     "props": None,
+                }
+            )
+        )
+    npath = f"{nodes_dir}/part-{bucket:05d}.parquet"
+    if os.path.exists(npath):
+        nd = pq.read_table(npath).to_pandas()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "merge_key": ("N\x1f" + nd["label"] + "\x1f" + nd["name"]),
+                    "props": _retag_props(nd["props"].to_numpy()),
                 }
             )
         )
@@ -407,15 +412,19 @@ def update_graph_sorted(
         )
 
     def fold_update(df: pd.DataFrame) -> pd.DataFrame:
-        from .merge import _fold_bucket_sorted
+        from .merge import _fold_bucket_delta
 
         bucket = int(df["bucket"].iloc[0]) if len(df) else 0
         existing = _existing_bucket_narrow(bucket, nodes_dir, edges_dir)
         existing["bucket"] = bucket
-        merged = pd.concat(
-            [existing, df[existing.columns]], ignore_index=True
+        # sorted-run delta merge: the stored bucket is already folded and
+        # merge_key-sorted, so only the keys the delta actually touches
+        # re-fold — a touched bucket's cost is O(store + delta·fold),
+        # not O(store·fold) (round-4 verdict item 4)
+        return _write_bucket(
+            _fold_bucket_delta(existing, df[existing.columns]),
+            nodes_dir, edges_dir,
         )
-        return _write_bucket(_fold_bucket_sorted(merged), nodes_dir, edges_dir)
 
     stats_ds = bucketed.groupby("bucket").map_groups(
         fold_update, batch_format="pandas"

@@ -151,3 +151,72 @@ def test_single_kind_corpora(ray_session):
 
     dup = json.loads(ndf[ndf["name"] == "独药0"]["props"].iloc[0])
     assert "dosage" not in dup  # later null deleted it
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_fold_bucket_delta_equals_full_refold(seed):
+    """The sorted-run delta merge (only delta-touched keys re-fold) is
+    row-for-row identical to re-folding the whole bucket — randomized
+    stores with stub/real/edge collisions, store lineage (-1, -1)."""
+    import random
+
+    import pandas as pd
+
+    from knowledge_graph_construction_ray.merge import (
+        _fold_bucket_delta,
+        _fold_bucket_sorted,
+    )
+
+    rng = random.Random(seed)
+    keys = [f"N\x1fD\x1f名{i:03d}" for i in range(40)] + [
+        f"E\x1fD\x1f名{i:03d}\x1fREL\x1fS\x1f症{i:03d}" for i in range(20)
+    ]
+
+    import json as _json
+
+    def frame(n, ranks, store=False):
+        rows = []
+        for _ in range(n):
+            k = rng.choice(keys)
+            rank = -1 if store else rng.choice(ranks)
+            seq = -1 if store else rng.randrange(100)
+            if k.startswith("E"):
+                props = None
+            else:
+                body = rng.choice([{}, {"a": 1}, {"a": 2, "b": "x"}])
+                # props are lineage-TAGGED json: {k: [rank, seq, v]}
+                props = _json.dumps(
+                    {pk: [rank, seq, pv] for pk, pv in body.items()}
+                )
+            rows.append(
+                {
+                    "merge_key": k,
+                    "props": props,
+                    "src_rank": rank,
+                    "seq": seq,
+                    "bucket": 7,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    # a stored bucket is folded + sorted (one row per key)
+    existing = _fold_bucket_sorted(frame(60, [0, 1], store=True))
+    existing["src_rank"] = -1
+    existing["seq"] = -1
+    delta = frame(25, [2, 3])
+    got = _fold_bucket_delta(existing, delta)
+    want = _fold_bucket_sorted(
+        pd.concat([existing, delta], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # empty-store and empty-delta edges
+    empty = existing.iloc[0:0]
+    pd.testing.assert_frame_equal(
+        _fold_bucket_delta(empty, delta), _fold_bucket_sorted(delta)
+    )
+    pd.testing.assert_frame_equal(
+        _fold_bucket_delta(existing, delta.iloc[0:0]),
+        _fold_bucket_sorted(existing),
+    )
