@@ -70,22 +70,43 @@ def cmd_write(args: argparse.Namespace) -> dict:
     except ValueError as e:  # library raises catchable; CLI exits
         raise SystemExit(str(e)) from e
     out.pop("ray_stats", None)
+    if getattr(args, "dedup_store", None):
+        from .stages.dedupe import init_ingest_dedup
+
+        out["dedup"] = init_ingest_dedup(
+            rd.read_parquet(args.input), args.dedup_store
+        )
     return out
 
 
 def cmd_ingest(args: argparse.Namespace) -> dict:
     """Incremental ingest into a ``write`` output: only buckets receiving
-    new rows are re-folded and rewritten (materialize.update_graph_sorted)."""
+    new rows are re-folded and rewritten (materialize.update_graph_sorted).
+    With ``--dedup-store`` the batch is near-dup-screened against the
+    standing corpus first (stages.dedupe.filter_ingest_batch): dups of
+    stored docs are dropped before they enter the graph, survivors extend
+    the screening state for the next batch."""
     import ray.data as rd
 
     from .materialize import update_graph_sorted
 
+    docs = rd.read_parquet(args.input)
+    dedup_report = None
+    if getattr(args, "dedup_store", None):
+        from .stages.dedupe import filter_ingest_batch
+
+        docs, dedup_report = filter_ingest_batch(
+            docs, args.dedup_store,
+            threshold=getattr(args, "dedup_threshold", 0.5),
+        )
     out = update_graph_sorted(
-        rd.read_parquet(args.input),
+        docs,
         f"{args.out}/nodes",
         f"{args.out}/edges",
     )
     out.pop("ray_stats", None)
+    if dedup_report is not None:
+        out["dedup"] = dedup_report
     return out
 
 
@@ -156,6 +177,11 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--out", required=True, help="output dir (nodes/ + edges/)")
     w.add_argument("--salted", action="store_true")
     w.add_argument("--num-buckets", type=int, default=64)
+    w.add_argument(
+        "--dedup-store",
+        help="also build the near-dup screening state (LSH band index + "
+             "corpus texts) at this dir for future `ingest --dedup-store`",
+    )
     w.set_defaults(fn=cmd_write)
 
     i = sub.add_parser(
@@ -163,6 +189,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     i.add_argument("--input", required=True, help="directory of NEW docs parquet")
     i.add_argument("--out", required=True, help="existing write output dir")
+    i.add_argument(
+        "--dedup-store",
+        help="near-dup-screen the batch against this standing state first "
+             "(built by `write --dedup-store`); dropped ids are reported",
+    )
+    i.add_argument("--dedup-threshold", type=float, default=0.5)
     i.set_defaults(fn=cmd_ingest)
 
     m = sub.add_parser("metrics", help="print per-partition metrics")

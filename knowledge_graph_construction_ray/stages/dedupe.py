@@ -1345,3 +1345,122 @@ def query_minhash_index(
     if verified.empty:
         return pd.DataFrame(columns=["a", "b", "jaccard"])
     return verified.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time dedup composition (incremental index × incremental graph ingest)
+# ---------------------------------------------------------------------------
+
+
+def span_docs_to_texts(docs_ds):
+    """Span-structured KG docs → (doc_id, text) Dataset — text is the
+    '\\n'-joined non-media span texts, the same doc-concatenation
+    convention every text stage uses (spanenc.doc_text)."""
+
+    def kernel(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as _pa
+
+        from .text import _span_arrays
+
+        texts, doc_idx, _si, _off, doc_ids = _span_arrays(batch)
+        parts: "list[list[str]]" = [[] for _ in range(len(doc_ids))]
+        for t, d in zip(texts, doc_idx):
+            parts[d].append(t)
+        return _pa.table(
+            {"doc_id": doc_ids, "text": ["\n".join(p) for p in parts]}
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def init_ingest_dedup(docs_ds, dedup_dir: str, *, num_buckets: int = 64) -> dict:
+    """Build the standing near-dup state for an ingested corpus: the
+    persistent LSH band index (:func:`build_minhash_index`) plus a
+    (doc_id, text) corpus parquet the verify step reads texts from.
+    Pairs with :func:`filter_ingest_batch` — together they give the
+    `write`/`ingest` CLI continuous near-dup screening (round-4 verdict
+    item 6)."""
+    texts = span_docs_to_texts(docs_ds).materialize()
+    build_minhash_index(texts, dedup_dir, num_buckets=num_buckets)
+    texts.write_parquet(f"{dedup_dir}/corpus")
+    return {"indexed_docs": texts.count()}
+
+
+def filter_ingest_batch(new_docs_ds, dedup_dir: str, *,
+                        threshold: float = 0.5) -> tuple:
+    """Near-dup-screen a delta batch against the standing corpus BEFORE
+    it enters the graph → (kept_docs_ds, report).
+
+    Policy (deterministic): a new doc joins a cluster with any INDEXED
+    doc → dropped (the stored doc is canonical); a new×new-only cluster
+    keeps its minimum doc_id.  The pair set is ingest-batch-bounded by
+    the :func:`query_minhash_index` contract, so the cluster walk is
+    driver-cheap; survivors' bands and texts APPEND to the standing
+    state so the NEXT batch screens against them too.
+
+    Fresh-id contract inherited from the index: re-presenting an
+    already-indexed doc_id raises (an idempotent graph re-ingest must
+    run WITHOUT the dedup screen — the graph fold is idempotent, the
+    screen is for genuinely new docs)."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.groupby import hash_bucket
+    from ..state.unionfind import UnionFind
+
+    new_texts = span_docs_to_texts(new_docs_ds).materialize()
+    corpus = rd.read_parquet(f"{dedup_dir}/corpus")
+    pairs = query_minhash_index(
+        new_texts, dedup_dir, corpus, threshold=threshold
+    )
+    new_ids = set(new_texts.select_columns(["doc_id"]).to_pandas()["doc_id"])
+    drop: set = set()
+    if len(pairs):
+        uf = UnionFind().add_pairs(list(zip(pairs["a"], pairs["b"])))
+        for _, cluster in uf.clusters().items():
+            has_old = any(m not in new_ids for m in cluster)
+            news = sorted(m for m in cluster if m in new_ids)
+            # indexed member present → every new member is a dup of
+            # stored content; all-new cluster → keep its min doc_id
+            drop.update(news if has_old else news[1:])
+    if drop:
+        drop_arr = pa.array(sorted(drop))
+        keep_fn = lambda t: t.filter(  # noqa: E731
+            pc.invert(pc.is_in(t["doc_id"], value_set=drop_arr))
+        )
+        kept_docs = new_docs_ds.map_batches(keep_fn, batch_format="pyarrow")
+        kept_texts = new_texts.map_batches(keep_fn, batch_format="pyarrow")
+    else:
+        kept_docs, kept_texts = new_docs_ds, new_texts
+    kept_texts = kept_texts.materialize()
+
+    # append survivors to the standing state (parquet writes are
+    # append-by-new-fragment in both the band partitions and the corpus)
+    import json
+
+    with open(f"{dedup_dir}/meta.json") as f:
+        num_buckets = int(json.load(f)["num_buckets"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bands = minhash_bands_kernel(df)
+        bands["bucket"] = hash_bucket(
+            bands, ["band_id", "band_hash"], num_buckets
+        ).astype(np.int64)
+        return bands
+
+    n_kept = kept_texts.count()
+    if n_kept:
+        kept_texts.map_batches(add_bucket, batch_format="pandas").write_parquet(
+            f"{dedup_dir}/bands", partition_cols=["bucket"]
+        )
+        kept_texts.write_parquet(f"{dedup_dir}/corpus")
+    report = {
+        "batch_docs": len(new_ids),
+        "near_dup_pairs": int(len(pairs)),
+        "dropped_docs": sorted(drop),
+        "kept_docs": int(n_kept),
+    }
+    return kept_docs, report

@@ -261,3 +261,95 @@ def test_cli_write_then_ingest_roundtrip(ray_session, fixture_corpus, tmp_path):
     assert 0 < i["buckets_touched"] <= 33
     assert pads.dataset(str(out / "nodes")).to_table().num_rows == 553
     assert pads.dataset(str(out / "edges")).to_table().num_rows == 322
+
+
+def test_cli_ingest_with_dedup_store(ray_session, fixture_corpus, tmp_path):
+    """End-to-end `write --dedup-store` then `ingest --dedup-store` with a
+    delta holding near-dups of STORED docs (fresh ids), near-dups within
+    the batch, and genuinely new docs: dups are flagged + dropped before
+    the graph, the store stays consistent, and the screening state
+    extends so a SECOND batch catches dups of first-batch survivors."""
+    import argparse
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_construction_ray.__main__ import cmd_ingest, cmd_write
+    from knowledge_graph_construction_ray.spanenc import doc_text
+    from knowledge_graph_construction_ray.state.checkpoint import (
+        split_docs_to_files,
+    )
+
+    split_docs_to_files(fixture_corpus, str(tmp_path / "base"), 2)
+    out, store = tmp_path / "graph", tmp_path / "dedup"
+    w = cmd_write(argparse.Namespace(
+        input=str(tmp_path / "base"), out=str(out), salted=False,
+        num_buckets=16, dedup_store=str(store),
+    ))
+    assert w["dedup"]["indexed_docs"] == fixture_corpus.num_rows
+    base_nodes = pads.dataset(str(out / "nodes")).to_table().num_rows
+    base_edges = pads.dataset(str(out / "edges")).to_table().num_rows
+
+    # delta: near-dup of a stored doc (fresh id), two near-dup copies of
+    # one NEW doc (batch-internal), and one genuinely new doc
+    rows = fixture_corpus.to_pylist()
+    stored = next(
+        r for r in rows
+        if r["doc_id"].startswith("policy_text:")
+        and len(doc_text(r["spans"])) > 40
+    )
+    near_stored = {
+        "doc_id": "policy_text:900000",
+        "spans": [dict(s) for s in stored["spans"]],
+    }
+    near_stored["spans"][-1]["text"] += " 略有改动"
+
+    def clause_doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "clause", "text": text, "media_ref": "",
+                       "offset": 0}],
+        }
+
+    fresh_text = "保99号对病症000提供保障。全新条款 " + " ".join(f"词{i}" for i in range(40))
+    fresh = clause_doc("policy_text:900001", fresh_text)
+    fresh_dup = clause_doc("policy_text:900002", fresh_text + " 尾注")
+    other = clause_doc(
+        "policy_text:900003",
+        "另一篇毫无重叠的 " + " ".join(f"独{i}" for i in range(40)),
+    )
+    delta = pa.Table.from_pylist(
+        [near_stored, fresh, fresh_dup, other], schema=fixture_corpus.schema
+    )
+    split_docs_to_files(delta, str(tmp_path / "delta"), 1)
+    i1 = cmd_ingest(argparse.Namespace(
+        input=str(tmp_path / "delta"), out=str(out),
+        dedup_store=str(store), dedup_threshold=0.5,
+    ))
+    # dup-of-stored dropped (stored doc canonical); fresh kept (min id of
+    # its batch cluster); fresh-001 dropped (batch-internal near-dup)
+    assert i1["dedup"]["dropped_docs"] == [
+        "policy_text:900000", "policy_text:900002"
+    ]
+    assert i1["dedup"]["kept_docs"] == 2
+    # graph consistency: only the two survivors' elements entered
+    nodes_t = pads.dataset(str(out / "nodes")).to_table()
+    assert nodes_t.num_rows > base_nodes  # survivors added something
+    assert pads.dataset(str(out / "edges")).to_table().num_rows >= base_edges
+    meta = _json.loads((out / "nodes" / "_kg_meta.json").read_text())
+    assert "bounds" in meta  # store whole again after the update
+
+    # second batch: a near-dup of a FIRST-BATCH survivor must now be
+    # caught too (the screening state extended)
+    echo = clause_doc("policy_text:910000", fresh_text + " 另一尾注")
+    delta2 = pa.Table.from_pylist([echo], schema=fixture_corpus.schema)
+    split_docs_to_files(delta2, str(tmp_path / "delta2"), 1)
+    i2 = cmd_ingest(argparse.Namespace(
+        input=str(tmp_path / "delta2"), out=str(out),
+        dedup_store=str(store), dedup_threshold=0.5,
+    ))
+    assert i2["dedup"]["dropped_docs"] == ["policy_text:910000"]
+    assert i2["dedup"]["kept_docs"] == 0 and i2["buckets_touched"] == 0
+    # store unchanged by the all-dropped batch
+    assert pads.dataset(str(out / "nodes")).to_table().num_rows == nodes_t.num_rows
