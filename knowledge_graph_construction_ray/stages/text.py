@@ -103,13 +103,23 @@ def _span_arrays(batch: pa.Table):
 def extract_text_triples(batch: pa.Table) -> pa.Table:
     """Stateless kernel: policy-text docs → provenance-carrying triples
     (the deterministic A2 extractor; same output contract as the reference's
-    LLM extractor, text_graph_builder.py:50-54)."""
+    LLM extractor, text_graph_builder.py:50-54).  Batch prep via
+    ``_span_arrays`` (Arrow-native media filter + numpy provenance);
+    only the clause regexes and the per-hit appends stay Python."""
     cols: dict[str, list[Any]] = {n: [] for n in EXTRACTED_TRIPLES_SCHEMA.names}
-    for doc_id, span_idx, _kind, text, offset in _iter_text_spans(batch):
-        for t in clause_triples(text):
+    texts, doc_idx, span_idx, offsets, doc_ids = _span_arrays(batch)
+    doc_id_list = doc_ids.to_pylist()
+    for i, text in enumerate(texts):
+        triples = clause_triples(text)
+        if not triples:
+            continue
+        doc_id = doc_id_list[doc_idx[i]]
+        si = int(span_idx[i])
+        off = int(offsets[i])
+        for t in triples:
             cols["doc_id"].append(doc_id)
-            cols["span_idx"].append(span_idx)
-            cols["offset"].append(offset)
+            cols["span_idx"].append(si)
+            cols["offset"].append(off)
             cols["head"].append(t["head"])
             cols["head_type"].append(t["type"])
             cols["relation"].append(t["relation"])
