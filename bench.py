@@ -255,7 +255,7 @@ def bench_mentions(num_cpus: int, gaz: dict, label: str, reps: int | None = None
     def timed() -> float:
         t0 = time.perf_counter()
         mat = detect_mentions(
-            docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=512
+            docs, gaz, concurrency=max(2, num_cpus // 2), batch_size=2048
         ).materialize()  # stats attach to the materialized dataset
         counts["n"] = mat.count()
         wall = time.perf_counter() - t0
