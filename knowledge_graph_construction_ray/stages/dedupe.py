@@ -323,17 +323,29 @@ def _default_join_partitions() -> int:
     return max(2, min(16, cpus))
 
 
+BROADCAST_IDS_THRESHOLD = 2_000_000
+
+
 def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
                          num_partitions: int | None = None,
-                         sparse_safe: bool = False):
+                         sparse_safe: bool = False,
+                         broadcast_ids_threshold: int = BROADCAST_IDS_THRESHOLD):
     """Join a candidate-pair Dataset[a, b, ...] with a payload table twice
     (once per side) → Dataset[a, b, <payload>_a, <payload>_b].
 
-    Both joins are Ray's native hash-partitioned shuffle join — neither the
-    pair set nor the payload table ever materializes on the driver, so a
-    dense candidate set (boilerplate-heavy corpus) degrades into more
-    shuffle volume, not driver OOM.  Shared by the MinHash/SimHash text
-    verify and the embedding-cosine verify."""
+    Size-dispatched payload pruning: the joins only ever need payloads of
+    docs NAMED BY A PAIR, so when the pair set is bounded
+    (≤ ``broadcast_ids_threshold`` rows) its id set broadcasts via
+    ``ray.put`` and the payload table filters in one streaming pass
+    BEFORE the joins — the join shuffle then carries candidate-doc
+    payloads, not the whole corpus, and the filtered table materializes
+    once instead of the corpus scanning twice (measured: the two joins
+    were 2× 3.5 s of the 500k-doc near-dup bench; the same pattern
+    query_minhash_index uses).  Past the threshold (dup-dense corpora
+    where even the candidate id set outgrows a broadcast) both joins run
+    against the full payload stream — more shuffle volume, never driver
+    OOM.  Shared by the MinHash/SimHash text verify and the
+    embedding-cosine verify."""
     if num_partitions is None:
         num_partitions = _default_join_partitions()
     from ..functions.groupby import scrub_empty_blocks
@@ -367,12 +379,40 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
         ]
         return rd.from_arrow(pa.schema(out_fields).empty_table())
     payload = payload_ds.select_columns([id_col, payload_col])
-    if sparse_safe:
+    if pairs_ds.count() <= broadcast_ids_threshold:
+        import ray
+
+        ids = np.unique(
+            np.concatenate(
+                [
+                    np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+                    for b in pairs_ds.iter_batches(
+                        batch_size=65536, batch_format="pandas"
+                    )
+                ]
+            )
+        )
+        id_ref = ray.put(ids)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[np.isin(df[id_col].to_numpy(), ray.get(id_ref))]
+
+        # scrub doubles as the materialize barrier: the filtered (small)
+        # table feeds BOTH joins without re-scanning the corpus, and
+        # filtered-empty blocks can't poison them
+        payload = scrub_empty_blocks(
+            payload.map_batches(keep, batch_format="pandas")
+        )
+        sparse_safe_payload_done = True
+    else:
+        sparse_safe_payload_done = False
+    if sparse_safe and not sparse_safe_payload_done:
         # the payload side can also arrive with schema-less empty pandas
         # blocks (a broadcast-filtered corpus on the incremental path);
         # the scrub MATERIALIZES, so it stays opt-in — an unconditional
         # one regressed the 1M-doc soak 51 s → 104 s by materializing
-        # the whole corpus text table on the dense paths
+        # the whole corpus text table on the dense paths.  (The
+        # broadcast-prefilter arm above already scrubbed + materialized.)
         payload = scrub_empty_blocks(payload)
 
     def rename(tbl: pa.Table, suffix: str) -> pa.Table:
@@ -390,11 +430,13 @@ def attach_pair_payloads(pairs_ds, payload_ds, *, id_col: str, payload_col: str,
         payload, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=(id_col,),
     ).map_batches(lambda t: rename(t, "_a"), batch_format="pyarrow")
-    if sparse_safe:
-        # on SPARSE candidate sets (tiny ingest batches) the first
-        # join's own output partitions can be all-empty and schema-less,
-        # poisoning the second join; the scrub is a materialize barrier,
-        # so it is opt-in — the dense verify paths keep streaming
+    if sparse_safe or sparse_safe_payload_done:
+        # the first join's own output partitions can be all-empty and
+        # schema-less, poisoning the second join — guaranteed possible
+        # on sparse candidate sets (tiny ingest batches) and on the
+        # broadcast-prefilter arm (small joined volume); the scrub is a
+        # materialize barrier of candidate-sized data there.  Only the
+        # past-threshold dense path keeps streaming un-scrubbed.
         j = scrub_empty_blocks(j)
     return j.join(
         payload, join_type="inner", num_partitions=num_partitions,
