@@ -1341,3 +1341,25 @@ def test_aho_corasick_astral_plane_codepoints():
     finally:
         m.AhoCorasick.DENSE_BUDGET = old
     assert sparse.find_leftmost_longest(text) == got
+
+
+def test_minhash_dedup_tiny_corpus_prefilter_arm(ray_session):
+    """A corpus small enough that the broadcast-prefilter arm leaves the
+    first attach join with all-empty output partitions must still verify
+    cleanly (regression: schema-less empties poisoned the second join)."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.stages.dedupe import minhash_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": ["alpha beta gamma delta"] * 2
+            + ["one two three four"] * 2
+            + ["unrelated words here now", "совсем другой текст"],
+        }
+    )
+    out = minhash_dedup(rd.from_pandas(df), threshold=0.5)
+    assert set(zip(out["doc_id"], out["cluster_rep"])) == {
+        (0, 0), (1, 0), (2, 2), (3, 2)
+    }
