@@ -2080,6 +2080,123 @@ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
 """
 
 
+def hybrid_search_rrf(sf_dir: str, k: int = 20, pool: int = 50):
+    """Hybrid retrieval: the BM25 lexical arm fused with a quantized
+    inner-product vector arm by Reciprocal Rank Fusion (Cormack, Clarke
+    & Büttcher 2009: score(d) = Σ 1/(60 + rank)), integer-exact end to
+    end — the two-tower + lexical fusion step of a RAG/retrieval
+    pipeline, over the corpus convention that ``embeddings.vec_id`` IS
+    ``documents.doc_id``.
+
+    Lexical arm: :func:`bm25_search` top-``pool`` (integer-cleared BM25,
+    ranks ordered score DESC, doc_id ASC — exactly SQL ``row_number``).
+    Vector arm: each embedding component quantized
+    ``floor(float64(x)·1000)`` — exact for float32 inputs since a
+    24-bit mantissa × 1000 fits float64 losslessly, so numpy and DuckDB
+    floor the identical value — then an int64 dot product against the
+    broadcast quantized query (vec_id 0), per-batch matmul + bounded
+    ``local_topk``.  RRF terms are ``10^9 // (60 + rank)`` (one
+    truncating division — identical in int64 and DuckDB ``//``), summed
+    over the ≤ 2·pool fused candidates on the driver; missing-arm docs
+    contribute 0 from that arm, the standard RRF convention.  Top-k by
+    (rrf_score DESC, doc_id ASC).
+
+    Scale: both arms move only statistics + top-``pool`` rows; the
+    corpus crosses no exchange (BM25's is a tiny term-stat pass, the
+    vector arm is a broadcast 64-int query).  Fusion is O(pool)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["embedding"].iloc[0], dtype=np.float64)
+            break
+    if q is None:
+        raise ValueError("hybrid_search_rrf: query vector vec_id=0 not found")
+    qq = np.floor(q * 1000.0).astype(np.int64)  # tiny: closure-captured
+
+    def qdot(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy())
+        qm = np.floor(emb.astype(np.float64) * 1000.0).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["vec_id"].to_numpy(np.int64), "dot": qm @ qq}
+        )
+
+    from ..functions.groupby import local_topk
+
+    bm = bm25_search(sf_dir, k=pool)
+    vec = local_topk(
+        ds.map_batches(qdot, batch_format="pandas"),
+        ["dot", "doc_id"], pool, descending=[True, False],
+    )
+
+    scale, k0 = 1_000_000_000, 60
+    score: dict[int, int] = {}
+    for arm in (bm["doc_id"], vec["doc_id"]):
+        for r, d in enumerate(arm.to_numpy(np.int64), 1):
+            score[int(d)] = score.get(int(d), 0) + scale // (k0 + r)
+    out = pd.DataFrame(
+        {
+            "doc_id": np.fromiter(score.keys(), np.int64, len(score)),
+            "rrf_score": np.fromiter(score.values(), np.int64, len(score)),
+        }
+    )
+    return (
+        out.sort_values(["rrf_score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+HYBRID_RRF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS a,
+               (SELECT COUNT(*) FROM documents
+                WHERE length(trim(text)) > 0) AS nd
+        FROM tok),
+q(term) AS (VALUES ('join'), ('filter'), ('scan')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(SUM(((tot.nd * 1000) // dfq.dfq) *
+              ((44 * CAST(tot.a AS HUGEINT) * tf.tf * 1000) //
+               (20 * CAST(tot.a AS HUGEINT) * tf.tf
+                + 6 * tot.a + 18 * CAST(dl.dl AS HUGEINT) * tot.nd)))
+              AS BIGINT) AS score
+  FROM tf CROSS JOIN tot
+  JOIN dfq ON tf.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 50
+),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+vdot AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(list_sum(list_transform(e.embedding,
+              (x, i) -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)
+                        * CAST(floor(CAST(qv.q[i] AS DOUBLE)*1000) AS BIGINT)))
+              AS BIGINT) AS dot
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qv
+  ORDER BY dot DESC, doc_id LIMIT 50
+),
+vdr AS (SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r FROM vdot),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1000000000 // (60 + b.r), 0)
+         + COALESCE(1000000000 // (60 + v.r), 0) AS rrf_score
+  FROM bmr b FULL OUTER JOIN vdr v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
 def docs_chunk_windows(sf_dir: str, width: int = 200, stride: int = 150):
     """RAG-style chunking: every document split into overlapping
     codepoint windows (width 200, stride 150) — the retrieval-chunk /
@@ -2502,6 +2619,119 @@ ORDERS_NTILE_SQL = """
 SELECT o_orderkey,
        CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
 FROM orders ORDER BY o_orderkey
+"""
+
+
+def events_rfm_segments(sf_dir: str, k: int = 4):
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value analysis, int64-exact end to end: recency is
+    the raw epoch-microsecond last-event stamp (no date arithmetic to
+    disagree on), frequency the event count, monetary Σ floor(value·100)
+    cents (floor of the identical IEEE float64 product on both engines,
+    summed in int64).
+
+    Plan: one combiner exchange builds the per-user triple
+    (``bucketed_agg`` — events cross once, pre-reduced per batch), then
+    each metric gets an exact distributed NTILE(4) on the SHARED
+    ROW_NUMBER plan (``assign_sequential_ids`` over the negated metric —
+    DESC order so tile 1 = best — with user_id tie-break, then the pure
+    tile arithmetic of :func:`orders_price_ntile`), and two hash joins
+    keyed user_id stitch the three tile columns.  Everything after the
+    combiner is user-cardinality-sized, never event-sized; the three
+    rank passes and joins stay distributed at any user count.
+    ``segment`` = 100·r + 10·f + m, the standard RFM cell code."""
+    from ..functions.groupby import bucketed_agg
+    from ..pipelines.curation import assign_sequential_ids
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "last_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+                "m_cents": np.floor(
+                    df["value"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    users = bucketed_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"],
+        {
+            "last_us": ("last_us", "max"),
+            "n_events": ("last_us", "size"),
+            "m_cents": ("m_cents", "sum"),
+        },
+    ).materialize()
+    total = users.count()
+    size, rem = total // k, total % k
+    boundary = rem * (size + 1)
+
+    def tile_col(metric: str, out_col: str):
+        neg = users.map_batches(
+            lambda df, m=metric: pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "_neg": -df[m].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        ranked = assign_sequential_ids(neg, ["_neg", "user_id"], "_rank")
+
+        def tile_batch(df: pd.DataFrame) -> pd.DataFrame:
+            rank = df["_rank"].to_numpy(np.int64) - 1  # 0-based
+            tile = np.where(
+                rank < boundary,
+                rank // (size + 1),
+                (rank - boundary) // max(size, 1) + rem,
+            ).astype(np.int64) + 1
+            return pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy(np.int64), out_col: tile}
+            )
+
+        return ranked.map_batches(tile_batch, batch_format="pandas")
+
+    from ..functions.groupby import scrub_empty_blocks
+
+    # the rank plan's range bins can leave schema-less empty blocks that
+    # poison the native hash join on tiny inputs — scrub both sides
+    r_t = scrub_empty_blocks(tile_col("last_us", "r_tile"))
+    f_t = scrub_empty_blocks(tile_col("n_events", "f_tile"))
+    m_t = scrub_empty_blocks(tile_col("m_cents", "m_tile"))
+    joined = r_t.join(
+        f_t, join_type="inner", num_partitions=4, on=("user_id",)
+    ).join(m_t, join_type="inner", num_partitions=4, on=("user_id",))
+    out = joined.to_pandas()  # user-cardinality-sized final result
+    out["segment"] = (
+        out["r_tile"] * 100 + out["f_tile"] * 10 + out["m_tile"]
+    ).astype(np.int64)
+    return (
+        out[["user_id", "r_tile", "f_tile", "m_tile", "segment"]]
+        .astype("int64")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS last_us,
+         count(*) AS n_events,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(NTILE(4) OVER (ORDER BY last_us DESC, user_id) AS BIGINT) AS r_tile,
+       CAST(NTILE(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_tile,
+       CAST(NTILE(4) OVER (ORDER BY m_cents DESC, user_id) AS BIGINT) AS m_tile,
+       CAST(NTILE(4) OVER (ORDER BY last_us DESC, user_id) * 100
+            + NTILE(4) OVER (ORDER BY n_events DESC, user_id) * 10
+            + NTILE(4) OVER (ORDER BY m_cents DESC, user_id) AS BIGINT) AS segment
+FROM per_user ORDER BY user_id
 """
 
 
@@ -3680,6 +3910,63 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE 2 * inter_n >= sa.n + sb.n - inter_n
+ORDER BY a, b
+"""
+
+
+def dedup_containment(sf_dir: str):
+    """EXACT n-gram CONTAINMENT near-dup pairs (threshold 4/5) — the
+    asymmetric sibling of :func:`dedup_ngram_jaccard`: |A∩B|/min(|A|,|B|)
+    catches quotation / boilerplate inclusion (a short doc embedded in a
+    long one) that a Jaccard threshold structurally misses.  Probe-the-
+    index candidate generation with full inverted lists
+    (stages/dedupe.py::ngram_containment_dedup); integer inter_n/small_n
+    columns so the DuckDB oracle (true all-pairs shingle join)
+    hash-matches with no float contract."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedupe import ngram_containment_dedup
+
+    n = pq.read_metadata(_t(sf_dir, "documents")).num_rows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_containment_dedup(
+        ds, threshold=(4, 5), num_partitions=4 if n <= 100_000 else None,
+        sparse_safe=n <= 100_000,
+    ).to_pandas()  # verified pairs only — near-dup-cluster-sized
+    if out.empty:  # zero-row to_pandas drops columns — restore the schema
+        out = pd.DataFrame(columns=["a", "b", "inter_n", "small_n"])
+    return (
+        out.astype({c: "int64" for c in out.columns})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+CONTAINMENT_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE
+      WHEN len(t) = 0 OR (len(t) = 1 AND t[1] = '') THEN CAST([] AS VARCHAR[])
+      WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_n
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter_n, least(sa.n, sb.n) AS small_n
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE 5 * inter_n >= 4 * least(sa.n, sb.n)
 ORDER BY a, b
 """
 
@@ -6969,6 +7256,12 @@ FROM w GROUP BY kind ORDER BY kind
 
 QUERIES: dict[str, tuple] = {
     # name: (ray_fn, oracle_sql | None)
+    # NEW in round 5 — lead the base dict so the reorder below places
+    # them immediately after the never-checked block, inside the
+    # driver's checked prefix:
+    "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
+    "dedup_containment": (dedup_containment, CONTAINMENT_PAIRS_SQL),
+    "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

@@ -867,7 +867,10 @@ def _prefix_shingle_rows(
     Shingles are the arithmetic-polynomial token-hash composition shared
     with ``minhash_signatures_batch`` (equal strings → equal hashes, so
     no true pair is lost; hash collisions only ADD candidates, which the
-    exact verify kills).  Docs shorter than NGRAM tokens contribute one
+    exact verify kills).  With ``prefix=False`` the returned rows keep
+    the lexsort order — ascending hash WITHIN each doc —
+    :func:`_containment_rows` depends on that to flag probe prefixes
+    without a second hashing pass.  Docs shorter than NGRAM tokens contribute one
     shingle over all their tokens (``word_ngrams``' short-doc rule);
     empty docs emit nothing (near-dup of empty text is undefined —
     excluded on both engine and oracle sides)."""
@@ -1096,6 +1099,162 @@ def ngram_jaccard_dedup(
                 "b": df["b"].to_numpy()[keep],
                 "inter_n": inter[keep],
                 "union_n": union[keep],
+            }
+        )
+
+    return with_texts.map_batches(verify, batch_format="pandas")
+
+
+def _containment_rows(
+    df: pd.DataFrame, threshold_num: int, threshold_den: int,
+) -> pd.DataFrame:
+    """Docs batch → (shingle, doc_id, set_size, is_probe) rows for the
+    asymmetric containment join: every distinct shingle of every doc is
+    an INDEX row, and the doc's prefix under the global hash order
+    (length ``n - ceil(t·n) + 1``) is additionally flagged ``is_probe``.
+
+    One hashing pass: :func:`_prefix_shingle_rows` with ``prefix=False``
+    emits each doc's distinct shingles in ascending-hash order within the
+    doc (its lexsort), so the probe prefix is just a per-doc cumcount
+    threshold on the returned frame — no second shingle pass."""
+    rows = _prefix_shingle_rows(
+        df, threshold_num, threshold_den, prefix=False
+    )
+    if rows.empty:
+        rows["is_probe"] = pd.Series(dtype="int8")
+        return rows
+    rank = rows.groupby("doc_id", observed=True).cumcount().to_numpy()
+    n = rows["set_size"].to_numpy()
+    ceil_tn = -((-threshold_num * n) // threshold_den)
+    rows["is_probe"] = (rank < (n - ceil_tn + 1)).astype(np.int8)
+    return rows
+
+
+def ngram_containment_dedup(
+    docs_ds,
+    *,
+    threshold: tuple[int, int] = (4, 5),
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+    max_list: int = 100_000,
+    sparse_safe: bool = False,
+):
+    """EXACT n-gram CONTAINMENT near-dup pairs at scale → Dataset[a, b,
+    inter_n, small_n] with ``inter_n/small_n ≥ threshold`` guaranteed
+    (small_n = the smaller doc's distinct-shingle count; threshold is a
+    rational ``(num, den)`` so both filter and verify compare in exact
+    integer arithmetic).
+
+    Containment |A∩B| / min(|A|,|B|) is the ASYMMETRIC sibling of
+    :func:`ngram_jaccard_dedup`: it catches quotation / boilerplate
+    inclusion — a short doc fully embedded in a much longer one has
+    containment 1.0 but Jaccard ≈ |A|/|B| → 0 — the near-dup mode
+    Jaccard-thresholded pipelines structurally miss on quote-heavy
+    corpora (Lee et al. 2022 §4 discuss exact-substring overlap for the
+    same reason).
+
+    Plan: the Jaccard prefix∩prefix candidate generation is INCOMPLETE
+    here — the required overlap ``ceil(t·min(|A|,|B|))`` is known only to
+    the smaller side, so the larger doc's prefix can miss every shared
+    shingle.  Instead each doc INDEXES its full distinct-shingle set and
+    PROBES with its own prefix (probe-the-index asymmetry, Chaudhuri et
+    al. 2006 SSJoin): for any true pair the SMALLER side's probe prefix
+    must hit the larger side's full inverted list, so candidate
+    generation stays exact.  One shingle-hash pass emits both roles
+    (:func:`_containment_rows`) → bucketed inverted-index shuffle →
+    probe×index pair expansion → distinct pairs → exact string-shingle
+    verify via two hash joins.
+
+    Scale honesty: because the index side holds FULL sets, a
+    document-frequency-hot shingle grows its inverted list with corpus
+    size no matter the prefix order — ``max_list`` raises (the
+    recall-refusal discipline of ``cosine_pairs``) rather than silently
+    expanding O(list²); shed stop-shingles upstream if a corpus trips
+    it.  Everything that crosses an exchange is candidate-sized; nothing
+    corpus-sized reaches the driver."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {num}/{den}")
+
+    rows = docs_ds.map_batches(
+        lambda df: _containment_rows(df, num, den), batch_format="pandas"
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("shingle", observed=True)["doc_id"].size()
+        if len(sizes) and int(sizes.max()) > max_list:
+            hot = sizes.idxmax()
+            raise ValueError(
+                f"inverted list for shingle {hot} has {int(sizes.max())} docs "
+                f"(> max_list={max_list}); shed stop-shingles upstream or "
+                "raise max_list explicitly"
+            )
+        probe = g[g["is_probe"] == 1]
+        e = g["doc_id"].iloc[:0]
+        if probe.empty:
+            return pd.DataFrame({"a": e, "b": e})
+        m = probe.merge(
+            g[["shingle", "doc_id"]], on="shingle", suffixes=("_x", "_y")
+        )
+        m = m[m["doc_id_x"] != m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"a": e, "b": e})
+        x = m["doc_id_x"].to_numpy()
+        y = m["doc_id_y"].to_numpy()
+        return pd.DataFrame(
+            {"a": np.minimum(x, y), "b": np.maximum(x, y)}
+        )
+
+    pairs = bucketed_groups(rows, ["shingle"], pair_kernel, num_buckets=num_buckets)
+    distinct = bucketed_agg(pairs, ["a", "b"], {"n_lists": ("a", "size")})
+    if sparse_safe:
+        distinct = distinct.materialize()
+        if distinct.count() == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype="int64"),
+                        "b": pd.Series(dtype="int64"),
+                        "inter_n": pd.Series(dtype="int64"),
+                        "small_n": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+    with_texts = attach_pair_payloads(
+        distinct, docs_ds, id_col="doc_id", payload_col="text",
+        num_partitions=num_partitions, sparse_safe=sparse_safe,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, set] = {}
+
+        def grams(t: str) -> set:
+            g = cache.get(t)
+            if g is None:
+                g = cache[t] = word_ngrams(t)
+            return g
+
+        ga = [grams(t) for t in df["text_a"]]
+        gb = [grams(t) for t in df["text_b"]]
+        n = len(ga)
+        inter = np.fromiter(
+            (len(x & y) for x, y in zip(ga, gb)), dtype=np.int64, count=n
+        )
+        small = np.minimum(
+            np.fromiter((len(x) for x in ga), dtype=np.int64, count=n),
+            np.fromiter((len(x) for x in gb), dtype=np.int64, count=n),
+        )
+        keep = inter * den >= num * small  # exact rational comparison
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep],
+                "b": df["b"].to_numpy()[keep],
+                "inter_n": inter[keep],
+                "small_n": small[keep],
             }
         )
 

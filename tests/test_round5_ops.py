@@ -1,0 +1,370 @@
+"""Round-5 operators: asymmetric n-gram containment join, hybrid RRF
+retrieval fusion, and RFM quartile segmentation.
+
+Three gates per operator, following the repo's independence ratchet:
+(1) brute-force / hand-computed parity on crafted corpora (independent
+single-process arm), (2) differential fuzzing against the oracle SQL on
+seeded random tables, (3) the structural edge cases (asymmetric catch,
+hot-list refusal, sparse path, probe-prefix lemma)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from knowledge_graph_construction_ray.query.relational import QUERIES
+from knowledge_graph_construction_ray.stages.dedupe import (
+    _containment_rows,
+    ngram_containment_dedup,
+    ngram_jaccard_dedup,
+    word_ngrams,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared differential harness (same discipline as test_newops_differential)
+# ---------------------------------------------------------------------------
+
+
+def _run(tmp_path, qname: str, tables: dict[str, pd.DataFrame]) -> None:
+    for t, df in tables.items():
+        df.to_parquet(os.path.join(tmp_path, f"{t}.parquet"), index=False)
+    fn, sql = QUERIES[qname]
+    got = fn(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    exp = con.execute(sql).df().reset_index(drop=True)
+    assert sorted(got.columns) == sorted(exp.columns)
+    got = got[sorted(got.columns)].astype(str)
+    exp = exp[sorted(got.columns)].astype(str)
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment
+# ---------------------------------------------------------------------------
+
+
+def _containment_corpus() -> pd.DataFrame:
+    """Quote-containment pairs + near-dup clusters + the shingle edge
+    cases (short docs, empties)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows: list[tuple] = []
+    doc_id = 0
+    # 4 quote-containments: short doc fully embedded in a 4x longer one
+    for _ in range(4):
+        quote = list(rng.choice(vocab, size=12))
+        longer = (
+            list(rng.choice(vocab, size=20))
+            + quote
+            + list(rng.choice(vocab, size=20))
+        )
+        rows.append((doc_id, " ".join(quote)))
+        rows.append((doc_id + 1, " ".join(longer)))
+        doc_id += 2
+    # 3 clusters of perturbed near-identical copies (symmetric near-dups)
+    for _ in range(3):
+        base = list(rng.choice(vocab, size=25))
+        for k in range(3):
+            toks = list(base)
+            for _ in range(k):
+                toks[int(rng.integers(len(toks)))] = str(rng.choice(vocab))
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    for _ in range(15):  # unrelated docs
+        rows.append((doc_id, " ".join(rng.choice(vocab, size=22))))
+        doc_id += 1
+    rows += [
+        (doc_id, "alpha beta"),
+        (doc_id + 1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (doc_id + 2, ""),
+        (doc_id + 3, "   "),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _brute_containment(df: pd.DataFrame, num: int, den: int) -> pd.DataFrame:
+    g = {d: word_ngrams(t) for d, t in zip(df["doc_id"], df["text"])}
+    ids = sorted(g)
+    rows = []
+    for i in range(len(ids) - 1):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ga, gb = g[a], g[b]
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            small = min(len(ga), len(gb))
+            if inter * den >= num * small:
+                rows.append((a, b, inter, small))
+    return pd.DataFrame(rows, columns=["a", "b", "inter_n", "small_n"])
+
+
+@pytest.mark.parametrize("threshold", [(4, 5), (1, 1)])
+def test_containment_matches_bruteforce(ray_session, threshold):
+    df = _containment_corpus()
+    ds = rd.from_pandas(df).repartition(7)
+    out = (
+        ngram_containment_dedup(
+            ds, threshold=threshold, num_partitions=4, sparse_safe=True
+        )
+        .to_pandas()
+        .astype("int64")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = _brute_containment(df, *threshold)
+    assert len(exp) > 0, "fixture must contain containment pairs"
+    pd.testing.assert_frame_equal(out, exp.astype("int64"))
+
+
+def test_containment_catches_what_jaccard_misses(ray_session):
+    """The operator's reason to exist: a 12-token quote inside a 52-token
+    doc has containment ≈ 1 but Jaccard ≈ 0.2 — the containment join must
+    emit the pair, the Jaccard join (threshold 1/2) must not."""
+    df = _containment_corpus()
+    ds = rd.from_pandas(df).repartition(5)
+    cont = (
+        ngram_containment_dedup(ds, threshold=(4, 5), sparse_safe=True)
+        .to_pandas()
+        .astype("int64")
+    )
+    jac = (
+        ngram_jaccard_dedup(ds, threshold=(1, 2), sparse_safe=True)
+        .to_pandas()
+        .astype("int64")
+    )
+    cont_pairs = set(zip(cont["a"], cont["b"]))
+    jac_pairs = set(zip(jac["a"], jac["b"]))
+    quote_pairs = {(0, 1), (2, 3), (4, 5), (6, 7)}  # the 4 planted embeds
+    found_quotes = quote_pairs & cont_pairs
+    assert found_quotes, "containment must catch planted quote-inclusions"
+    assert not (found_quotes & jac_pairs), (
+        "planted asymmetric inclusions should be invisible to Jaccard 1/2"
+    )
+    # symmetric near-dups are caught by both
+    assert jac_pairs & cont_pairs
+
+
+def test_containment_probe_rows_lemma():
+    """is_probe flags exactly the n - ceil(t·n) + 1 smallest hashes of
+    each doc's distinct-shingle set (the probe-prefix of the SSJoin
+    asymmetry); every distinct shingle is present as an index row."""
+    df = _containment_corpus()
+    rows = _containment_rows(df, 4, 5)
+    for doc_id, g in rows.groupby("doc_id"):
+        n = int(g["set_size"].iloc[0])
+        assert len(g) == n  # full set indexed
+        probes = g[g["is_probe"] == 1]
+        ceil_tn = -((-4 * n) // 5)
+        assert len(probes) == n - ceil_tn + 1
+        # probes are the smallest hashes under the global (uint64) order
+        hashes = g["shingle"].to_numpy().view(np.uint64)
+        probe_hashes = probes["shingle"].to_numpy().view(np.uint64)
+        assert set(probe_hashes) == set(np.sort(hashes)[: len(probes)])
+
+
+def test_containment_hot_list_refusal(ray_session):
+    df = pd.DataFrame(
+        {"doc_id": range(50), "text": ["same boilerplate trigram here"] * 50}
+    )
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="max_list"):
+        ngram_containment_dedup(ds, max_list=10, sparse_safe=True).to_pandas()
+
+
+def test_containment_empty_sparse_path(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [" ".join(f"u{i}_{j}" for j in range(10)) for i in range(8)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = ngram_containment_dedup(ds, sparse_safe=True)
+    assert out.schema().names == ["a", "b", "inter_n", "small_n"]
+    assert out.count() == 0
+
+
+def test_containment_threshold_validation(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
+    with pytest.raises(ValueError, match="rational"):
+        ngram_containment_dedup(ds, threshold=(3, 2))
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_containment_differential(ray_session, tmp_path, seed):
+    """Random corpora with planted inclusions vs the all-pairs SQL."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(60)]
+    rows: list[tuple] = []
+    doc_id = 0
+    for _ in range(int(rng.integers(2, 5))):
+        quote = list(rng.choice(vocab, size=int(rng.integers(8, 15))))
+        host = (
+            list(rng.choice(vocab, size=int(rng.integers(10, 30))))
+            + quote
+            + list(rng.choice(vocab, size=int(rng.integers(10, 30))))
+        )
+        rows.append((doc_id, " ".join(quote)))
+        rows.append((doc_id + 1, " ".join(host)))
+        doc_id += 2
+    for _ in range(int(rng.integers(20, 60))):
+        rows.append(
+            (doc_id, " ".join(rng.choice(vocab, size=int(rng.integers(3, 30)))))
+        )
+        doc_id += 1
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    _run(tmp_path, "dedup_containment", {"documents": docs})
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF retrieval fusion
+# ---------------------------------------------------------------------------
+
+
+def _embeddings(rng, n: int, dim: int = 16) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [
+                rng.standard_normal(dim).astype(np.float32) for _ in range(n)
+            ],
+            "label": rng.integers(0, 4, size=n).astype(np.int32),
+        }
+    )
+
+
+def _query_docs(rng, n: int) -> pd.DataFrame:
+    """Docs whose texts contain the BM25 query terms with random
+    multiplicity + filler — exercises both fused arms."""
+    terms = ["join", "filter", "scan"]
+    texts = []
+    for _ in range(n):
+        toks = list(rng.choice([f"f{i}" for i in range(30)],
+                               size=int(rng.integers(3, 40))))
+        for t in terms:
+            toks += [t] * int(rng.integers(0, 4))
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    return pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": texts}
+    )
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_hybrid_rrf_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 120))
+    _run(
+        tmp_path,
+        "hybrid_search_rrf",
+        {"documents": _query_docs(rng, n), "embeddings": _embeddings(rng, n)},
+    )
+
+
+def test_hybrid_rrf_both_arm_winner(ray_session, tmp_path):
+    """Hand-computable fusion: the doc ranked 1 in BOTH arms must lead
+    with exactly 2·(10^9 // 61); a doc absent from both pools is absent."""
+    fn, _sql = QUERIES["hybrid_search_rrf"]
+    n = 8
+    # doc 3 dominates BM25 (most query-term hits) AND the vector arm
+    texts = ["filler only"] * n
+    texts[3] = "join join join filter filter scan scan scan scan"
+    texts[5] = "join filter"
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    dim = 8
+    emb = np.zeros((n, dim), dtype=np.float32)
+    emb[0, 0] = 1.0  # the query vector (vec_id 0)
+    emb[3, 0] = 2.0  # highest dot with the query
+    emb[5, 0] = 0.5
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(emb),
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    embeddings.to_parquet(
+        os.path.join(tmp_path, "embeddings.parquet"), index=False
+    )
+    out = fn(str(tmp_path))
+    assert int(out["doc_id"].iloc[0]) == 3
+    assert int(out["rrf_score"].iloc[0]) == 2 * (10**9 // 61)
+    # docs 1,2,4,6,7 have zero dot and no query terms: vector arm still
+    # ranks them (dot 0 ties broken by id), BM25 arm does not
+    assert 3 in set(out["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def _rfm_events(rng, n: int) -> pd.DataFrame:
+    users = np.where(
+        rng.random(n) < 0.3, 7, rng.integers(0, max(2, n // 6), size=n)
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, size=n), unit="s"),
+            "user_id": users,
+            "event_type": rng.choice(["view", "click", "buy"], size=n),
+            "value": np.round(rng.random(n) * 100, 3),
+            "props": rng.choice(["{}", '{"a":1}'], size=n),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_rfm_segments_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 400))
+    _run(tmp_path, "events_rfm_segments", {"events": _rfm_events(rng, n)})
+
+
+def test_rfm_segments_hand_computed(ray_session, tmp_path):
+    """4 users, one event each, strictly ordered on every metric →
+    quartiles are the identity permutation (best user = tile 1 on all
+    three axes).  Computed by hand, not by any shared kernel."""
+    fn, _sql = QUERIES["events_rfm_segments"]
+    # user 0: most recent, most events, most spend ... user 3: least
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for u in range(4):
+        for k in range(4 - u):  # frequency 4,3,2,1
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(days=30 - 10 * u + k),
+                    u,
+                    "view",
+                    float(100 - 30 * u),
+                    "{}",
+                )
+            )
+            eid += 1
+    events = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    events.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = fn(str(tmp_path)).set_index("user_id")
+    for u in range(4):
+        assert int(out.loc[u, "r_tile"]) == u + 1
+        assert int(out.loc[u, "f_tile"]) == u + 1
+        assert int(out.loc[u, "m_tile"]) == u + 1
+        assert int(out.loc[u, "segment"]) == (u + 1) * 111
