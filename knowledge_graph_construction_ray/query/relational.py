@@ -2197,6 +2197,101 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
+def embeddings_knn_graph(sf_dir: str, k: int = 3):
+    """Exact k-nearest-neighbor graph over the embedding corpus — the
+    semantic-dedup / clustering primitive — by quantized inner product
+    (``floor(float64(x)·1000)`` per component: exact for float32 inputs,
+    see :func:`hybrid_search_rrf`), so ranks are int64-deterministic with
+    (dot DESC, nbr_id ASC) tie-break and the SQL oracle hash-matches
+    with no float contract.
+
+    Plan: the quantized corpus matrix broadcasts once (``ray.put``, read
+    per task not per batch re-shipped); each batch computes its
+    batch×N int64 dot block and takes its rows' top-k FULLY VECTORIZED —
+    columns are sorted by vec_id, so a stable argsort on −dot breaks
+    ties by ascending neighbor id with no per-row Python.  Self-edges
+    are masked before ranking.
+
+    Scale honesty: this is the EXACT arm — it requires the quantized
+    matrix to fit a worker (refused past 200k rows, the recall-refusal
+    discipline); past that, build the partitioned IVF index
+    (`stages/embed.py::build_ivf_index`) or the LSH-bucketed cosine path
+    (`cosine_pairs_lsh`) — the engine's documented approximate scale
+    arms for exactly this operator."""
+    import pyarrow.parquet as pq_meta
+
+    import ray
+
+    n = pq_meta.read_metadata(_t(sf_dir, "embeddings")).num_rows
+    if n > 200_000:
+        raise ValueError(
+            f"embeddings_knn_graph exact arm refuses {n} rows (> 200k): "
+            "the broadcast matrix would not fit a worker — use "
+            "build_ivf_index / cosine_pairs_lsh for the approximate "
+            "scale path"
+        )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    base = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids = base["vec_id"].to_numpy(np.int64)
+    qmat = np.floor(
+        np.stack(base["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    ).astype(np.int64)
+    ref = ray.put((ids, qmat))
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        bids, bmat = ray.get(ref)
+        qm = np.floor(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        own = df["vec_id"].to_numpy(np.int64)
+        dots = qm @ bmat.T  # batch × N int64
+        self_col = np.searchsorted(bids, own)
+        rows = np.arange(len(own))
+        hit = (self_col < len(bids)) & (bids[np.minimum(self_col, len(bids) - 1)] == own)
+        # min + 1, NOT min: the ranking negates dots and -int64.min
+        # overflows back to itself, which would sort the self-edge FIRST
+        dots[rows[hit], self_col[hit]] = np.iinfo(np.int64).min + 1
+        # stable argsort on -dot: equal dots keep column order = ascending
+        # vec_id (bids is sorted) — the exact SQL tie-break
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(own, k),
+                "nbr_id": bids[order].ravel(),
+                "rnk": np.tile(np.arange(1, k + 1, dtype=np.int64), len(own)),
+                "dot": np.take_along_axis(dots, order, axis=1).ravel(),
+            }
+        )
+
+    out = ds.map_batches(kern, batch_format="pandas").to_pandas()
+    return (
+        out.astype("int64")
+        .sort_values(["vec_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
+EMBEDDINGS_KNN_SQL = """
+WITH qe AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         CAST(list_sum(list_transform(a.q, (x, i) -> x * b.q[i])) AS BIGINT) AS dot
+  FROM qe a JOIN qe b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, nbr_id) AS rnk
+  FROM dots
+)
+SELECT vec_id, nbr_id, CAST(rnk AS BIGINT) AS rnk, dot
+FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk
+"""
+
+
 def docs_chunk_windows(sf_dir: str, width: int = 200, stride: int = 150):
     """RAG-style chunking: every document split into overlapping
     codepoint windows (width 200, stride 150) — the retrieval-chunk /
@@ -2732,6 +2827,101 @@ SELECT user_id,
             + NTILE(4) OVER (ORDER BY n_events DESC, user_id) * 10
             + NTILE(4) OVER (ORDER BY m_cents DESC, user_id) AS BIGINT) AS segment
 FROM per_user ORDER BY user_id
+"""
+
+
+def events_cohort_ltv(sf_dir: str):
+    """Cohort LTV matrix — the monetary sibling of
+    :func:`events_weekly_retention`: users cohorted by their first-event
+    epoch-week, each (cohort_week, age_weeks) cell carrying the cohort's
+    CUMULATIVE cents through that age and the per-user integer average.
+    int64-exact end to end (week = epoch_µs // 86_400_000_000 // 7,
+    cents = floor(value·100), ``//`` truncating per-user division —
+    identical arithmetic in numpy and DuckDB).
+
+    Plan: events pre-reduce to (user, week) cents partials through one
+    combiner exchange; a second bounded exchange takes each user's min
+    week (the cohort); one user-keyed hash join tags the partials; a
+    final combiner exchange lands the (cohort, age) cells.  The driver
+    sees ONLY the cell matrix — bounded by (#weeks)², never user- or
+    event-sized — where the cumulative sum and the size join are pure
+    pandas arithmetic."""
+    from ..functions.groupby import bucketed_agg, scrub_empty_blocks
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "wk": us // 86_400_000_000 // 7,
+                "cents": np.floor(
+                    df["value"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    ev = ds.map_batches(prep, batch_format="pandas").materialize()  # 2 consumers
+    uw = scrub_empty_blocks(
+        bucketed_agg(ev, ["user_id", "wk"], {"cents": ("cents", "sum")})
+    )
+    cohort = scrub_empty_blocks(
+        bucketed_agg(ev, ["user_id"], {"cwk": ("wk", "min")})
+    ).materialize()  # 2 consumers: the join and the size count
+    joined = uw.join(cohort, join_type="inner", num_partitions=4, on=("user_id",))
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        cwk = df["cwk"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "cohort_week": cwk,
+                "age_weeks": df["wk"].to_numpy(np.int64) - cwk,
+                "cents": df["cents"].to_numpy(np.int64),
+            }
+        )
+
+    cells = bucketed_agg(
+        joined.map_batches(cell, batch_format="pandas"),
+        ["cohort_week", "age_weeks"], {"cents": ("cents", "sum")},
+    ).to_pandas()  # ≤ weeks² rows
+    sizes = (
+        bucketed_agg(cohort, ["cwk"], {"n_users": ("cwk", "size")})
+        .to_pandas()  # ≤ weeks rows
+        .rename(columns={"cwk": "cohort_week"})
+    )
+    out = cells.sort_values(["cohort_week", "age_weeks"]).reset_index(drop=True)
+    out["cum_cents"] = out.groupby("cohort_week")["cents"].cumsum()
+    out = out.merge(sizes, on="cohort_week")
+    out["cum_cents_per_user"] = out["cum_cents"] // out["n_users"]
+    return (
+        out[
+            ["cohort_week", "age_weeks", "n_users", "cum_cents",
+             "cum_cents_per_user"]
+        ]
+        .astype("int64")
+        .sort_values(["cohort_week", "age_weeks"])
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_COHORT_LTV_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS wk,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cwk FROM ev GROUP BY user_id),
+cw AS (SELECT cwk, count(*) AS n_users FROM cohort GROUP BY cwk),
+cell AS (SELECT c.cwk, e.wk - c.cwk AS age, SUM(e.cents) AS cents
+         FROM ev e JOIN cohort c USING (user_id) GROUP BY 1, 2),
+cum AS (SELECT cwk, age,
+               CAST(SUM(cents) OVER (PARTITION BY cwk ORDER BY age) AS BIGINT)
+                 AS cum_cents
+        FROM cell)
+SELECT cum.cwk AS cohort_week, cum.age AS age_weeks, cw.n_users,
+       cum.cum_cents, cum.cum_cents // cw.n_users AS cum_cents_per_user
+FROM cum JOIN cw USING (cwk) ORDER BY cohort_week, age_weeks
 """
 
 
@@ -7262,6 +7452,8 @@ QUERIES: dict[str, tuple] = {
     "hybrid_search_rrf": (hybrid_search_rrf, HYBRID_RRF_SQL),
     "dedup_containment": (dedup_containment, CONTAINMENT_PAIRS_SQL),
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
+    "events_cohort_ltv": (events_cohort_ltv, EVENTS_COHORT_LTV_SQL),
+    "embeddings_knn_graph": (embeddings_knn_graph, EMBEDDINGS_KNN_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

@@ -335,6 +335,111 @@ def test_rfm_segments_differential(ray_session, tmp_path, seed):
     _run(tmp_path, "events_rfm_segments", {"events": _rfm_events(rng, n)})
 
 
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_cohort_ltv_differential(ray_session, tmp_path, seed):
+    """First-event times spread over ~12 weeks → multiple cohorts and a
+    full (cohort, age) matrix, vs the SQL window oracle."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 500))
+    events = _rfm_events(rng, n)
+    events["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 86400 * 7 * 12, size=n), unit="s"
+    )
+    _run(tmp_path, "events_cohort_ltv", {"events": events})
+
+
+def test_cohort_ltv_hand_computed(ray_session, tmp_path):
+    """Two users in different cohorts, hand-traced cumulative cents."""
+    fn, _sql = QUERIES["events_cohort_ltv"]
+    base = pd.Timestamp("2024-01-01")  # epoch week 2817 (19723 days // 7)
+    rows = [
+        # user 0: cohort week W, spends 1.00 at age 0 and 2.50 at age 1
+        (0, base, 0, "buy", 1.00, "{}"),
+        (1, base + pd.Timedelta(days=7), 0, "buy", 2.50, "{}"),
+        # user 1: cohort week W+2, spends 0.75 at age 0
+        (2, base + pd.Timedelta(days=14), 1, "buy", 0.75, "{}"),
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    events.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = fn(str(tmp_path))
+    w0 = int(out["cohort_week"].min())
+    got = {
+        (int(r.cohort_week) - w0, int(r.age_weeks)): (
+            int(r.n_users), int(r.cum_cents), int(r.cum_cents_per_user)
+        )
+        for r in out.itertuples()
+    }
+    # floor(1.00*100)=100 (exact), floor(2.50*100)=250, floor(0.75*100)=75
+    # (0.75*100 = 75.0000000000000014 in float64? 0.75 is exact binary, so 75)
+    assert got == {
+        (0, 0): (1, 100, 100),
+        (0, 1): (1, 350, 350),
+        (2, 0): (1, 75, 75),
+    }
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_knn_graph_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 150))
+    emb = _embeddings(rng, n)
+    emb.to_parquet(os.path.join(tmp_path, "embeddings.parquet"), index=False)
+    _run(tmp_path, "embeddings_knn_graph", {"embeddings": emb})
+
+
+def test_knn_graph_tiebreak_and_self_mask(ray_session, tmp_path):
+    """Identical vectors → all dots tie → neighbors must be the LOWEST
+    other ids in order (stable tie-break), never the row itself — also
+    regression-pins the -int64.min overflow that once ranked the masked
+    self-edge first."""
+    fn, _sql = QUERIES["embeddings_knn_graph"]
+    n, dim = 6, 4
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [np.ones(dim, dtype=np.float32)] * n,
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    emb.to_parquet(os.path.join(tmp_path, "embeddings.parquet"), index=False)
+    out = fn(str(tmp_path))
+    for v in range(n):
+        nbrs = list(out[out["vec_id"] == v]["nbr_id"])
+        expected = [i for i in range(n) if i != v][:3]
+        assert nbrs == expected, f"vec {v}: {nbrs} != {expected}"
+
+
+def test_knn_graph_size_refusal(monkeypatch, tmp_path):
+    """The exact arm must refuse corpora past the broadcast budget."""
+    import pyarrow.parquet as pq_mod
+
+    from knowledge_graph_construction_ray.query import relational
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [np.ones(2, dtype=np.float32)] * 4,
+            "label": np.zeros(4, dtype=np.int32),
+        }
+    )
+    emb.to_parquet(os.path.join(tmp_path, "embeddings.parquet"), index=False)
+
+    class FakeMeta:
+        num_rows = 300_000
+
+    real = pq_mod.read_metadata
+    monkeypatch.setattr(
+        "pyarrow.parquet.read_metadata", lambda p, *a, **k: FakeMeta()
+    )
+    try:
+        with pytest.raises(ValueError, match="refuses"):
+            relational.embeddings_knn_graph(str(tmp_path))
+    finally:
+        monkeypatch.setattr("pyarrow.parquet.read_metadata", real)
+
+
 def test_rfm_segments_hand_computed(ray_session, tmp_path):
     """4 users, one event each, strictly ordered on every metric →
     quartiles are the identity permutation (best user = tile 1 on all
