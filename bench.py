@@ -410,6 +410,12 @@ def bench_minhash(num_cpus: int) -> dict:
 
 
 BENCH_QUERIES = [
+    # round-5 additions (warm walls at sf0.1/32cpu: 0.4-2.7 s each)
+    "hybrid_search_rrf",
+    "dedup_containment",
+    "events_rfm_segments",
+    "events_cohort_ltv",
+    "embeddings_knn_graph",
     "q1_pricing_summary",
     "j2_segment_revenue",
     "g1_customer_priorities",
