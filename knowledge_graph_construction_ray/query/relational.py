@@ -5876,6 +5876,124 @@ SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node ORDER BY node
 """
 
 
+def graph_common_neighbors(sf_dir: str, k: int = 20, max_degree: int = 10_000):
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg 2003)
+    over the part co-purchase graph: for every NON-adjacent part pair,
+    the count of shared neighbors — the classic missing-edge candidate
+    score for KG completion.  Top-k by (cn DESC, u ASC, w ASC),
+    integer-exact.
+
+    Plan: distinct clique edges (the `graph_triangles` derivation) →
+    both-direction (center, node) rows → per-center wedge expansion
+    inside `bucketed_groups` (Σ deg² is the cost driver; the
+    ``max_degree`` refusal guard is the hot-hub honesty — salt or sample
+    hubs upstream past it) → (u, w) combiner count exchange → native
+    hash-partitioned ``left_anti`` join drops ADJACENT pairs (both sides
+    shuffle by the pair key; nothing broadcast, nothing corpus-sized on
+    the driver) → bounded ``local_topk``."""
+    from ..functions.graph import _pairs_within_segments
+    from ..functions.groupby import (
+        bucketed_agg,
+        bucketed_groups,
+        local_topk,
+        scrub_empty_blocks,
+    )
+    from ..stages.dedupe import _default_join_partitions
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = bucketed_agg(
+        li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}
+    ).select_columns(["l_orderkey", "l_partkey"])
+
+    def clique_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        li_, ri_ = _pairs_within_segments(o)
+        return pd.DataFrame({"u": p[li_], "w": p[ri_]})
+
+    edges = scrub_empty_blocks(
+        bucketed_agg(
+            bucketed_groups(items, ["l_orderkey"], clique_edges),
+            ["u", "w"], {"_n": ("u", "size")},
+        ).select_columns(["u", "w"])
+    ).materialize()  # 2 consumers: wedges + anti; scrubbed for the join
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "center": np.concatenate([u, w]),
+                "node": np.concatenate([w, u]),
+            }
+        )
+
+    und = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("center", observed=True)["node"].size()
+        if len(sizes) and int(sizes.max()) > max_degree:
+            hub = sizes.idxmax()
+            raise ValueError(
+                f"node {hub} has degree {int(sizes.max())} (> max_degree="
+                f"{max_degree}): wedge expansion would be O(deg²) — salt "
+                "or sample hub neighborhoods upstream, or raise max_degree"
+            )
+        g = g.sort_values(["center", "node"], kind="mergesort")
+        c = g["center"].to_numpy(np.int64)
+        nd = g["node"].to_numpy(np.int64)
+        li_, ri_ = _pairs_within_segments(c)
+        return pd.DataFrame({"u": nd[li_], "w": nd[ri_]})
+
+    counts = scrub_empty_blocks(
+        bucketed_agg(
+            bucketed_groups(und, ["center"], wedges),
+            ["u", "w"], {"cn": ("u", "size")},
+        )
+    )
+    nonadj = counts.join(
+        edges,
+        join_type="left_anti",
+        num_partitions=_default_join_partitions(),
+        on=("u", "w"),
+    )
+    out = local_topk(nonadj, ["cn", "u", "w"], k, descending=[True, False, False])
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "u": pd.Series(dtype="int64"),
+                "w": pd.Series(dtype="int64"),
+                "cn": pd.Series(dtype="int64"),
+            }
+        )
+    return out[["u", "w", "cn"]].astype("int64").reset_index(drop=True)
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT DISTINCT i1.l_partkey AS a, i2.l_partkey AS b
+  FROM items i1 JOIN items i2
+    ON i1.l_orderkey = i2.l_orderkey AND i1.l_partkey < i2.l_partkey
+), und AS (
+  SELECT a AS center_nbr, b AS other FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), wedge AS (
+  SELECT u1.other AS u, u2.other AS w, COUNT(*) AS cn
+  FROM und u1 JOIN und u2
+    ON u1.center_nbr = u2.center_nbr AND u1.other < u2.other
+  GROUP BY 1, 2
+)
+SELECT wg.u, wg.w, CAST(wg.cn AS BIGINT) AS cn
+FROM wedge wg
+LEFT JOIN pairs p ON p.a = wg.u AND p.b = wg.w
+WHERE p.a IS NULL
+ORDER BY cn DESC, wg.u, wg.w LIMIT 20
+"""
+
+
 def graph_pagerank(sf_dir: str):
     """Integer-arithmetic PageRank (functions/graph.py::pagerank — int64
     shares/sums are order-independent, so the distributed result is
@@ -7454,6 +7572,7 @@ QUERIES: dict[str, tuple] = {
     "events_rfm_segments": (events_rfm_segments, EVENTS_RFM_SQL),
     "events_cohort_ltv": (events_cohort_ltv, EVENTS_COHORT_LTV_SQL),
     "embeddings_knn_graph": (embeddings_knn_graph, EMBEDDINGS_KNN_SQL),
+    "graph_common_neighbors": (graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

@@ -440,6 +440,49 @@ def test_knn_graph_size_refusal(monkeypatch, tmp_path):
         monkeypatch.setattr("pyarrow.parquet.read_metadata", real)
 
 
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_common_neighbors_differential(ray_session, tmp_path, seed):
+    """Random co-purchase graphs (orders of 1-6 parts, skewed part
+    popularity) vs the SQL wedge-count + anti-join oracle."""
+    rng = np.random.default_rng(seed)
+    n_orders = int(rng.integers(20, 120))
+    rows = []
+    for o in range(n_orders):
+        parts = rng.choice(
+            np.arange(30) ** 2 % 37, size=int(rng.integers(1, 7)), replace=True
+        )
+        for p in parts:
+            rows.append((o, int(p)))
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    # the query only reads these two columns; the view needs no others
+    _run(tmp_path, "graph_common_neighbors", {"lineitem": li})
+
+
+def test_common_neighbors_hand_computed(ray_session, tmp_path):
+    """Path graph 1-2-3 (two 2-part orders): the only non-adjacent pair
+    with a shared neighbor is (1, 3) through 2."""
+    fn, _sql = QUERIES["graph_common_neighbors"]
+    li = pd.DataFrame(
+        {"l_orderkey": [10, 10, 20, 20], "l_partkey": [1, 2, 2, 3]}
+    ).astype("int64")
+    li.to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    out = fn(str(tmp_path))
+    assert out.to_dict("records") == [{"u": 1, "w": 3, "cn": 1}]
+
+
+def test_common_neighbors_hub_refusal(ray_session, tmp_path):
+    """A hub co-purchased with 30 parts must trip max_degree=10."""
+    from knowledge_graph_construction_ray.query.relational import (
+        graph_common_neighbors,
+    )
+
+    rows = [(o, p) for o, p in enumerate(range(1, 31)) for p in (0, p)]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    li.to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    with pytest.raises(Exception, match="max_degree"):
+        graph_common_neighbors(str(tmp_path), max_degree=10)
+
+
 def test_rfm_segments_hand_computed(ray_session, tmp_path):
     """4 users, one event each, strictly ordered on every metric →
     quartiles are the identity permutation (best user = tile 1 on all
