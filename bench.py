@@ -410,12 +410,15 @@ def bench_minhash(num_cpus: int) -> dict:
 
 
 BENCH_QUERIES = [
-    # round-5 additions (warm walls at sf0.1/32cpu: 0.4-2.7 s each)
+    # round-5 additions (warm walls at sf0.1/32cpu: 0.4-2.7 s each;
+    # graph_common_neighbors ~11.5 s — 148M exact wedges, size-dispatched
+    # local kernel, was 44 s on the distributed plan at this size)
     "hybrid_search_rrf",
     "dedup_containment",
     "events_rfm_segments",
     "events_cohort_ltv",
     "embeddings_knn_graph",
+    "graph_common_neighbors",
     "q1_pricing_summary",
     "j2_segment_revenue",
     "g1_customer_priorities",
