@@ -470,6 +470,28 @@ def test_common_neighbors_hand_computed(ray_session, tmp_path):
     assert out.to_dict("records") == [{"u": 1, "w": 3, "cn": 1}]
 
 
+def test_common_neighbors_arm_parity(ray_session, tmp_path):
+    """The size-dispatched local packed-key kernel and the distributed
+    wedge/anti-join plan must produce the identical top-k."""
+    from knowledge_graph_construction_ray.query.relational import (
+        graph_common_neighbors,
+    )
+
+    rng = np.random.default_rng(99)
+    rows = []
+    for o in range(80):
+        for p in rng.choice(25, size=int(rng.integers(2, 6)), replace=False):
+            rows.append((o, int(p)))
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    li.to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    loc = graph_common_neighbors(str(tmp_path)).reset_index(drop=True)
+    dist = graph_common_neighbors(
+        str(tmp_path), force_distributed=True
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(loc, dist)
+    assert len(loc) > 0
+
+
 def test_common_neighbors_hub_refusal(ray_session, tmp_path):
     """A hub co-purchased with 30 parts must trip max_degree=10."""
     from knowledge_graph_construction_ray.query.relational import (
