@@ -55,11 +55,20 @@ def _sample_boundaries(rows, key: str, num_bins: int) -> np.ndarray:
 
 
 def assign_sequential_ids(
-    ds, sort_cols, id_col: str = "id", *, num_buckets: int = 64, num_bins: int = 256
+    ds, sort_cols, id_col: str = "id", *, num_buckets: int = 64,
+    num_bins: int = 256, sum_col: str | None = None,
+    cum_col: str | None = None,
 ):
     """Distributed 1-based ROW_NUMBER() OVER (ORDER BY sort_cols) →
-    Dataset with ``id_col`` added.  The driver only ever sees a bounded
-    key sample and the per-bin count table:
+    Dataset with ``id_col`` added.  With ``sum_col``/``cum_col`` set it
+    ALSO emits the global INCLUSIVE running sum of ``sum_col`` in the
+    same order — SUM(x) OVER (ORDER BY sort_cols ROWS UNBOUNDED
+    PRECEDING) — on the identical plan: the per-bin histogram exchange
+    carries (count, sum) pairs, the driver prefix-sums both tiny
+    tables, and each bin adds its base to a vectorized within-bin
+    cumsum (int64 throughout; the caller owns the overflow envelope).
+    The driver only ever sees a bounded key sample and the per-bin
+    count table:
 
     1. materialize the input once (object-store resident, spillable —
        three passes read it without re-running the upstream pipeline);
@@ -84,6 +93,8 @@ def assign_sequential_ids(
     sort_cols = list(sort_cols)
     if not sort_cols:
         raise ValueError("sequential ids need a total order: pass sort_cols")
+    if (sum_col is None) != (cum_col is None):
+        raise ValueError("sum_col and cum_col must be passed together")
     key = sort_cols[0]
 
     mat = ds.materialize()
@@ -105,8 +116,10 @@ def assign_sequential_ids(
                     except (pa.ArrowNotImplementedError, TypeError):
                         at = pa.string()
                     fields.append(pa.field(n, at))
-        fields = [f for f in fields if f.name != id_col]
+        fields = [f for f in fields if f.name not in (id_col, cum_col)]
         fields.append(pa.field(id_col, pa.int64()))
+        if cum_col is not None:
+            fields.append(pa.field(cum_col, pa.int64()))
         empty = pa.Table.from_arrays(
             [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields)
         )
@@ -130,15 +143,27 @@ def assign_sequential_ids(
     rows = mat.map_batches(with_bin, batch_format="pandas")
 
     def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["_bin"].value_counts()
+        if sum_col is None:
+            vc = df["_bin"].value_counts()
+            return pd.DataFrame(
+                {"_bin": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+            )
+        g = df.groupby("_bin", observed=True)[sum_col].agg(["size", "sum"])
         return pd.DataFrame(
-            {"_bin": vc.index.to_numpy(np.int64), "n": vc.to_numpy(np.int64)}
+            {
+                "_bin": g.index.to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+                "s": g["sum"].to_numpy(np.int64),
+            }
         )
 
+    spec = {"n": ("n", "sum")}
+    if sum_col is not None:
+        spec["s"] = ("s", "sum")
     hist = bucketed_agg(
         rows.map_batches(bin_counts, batch_format="pandas"),
         ["_bin"],
-        {"n": ("n", "sum")},
+        spec,
     ).to_pandas()
     hist = hist.sort_values("_bin").reset_index(drop=True)
     base = dict(
@@ -147,6 +172,17 @@ def assign_sequential_ids(
             np.cumsum(hist["n"].to_numpy(np.int64))
             - hist["n"].to_numpy(np.int64),
         )
+    )
+    sum_base = (
+        dict(
+            zip(
+                hist["_bin"].to_numpy(np.int64),
+                np.cumsum(hist["s"].to_numpy(np.int64))
+                - hist["s"].to_numpy(np.int64),
+            )
+        )
+        if sum_col is not None
+        else None
     )
 
     def id_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -158,6 +194,12 @@ def assign_sequential_ids(
         pos = np.arange(len(df), dtype=np.int64) - np.repeat(starts, lens)
         out = df.drop(columns=["_bin"])
         out[id_col] = df["_bin"].map(base).to_numpy(np.int64) + pos + 1
+        if sum_col is not None:
+            vals = df[sum_col].to_numpy(np.int64)
+            cs = np.cumsum(vals)
+            seg0 = cs[starts] - vals[starts]  # exclusive base of each segment
+            incl = cs - np.repeat(seg0, lens)  # inclusive within-bin cumsum
+            out[cum_col] = df["_bin"].map(sum_base).to_numpy(np.int64) + incl
         return out
 
     return bucketed_groups(rows, ["_bin"], id_bucket, num_buckets=num_buckets)

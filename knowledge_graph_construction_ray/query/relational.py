@@ -2925,6 +2925,100 @@ FROM cum JOIN cw USING (cwk) ORDER BY cohort_week, age_weeks
 """
 
 
+def customers_abc_classes(sf_dir: str):
+    """ABC / Pareto revenue classification: customers ranked by total
+    order revenue DESC; class A while the running cumulative share stays
+    ≤ 80%, B ≤ 95%, C beyond — the classic concentration analysis,
+    int64-exact (cents = floor(price·100); share thresholds compared by
+    cross-multiplication ``5·cum ≤ 4·total`` / ``20·cum ≤ 19·total``, no
+    float division anywhere).
+
+    Plan: one combiner exchange lands per-customer cents; the GLOBAL
+    running cumulative uses the shared distributed ROW_NUMBER plan's new
+    running-sum emission (``assign_sequential_ids(sum_col=...,
+    cum_col=...)`` — per-bin (count, sum) histogram, driver prefix-sums
+    two tiny tables, vectorized within-bin cumsum + base), so no stage
+    ever sees more than customer-cardinality rows and the driver only
+    the bin histogram."""
+    from ..functions.groupby import bucketed_agg
+    from ..pipelines.curation import assign_sequential_ids
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].to_numpy(np.int64),
+                "cents": np.floor(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    rev = bucketed_agg(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["c_custkey"], {"cents": ("cents", "sum")},
+    ).materialize()  # 2 consumers: the total and the ranked cumsum
+    total = int(rev.sum("cents"))
+
+    neg = rev.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "cents": df["cents"].to_numpy(np.int64),
+                "_neg": -df["cents"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ranked = assign_sequential_ids(
+        neg, ["_neg", "c_custkey"], "_rank", sum_col="cents",
+        cum_col="cum_cents",
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cum = df["cum_cents"].to_numpy(np.int64)
+        abc = np.where(
+            5 * cum <= 4 * total, "A", np.where(20 * cum <= 19 * total, "B", "C")
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "cents": df["cents"].to_numpy(np.int64),
+                "cum_cents": cum,
+                "abc": abc,
+            }
+        )
+
+    out = ranked.map_batches(classify, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values("c_custkey")
+        .reset_index(drop=True)
+        .astype({"c_custkey": "int64", "cents": "int64", "cum_cents": "int64"})
+    )
+
+
+CUSTOMERS_ABC_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(cents) AS t FROM rev),
+cum AS (
+  SELECT c_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, c_custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM rev
+)
+SELECT c.c_custkey, c.cents, c.cum_cents,
+       CASE WHEN 5 * c.cum_cents <= 4 * tot.t THEN 'A'
+            WHEN 20 * c.cum_cents <= 19 * tot.t THEN 'B'
+            ELSE 'C' END AS abc
+FROM cum c CROSS JOIN tot ORDER BY c_custkey
+"""
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH b AS (
   SELECT doc_id,
@@ -7689,6 +7783,7 @@ QUERIES: dict[str, tuple] = {
     "events_cohort_ltv": (events_cohort_ltv, EVENTS_COHORT_LTV_SQL),
     "embeddings_knn_graph": (embeddings_knn_graph, EMBEDDINGS_KNN_SQL),
     "graph_common_neighbors": (graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL),
+    "customers_abc_classes": (customers_abc_classes, CUSTOMERS_ABC_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

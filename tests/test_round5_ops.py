@@ -505,6 +505,78 @@ def test_common_neighbors_hub_refusal(ray_session, tmp_path):
         graph_common_neighbors(str(tmp_path), max_degree=10)
 
 
+@pytest.mark.parametrize("seed", [81, 82, 83])
+def test_abc_classes_differential(ray_session, tmp_path, seed):
+    """Random orders with skewed revenue (one whale customer) vs the SQL
+    window-cumsum oracle."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 400))
+    cust = np.where(
+        rng.random(n) < 0.25, 3, rng.integers(0, max(2, n // 5), size=n)
+    ).astype(np.int64)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": cust,
+            "o_totalprice": np.round(rng.random(n) * 10_000, 2),
+        }
+    )
+    _run(tmp_path, "customers_abc_classes", {"orders": orders})
+
+
+def test_abc_classes_hand_computed(ray_session, tmp_path):
+    """4 customers with revenue 50/30/15/5 (total 100): running shares
+    50/80/95/100 → classes A, A, B, C under the ≤80%/≤95% boundaries."""
+    fn, _sql = QUERIES["customers_abc_classes"]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(4, dtype=np.int64),
+            "o_custkey": np.array([1, 2, 3, 4], dtype=np.int64),
+            "o_totalprice": [50.0, 30.0, 15.0, 5.0],
+        }
+    )
+    orders.to_parquet(os.path.join(tmp_path, "orders.parquet"), index=False)
+    out = fn(str(tmp_path)).set_index("c_custkey")
+    assert out.loc[1, "abc"] == "A" and int(out.loc[1, "cum_cents"]) == 5000
+    assert out.loc[2, "abc"] == "A" and int(out.loc[2, "cum_cents"]) == 8000
+    assert out.loc[3, "abc"] == "B" and int(out.loc[3, "cum_cents"]) == 9500
+    assert out.loc[4, "abc"] == "C" and int(out.loc[4, "cum_cents"]) == 10000
+
+
+def test_sequential_ids_running_sum_property(ray_session):
+    """The new sum_col/cum_col emission of assign_sequential_ids: the
+    running sum in rank order must equal the sequential prefix sum, and
+    the last value the global total — at a row count that spans many
+    range bins and hash buckets."""
+    import ray.data as rd
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        assign_sequential_ids,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "key": rng.permutation(n).astype(np.int64),
+            "val": rng.integers(-100, 100, size=n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    out = (
+        assign_sequential_ids(ds, ["key"], "_rank", sum_col="val",
+                              cum_col="cum")
+        .to_pandas()
+        .sort_values("_rank")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("key").reset_index(drop=True)
+    assert (out["cum"].to_numpy() == np.cumsum(exp["val"].to_numpy())).all()
+    assert int(out["cum"].iloc[-1]) == int(df["val"].sum())
+    with pytest.raises(ValueError, match="together"):
+        assign_sequential_ids(ds, ["key"], "_rank", sum_col="val")
+
+
 def test_rfm_segments_hand_computed(ray_session, tmp_path):
     """4 users, one event each, strictly ordered on every metric →
     quartiles are the identity permutation (best user = tile 1 on all
