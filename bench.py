@@ -419,6 +419,7 @@ BENCH_QUERIES = [
     "events_cohort_ltv",
     "embeddings_knn_graph",
     "graph_common_neighbors",
+    "customers_abc_classes",
     "q1_pricing_summary",
     "j2_segment_revenue",
     "g1_customer_priorities",

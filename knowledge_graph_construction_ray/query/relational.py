@@ -3019,6 +3019,66 @@ FROM cum c CROSS JOIN tot ORDER BY c_custkey
 """
 
 
+def suppliers_full_coverage(sf_dir: str, k: int = 3):
+    """Relational DIVISION — "suppliers that ship EVERY one of the top-k
+    most-shipped parts" (the ∀-quantified join SQL spells GROUP BY …
+    HAVING COUNT = |target|; the missing join shape in most engines'
+    operator lists).
+
+    Plan: one combiner exchange ranks part ship-counts and ``local_topk``
+    lands the k-row target set on the driver (bounded by k, never
+    part-cardinality); the target broadcasts as a closure-captured isin
+    filter over one lineitem scan; distinct (supplier, part) pairs cross
+    one combiner exchange; the per-supplier coverage count filters
+    against |target|.  Output (s_suppkey, n_covered) is divisor-exact
+    integer."""
+    from ..functions.groupby import bucketed_agg, local_topk
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    counts = bucketed_agg(li, ["l_partkey"], {"n": ("l_partkey", "size")})
+    tgt = local_topk(counts, ["n", "l_partkey"], k, descending=[True, False])
+    target = np.sort(tgt["l_partkey"].to_numpy(np.int64))  # ≤ k ids
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_partkey"].to_numpy(np.int64), target)
+        return (
+            df.loc[m, ["l_suppkey", "l_partkey"]]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+
+    distinct = bucketed_agg(
+        li.map_batches(hits, batch_format="pandas"),
+        ["l_suppkey", "l_partkey"], {"_n": ("l_suppkey", "size")},
+    )
+    cover = bucketed_agg(
+        distinct, ["l_suppkey"], {"n_covered": ("l_suppkey", "size")}
+    ).to_pandas()  # ≤ supplier-cardinality rows
+    out = cover[cover["n_covered"] == len(target)]
+    return (
+        out.rename(columns={"l_suppkey": "s_suppkey"})
+        .astype({"s_suppkey": "int64", "n_covered": "int64"})
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+SUPPLIERS_COVERAGE_SQL = """
+WITH tgt AS (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+  ORDER BY count(*) DESC, l_partkey LIMIT 3
+),
+hits AS (
+  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+  WHERE l_partkey IN (SELECT l_partkey FROM tgt)
+)
+SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_covered
+FROM hits GROUP BY l_suppkey
+HAVING COUNT(*) = (SELECT COUNT(*) FROM tgt)
+ORDER BY s_suppkey
+"""
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH b AS (
   SELECT doc_id,
@@ -7784,6 +7844,7 @@ QUERIES: dict[str, tuple] = {
     "embeddings_knn_graph": (embeddings_knn_graph, EMBEDDINGS_KNN_SQL),
     "graph_common_neighbors": (graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL),
     "customers_abc_classes": (customers_abc_classes, CUSTOMERS_ABC_SQL),
+    "suppliers_full_coverage": (suppliers_full_coverage, SUPPLIERS_COVERAGE_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

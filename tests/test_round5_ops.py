@@ -577,6 +577,40 @@ def test_sequential_ids_running_sum_property(ray_session):
         assign_sequential_ids(ds, ["key"], "_rank", sum_col="val")
 
 
+@pytest.mark.parametrize("seed", [91, 92, 93])
+def test_full_coverage_differential(ray_session, tmp_path, seed):
+    """Relational division on random ship tables vs the HAVING-count SQL."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 600))
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype=np.int64),
+            "l_partkey": rng.integers(0, 25, size=n).astype(np.int64),
+            "l_suppkey": rng.integers(0, 12, size=n).astype(np.int64),
+        }
+    )
+    _run(tmp_path, "suppliers_full_coverage", {"lineitem": li})
+
+
+def test_full_coverage_hand_computed(ray_session, tmp_path):
+    """Parts 1,2,3 are the top-3 by ship count; supplier 7 ships all
+    three, supplier 8 only two → only 7 divides."""
+    fn, _sql = QUERIES["suppliers_full_coverage"]
+    rows = []
+    oid = 0
+    for p, reps in ((1, 5), (2, 4), (3, 3), (4, 1)):
+        for _ in range(reps):
+            rows.append((oid, p, 7))  # supplier 7 ships everything
+            oid += 1
+    rows += [(oid, 1, 8), (oid + 1, 2, 8)]  # supplier 8 misses part 3
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    li.astype("int64").to_parquet(
+        os.path.join(tmp_path, "lineitem.parquet"), index=False
+    )
+    out = fn(str(tmp_path))
+    assert out.to_dict("records") == [{"s_suppkey": 7, "n_covered": 3}]
+
+
 def test_rfm_segments_hand_computed(ray_session, tmp_path):
     """4 users, one event each, strictly ordered on every metric →
     quartiles are the identity permutation (best user = tile 1 on all
