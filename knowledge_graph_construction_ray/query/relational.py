@@ -3079,6 +3079,112 @@ ORDER BY s_suppkey
 """
 
 
+def nations_trade_balance(
+    sf_dir: str, *, broadcast_max_rows: int = BROADCAST_JOIN_MAX_ROWS
+):
+    """TPC-H Q7 shape — bilateral trade volume: revenue cents per
+    (supplier nation, customer nation) pair where the nations DIFFER.
+    Same physical plan as :func:`q5_local_supplier_volume`: ONE native
+    hash join for the big⋈big edge (lineitem ⋈ orders), dimension maps
+    broadcast via ``ray.put`` and resolved as vectorized dict lookups
+    (the customer side size-dispatched to a second native join past
+    ``broadcast_max_rows``), one tiny per-nation-pair combiner exchange.
+    Revenue is int64-exact cents — ``floor((price·(1−disc))·100)`` with
+    the identical parenthesization on both engines."""
+    import ray
+
+    from ..functions.groupby import bucketed_agg
+
+    supp = pd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"))
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    broadcast_cust = (
+        _parquet_num_rows(_t(sf_dir, "customer")) <= broadcast_max_rows
+    )
+    if broadcast_cust:
+        cust = pd.read_parquet(
+            _t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+        )
+        cmap_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    else:
+        cmap_ref = None
+    smap_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    if not broadcast_cust:
+        joined = joined.join(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+    def resolve(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        sm = _cache.get("s")
+        if sm is None:
+            sm = _cache["s"] = ray.get(smap_ref)
+            _cache["c"] = ray.get(cmap_ref) if cmap_ref is not None else None
+        cm = _cache["c"]
+        cn = (df["c_nationkey"] if cm is None else df["o_custkey"].map(cm)).to_numpy(
+            np.int64
+        )
+        sn = df["l_suppkey"].map(sm).to_numpy(np.int64)
+        keep = sn != cn
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "sn": pd.Series(dtype="int64"),
+                    "cn": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        cents = np.floor(
+            (
+                df["l_extendedprice"].to_numpy(np.float64)[keep]
+                * (1.0 - df["l_discount"].to_numpy(np.float64)[keep])
+            )
+            * 100.0
+        ).astype(np.int64)
+        return pd.DataFrame({"sn": sn[keep], "cn": cn[keep], "cents": cents})
+
+    out = bucketed_agg(
+        joined.map_batches(resolve, batch_format="pandas"),
+        ["sn", "cn"], {"cents": ("cents", "sum")},
+    ).to_pandas()  # ≤ nations² rows
+    out["supp_nation"] = out["sn"].map(nat_name)
+    out["cust_nation"] = out["cn"].map(nat_name)
+    return (
+        out[["supp_nation", "cust_nation", "cents"]]
+        .astype({"cents": "int64"})
+        .sort_values(["supp_nation", "cust_nation"])
+        .reset_index(drop=True)
+    )
+
+
+NATIONS_TRADE_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+WHERE ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SNAPSHOT_DIFF_SQL = """
 WITH b AS (
   SELECT doc_id,
@@ -7845,6 +7951,7 @@ QUERIES: dict[str, tuple] = {
     "graph_common_neighbors": (graph_common_neighbors, GRAPH_COMMON_NEIGHBORS_SQL),
     "customers_abc_classes": (customers_abc_classes, CUSTOMERS_ABC_SQL),
     "suppliers_full_coverage": (suppliers_full_coverage, SUPPLIERS_COVERAGE_SQL),
+    "nations_trade_balance": (nations_trade_balance, NATIONS_TRADE_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

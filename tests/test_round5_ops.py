@@ -611,6 +611,69 @@ def test_full_coverage_hand_computed(ray_session, tmp_path):
     assert out.to_dict("records") == [{"s_suppkey": 7, "n_covered": 3}]
 
 
+@pytest.mark.parametrize("seed", [101, 102])
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_trade_balance_differential(ray_session, tmp_path, seed, broadcast):
+    """Q7-shape bilateral trade on random 5-table stars, both the
+    broadcast-dimension arm and the second-native-join arm."""
+    from knowledge_graph_construction_ray.query.relational import (
+        NATIONS_TRADE_SQL,
+        nations_trade_balance,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_nat, n_cust, n_supp, n_ord, n_li = 5, 20, 8, 60, 200
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(n_nat, dtype=np.int64),
+            "n_name": [f"NAT_{i}" for i in range(n_nat)],
+            "n_regionkey": np.zeros(n_nat, dtype=np.int64),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_nationkey": rng.integers(0, n_nat, n_cust).astype(np.int64),
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_nationkey": rng.integers(0, n_nat, n_supp).astype(np.int64),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n_ord, n_li).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, n_li).astype(np.int64),
+            "l_extendedprice": np.round(rng.random(n_li) * 5000, 2),
+            "l_discount": np.round(rng.random(n_li) * 0.1, 2),
+        }
+    )
+    tables = {
+        "nation": nation, "customer": customer, "supplier": supplier,
+        "orders": orders, "lineitem": lineitem,
+    }
+    for t, df in tables.items():
+        df.to_parquet(os.path.join(tmp_path, f"{t}.parquet"), index=False)
+    got = nations_trade_balance(
+        str(tmp_path), broadcast_max_rows=(10**9 if broadcast else 1)
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    exp = con.execute(NATIONS_TRADE_SQL).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+
+
 def test_rfm_segments_hand_computed(ray_session, tmp_path):
     """4 users, one event each, strictly ordered on every metric →
     quartiles are the identity permutation (best user = tile 1 on all
