@@ -4384,7 +4384,7 @@ def dedup_containment(sf_dir: str):
         sparse_safe=n <= 100_000,
     ).to_pandas()  # verified pairs only — near-dup-cluster-sized
     if out.empty:  # zero-row to_pandas drops columns — restore the schema
-        out = pd.DataFrame(columns=["a", "b", "inter_n", "small_n"])
+        out = pd.DataFrame(columns=["a", "b", "inter_n", "small_n", "na", "nb"])
     return (
         out.astype({c: "int64" for c in out.columns})
         .sort_values(["a", "b"])
@@ -4412,12 +4412,69 @@ inter AS (
   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
-SELECT a, b, inter_n, least(sa.n, sb.n) AS small_n
+SELECT a, b, inter_n, least(sa.n, sb.n) AS small_n, sa.n AS na, sb.n AS nb
 FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE 5 * inter_n >= 4 * least(sa.n, sb.n)
 ORDER BY a, b
+"""
+
+
+def dedup_containment_apply(sf_dir: str):
+    """End-to-end containment REMOVAL — the quote/boilerplate dedup
+    policy: of every verified containment pair, drop the CONTAINED doc
+    (the smaller distinct-shingle side; exact ties — mutual
+    near-identicals — keep the min doc_id, the convention every other
+    dedup policy here uses).  The drop set is bounded by the contained
+    population, so it broadcasts via ``ray.put`` and the corpus filters
+    in one streaming pass (:func:`_apply_drop_set`) — no join, no
+    shuffle."""
+    pairs = dedup_containment(sf_dir)
+    a = pairs["a"].to_numpy(np.int64)
+    b = pairs["b"].to_numpy(np.int64)
+    na = pairs["na"].to_numpy(np.int64)
+    nb = pairs["nb"].to_numpy(np.int64)
+    drop = np.where(na < nb, a, np.where(nb < na, b, np.maximum(a, b)))
+    return _apply_drop_set(sf_dir, np.unique(drop))
+
+
+DEDUP_CONTAINMENT_APPLY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE
+      WHEN len(t) = 0 OR (len(t) = 1 AND t[1] = '') THEN CAST([] AS VARCHAR[])
+      WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    END) AS s
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_n
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT a, b, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE 5 * inter_n >= 4 * least(sa.n, sb.n)
+),
+dropped AS (
+  SELECT CASE WHEN na < nb THEN a
+              WHEN nb < na THEN b
+              ELSE greatest(a, b) END AS doc_id
+  FROM pr
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
 """
 
 
@@ -7952,6 +8009,7 @@ QUERIES: dict[str, tuple] = {
     "customers_abc_classes": (customers_abc_classes, CUSTOMERS_ABC_SQL),
     "suppliers_full_coverage": (suppliers_full_coverage, SUPPLIERS_COVERAGE_SQL),
     "nations_trade_balance": (nations_trade_balance, NATIONS_TRADE_SQL),
+    "dedup_containment_apply": (dedup_containment_apply, DEDUP_CONTAINMENT_APPLY_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

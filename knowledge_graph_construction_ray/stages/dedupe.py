@@ -1221,6 +1221,8 @@ def ngram_containment_dedup(
                         "b": pd.Series(dtype="int64"),
                         "inter_n": pd.Series(dtype="int64"),
                         "small_n": pd.Series(dtype="int64"),
+                        "na": pd.Series(dtype="int64"),
+                        "nb": pd.Series(dtype="int64"),
                     }
                 )
             )
@@ -1244,10 +1246,9 @@ def ngram_containment_dedup(
         inter = np.fromiter(
             (len(x & y) for x, y in zip(ga, gb)), dtype=np.int64, count=n
         )
-        small = np.minimum(
-            np.fromiter((len(x) for x in ga), dtype=np.int64, count=n),
-            np.fromiter((len(x) for x in gb), dtype=np.int64, count=n),
-        )
+        na = np.fromiter((len(x) for x in ga), dtype=np.int64, count=n)
+        nb = np.fromiter((len(x) for x in gb), dtype=np.int64, count=n)
+        small = np.minimum(na, nb)
         keep = inter * den >= num * small  # exact rational comparison
         return pd.DataFrame(
             {
@@ -1255,6 +1256,10 @@ def ngram_containment_dedup(
                 "b": df["b"].to_numpy()[keep],
                 "inter_n": inter[keep],
                 "small_n": small[keep],
+                # per-side sizes let removal policies pick the CONTAINED
+                # (smaller) doc without re-shingling the corpus
+                "na": na[keep],
+                "nb": nb[keep],
             }
         )
 

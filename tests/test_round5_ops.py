@@ -105,8 +105,10 @@ def _brute_containment(df: pd.DataFrame, num: int, den: int) -> pd.DataFrame:
             inter = len(ga & gb)
             small = min(len(ga), len(gb))
             if inter * den >= num * small:
-                rows.append((a, b, inter, small))
-    return pd.DataFrame(rows, columns=["a", "b", "inter_n", "small_n"])
+                rows.append((a, b, inter, small, len(ga), len(gb)))
+    return pd.DataFrame(
+        rows, columns=["a", "b", "inter_n", "small_n", "na", "nb"]
+    )
 
 
 @pytest.mark.parametrize("threshold", [(4, 5), (1, 1)])
@@ -191,7 +193,7 @@ def test_containment_empty_sparse_path(ray_session):
     )
     ds = rd.from_pandas(df).repartition(3)
     out = ngram_containment_dedup(ds, sparse_safe=True)
-    assert out.schema().names == ["a", "b", "inter_n", "small_n"]
+    assert out.schema().names == ["a", "b", "inter_n", "small_n", "na", "nb"]
     assert out.count() == 0
 
 
@@ -199,6 +201,42 @@ def test_containment_threshold_validation(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["a b c"]}))
     with pytest.raises(ValueError, match="rational"):
         ngram_containment_dedup(ds, threshold=(3, 2))
+
+
+def test_containment_apply_drops_contained_side(ray_session, tmp_path):
+    """The removal policy keeps the HOST of every quote-inclusion and
+    drops the contained quote; mutual near-identicals keep the min id."""
+    fn, _sql = QUERIES["dedup_containment_apply"]
+    df = _containment_corpus()
+    df.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    survivors = set(fn(str(tmp_path))["doc_id"])
+    for q, h in ((0, 1), (2, 3), (4, 5), (6, 7)):  # planted (quote, host)
+        assert h in survivors and q not in survivors
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_containment_apply_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    vocab = [f"t{i}" for i in range(60)]
+    rows: list[tuple] = []
+    doc_id = 0
+    for _ in range(3):
+        quote = list(rng.choice(vocab, size=int(rng.integers(8, 15))))
+        host = (
+            list(rng.choice(vocab, size=int(rng.integers(10, 25))))
+            + quote
+            + list(rng.choice(vocab, size=int(rng.integers(10, 25))))
+        )
+        rows.append((doc_id, " ".join(quote)))
+        rows.append((doc_id + 1, " ".join(host)))
+        doc_id += 2
+    for _ in range(int(rng.integers(15, 40))):
+        rows.append(
+            (doc_id, " ".join(rng.choice(vocab, size=int(rng.integers(3, 25)))))
+        )
+        doc_id += 1
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    _run(tmp_path, "dedup_containment_apply", {"documents": docs})
 
 
 @pytest.mark.parametrize("seed", [21, 22, 23])
