@@ -344,6 +344,55 @@ def test_hybrid_rrf_both_arm_winner(ray_session, tmp_path):
     assert 3 in set(out["doc_id"])
 
 
+def test_hybrid_rrf_vector_only_when_no_lexical_hits(ray_session, tmp_path):
+    """No doc contains a query term → the BM25 arm is empty and the
+    fusion degrades to the vector ranking alone."""
+    fn, _sql = QUERIES["hybrid_search_rrf"]
+    n = 6
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": ["nothing here"] * n}
+    )
+    emb = np.zeros((n, 4), dtype=np.float32)
+    emb[0, 0] = 1.0
+    emb[2, 0] = 3.0  # top dot
+    emb[4, 0] = 2.0
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(emb),
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    embeddings.to_parquet(
+        os.path.join(tmp_path, "embeddings.parquet"), index=False
+    )
+    out = fn(str(tmp_path))
+    assert list(out["doc_id"][:3]) == [2, 4, 0]  # pure vector order
+    assert int(out["rrf_score"].iloc[0]) == 10**9 // 61
+
+
+def test_hybrid_rrf_missing_query_vector_raises(ray_session, tmp_path):
+    from knowledge_graph_construction_ray.query.relational import (
+        hybrid_search_rrf,
+    )
+
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(3, 6, dtype=np.int64),  # no vec_id 0
+            "embedding": [np.ones(4, dtype=np.float32)] * 3,
+            "label": np.zeros(3, dtype=np.int32),
+        }
+    )
+    docs = pd.DataFrame({"doc_id": [3], "text": ["join"]})
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    embeddings.to_parquet(
+        os.path.join(tmp_path, "embeddings.parquet"), index=False
+    )
+    with pytest.raises(ValueError, match="vec_id=0"):
+        hybrid_search_rrf(str(tmp_path))
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
