@@ -1015,6 +1015,67 @@ FROM documents ORDER BY doc_id
 """
 
 
+def kg_mention_cooccurrence(sf_dir: str):
+    """Entity co-mention pairs — the relation-candidate generation step
+    of OpenIE-style KG construction: for every unordered pair of
+    DISTINCT gazetteer entities mentioned in the same document, the
+    number of co-mentioning docs.  Reuses the ``kg_mentions_count``
+    mention stream (the MentionDetector actor pool over span-encoded
+    docs), so the SQL oracle can model detection with the same LIKE
+    semantics.
+
+    Plan: distinct (doc, surface) rows through one combiner exchange
+    (bounded by docs × gazetteer), per-doc pair expansion in
+    ``bucketed_groups`` (≤ |gazetteer| names per doc → ≤ C(g,2) pairs),
+    one tiny pair-count exchange — output bounded by gazetteer² at any
+    corpus size."""
+    from ..functions.graph import _pairs_within_segments
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+    from ..stages.text import detect_mentions
+
+    docs = _documents_as_docs(sf_dir)
+    mentions = detect_mentions(
+        docs, MENTION_GAZETTEER, concurrency=2, batch_size=256
+    )
+    distinct = bucketed_agg(
+        mentions.select_columns(["doc_id", "surface"]),
+        ["doc_id", "surface"], {"_n": ("doc_id", "size")},
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "surface"], kind="mergesort")
+        codes = pd.factorize(g["doc_id"], sort=False)[0]
+        li_, ri_ = _pairs_within_segments(codes)
+        s = g["surface"].to_numpy()
+        return pd.DataFrame({"name_a": s[li_], "name_b": s[ri_]})
+
+    counts = bucketed_agg(
+        bucketed_groups(distinct, ["doc_id"], pairs),
+        ["name_a", "name_b"], {"n_docs": ("name_a", "size")},
+    ).to_pandas()  # ≤ gazetteer² rows
+    return (
+        counts.astype({"n_docs": "int64"})
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+
+
+KG_COOCCURRENCE_SQL = """
+WITH m AS (
+  SELECT doc_id, 'customer' AS name FROM documents WHERE text LIKE '%customer%'
+  UNION ALL
+  SELECT doc_id, 'stream' FROM documents WHERE text LIKE '%stream%'
+  UNION ALL
+  SELECT doc_id, 'vector' FROM documents WHERE text LIKE '%vector%'
+  UNION ALL
+  SELECT doc_id, 'window' FROM documents WHERE text LIKE '%window%'
+)
+SELECT a.name AS name_a, b.name AS name_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup + text analysis + similarity search
 # ---------------------------------------------------------------------------
@@ -8010,6 +8071,7 @@ QUERIES: dict[str, tuple] = {
     "suppliers_full_coverage": (suppliers_full_coverage, SUPPLIERS_COVERAGE_SQL),
     "nations_trade_balance": (nations_trade_balance, NATIONS_TRADE_SQL),
     "dedup_containment_apply": (dedup_containment_apply, DEDUP_CONTAINMENT_APPLY_SQL),
+    "kg_mention_cooccurrence": (kg_mention_cooccurrence, KG_COOCCURRENCE_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

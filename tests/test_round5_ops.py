@@ -393,6 +393,53 @@ def test_hybrid_rrf_missing_query_vector_raises(ray_session, tmp_path):
         hybrid_search_rrf(str(tmp_path))
 
 
+def test_kg_mention_cooccurrence_hand_computed(ray_session, tmp_path):
+    """Planted co-mentions: 3 docs with (customer, window), 1 with
+    (stream, vector, customer), 1 with only one entity, 1 with none."""
+    fn, _sql = QUERIES["kg_mention_cooccurrence"]
+    texts = [
+        "the customer opened a window",
+        "customer window again",
+        "window for the customers",  # substring match still 'customer'
+        "stream of vector data for a customer",
+        "just a stream",
+        "nothing relevant",
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    out = fn(str(tmp_path))
+    got = {
+        (r.name_a, r.name_b): int(r.n_docs) for r in out.itertuples()
+    }
+    assert got == {
+        ("customer", "window"): 3,
+        ("customer", "stream"): 1,
+        ("customer", "vector"): 1,
+        ("stream", "vector"): 1,
+    }
+
+
+@pytest.mark.parametrize("seed", [121, 122])
+def test_kg_mention_cooccurrence_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    ents = ["customer", "window", "stream", "vector"]
+    filler = [f"f{i}" for i in range(20)]
+    texts = []
+    for _ in range(int(rng.integers(30, 120))):
+        toks = list(rng.choice(filler, size=int(rng.integers(2, 10))))
+        for e in ents:
+            if rng.random() < 0.3:
+                toks.append(e)
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    _run(tmp_path, "kg_mention_cooccurrence", {"documents": docs})
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
