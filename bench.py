@@ -420,6 +420,10 @@ BENCH_QUERIES = [
     "embeddings_knn_graph",
     "graph_common_neighbors",
     "customers_abc_classes",
+    "suppliers_full_coverage",
+    "nations_trade_balance",
+    "dedup_containment_apply",
+    "kg_mention_cooccurrence",
     "q1_pricing_summary",
     "j2_segment_revenue",
     "g1_customer_priorities",
