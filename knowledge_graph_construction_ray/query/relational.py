@@ -2986,6 +2986,111 @@ FROM cum JOIN cw USING (cwk) ORDER BY cohort_week, age_weeks
 """
 
 
+def events_growth_accounting(sf_dir: str):
+    """Weekly growth accounting — every active user classified per week
+    as NEW (first-ever week), RETAINED (also active the prior week) or
+    RESURRECTED (returning after a gap), plus the CHURNED count (active
+    the prior week, absent this one) — the standard DAU/WAU growth
+    decomposition, int64-exact (week = epoch_µs // 86_400_000_000 // 7).
+    Weeks reported are those with ≥1 active user (churn emitted into a
+    week past the corpus' last active week is dropped, matching the SQL
+    join semantics).
+
+    Plan: distinct (user, week) pairs through one combiner exchange;
+    ONE user-bucketed pass labels every active week and emits churn
+    markers from consecutive-week gaps — all vectorized on the sorted
+    per-bucket frame, with per-batch (week, status) partial counts — and
+    a final weeks×4-bounded combiner lands the matrix.  Nothing
+    user-sized reaches the driver."""
+    from ..functions.groupby import bucketed_agg, bucketed_groups
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "wk": us // 86_400_000_000 // 7,
+            }
+        )
+
+    uw = bucketed_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id", "wk"], {"_n": ("wk", "size")},
+    ).select_columns(["user_id", "wk"])
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "wk"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        w = g["wk"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        prev_active = np.r_[False, (u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)]
+        status = np.where(first, 0, np.where(prev_active, 1, 2))
+        # churn marker at w+1 wherever the next row is not this user's w+1
+        gap = np.r_[(u[1:] != u[:-1]) | (w[1:] != w[:-1] + 1), True]
+        out = pd.DataFrame(
+            {
+                "week": np.concatenate([w, w[gap] + 1]),
+                "st": np.concatenate(
+                    [status, np.full(int(gap.sum()), 3, dtype=np.int64)]
+                ),
+            }
+        )
+        return (
+            out.groupby(["week", "st"], observed=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    agg = bucketed_agg(
+        bucketed_groups(uw, ["user_id"], label),
+        ["week", "st"], {"n": ("n", "sum")},
+    ).to_pandas()  # ≤ weeks × 4 rows
+    weeks = np.sort(agg.loc[agg["st"] < 3, "week"].unique())
+    base = pd.DataFrame({"week": weeks.astype(np.int64)})
+    for code, col in (
+        (0, "n_new"), (1, "n_retained"), (2, "n_resurrected"), (3, "n_churned")
+    ):
+        sub = agg.loc[agg["st"] == code, ["week", "n"]].rename(columns={"n": col})
+        base = base.merge(sub, on="week", how="left")
+    return (
+        base.fillna(0)
+        .astype("int64")
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_GROWTH_SQL = """
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS wk
+            FROM events),
+fw AS (SELECT user_id, min(wk) AS fwk FROM uw GROUP BY user_id),
+lab AS (
+  SELECT u.wk,
+    CASE WHEN u.wk = f.fwk THEN 'new'
+         WHEN p.user_id IS NOT NULL THEN 'retained'
+         ELSE 'resurrected' END AS status
+  FROM uw u JOIN fw f USING (user_id)
+  LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk = u.wk - 1),
+churn AS (
+  SELECT u.wk + 1 AS wk, count(*) AS n FROM uw u
+  LEFT JOIN uw nx ON nx.user_id = u.user_id AND nx.wk = u.wk + 1
+  WHERE nx.user_id IS NULL GROUP BY u.wk + 1),
+agg AS (SELECT wk,
+         CAST(SUM(CASE WHEN status='new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN status='retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN status='resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected
+        FROM lab GROUP BY wk)
+SELECT a.wk AS week, n_new, n_retained, n_resurrected,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_churned
+FROM agg a LEFT JOIN churn c ON c.wk = a.wk ORDER BY a.wk
+"""
+
+
 def customers_abc_classes(sf_dir: str):
     """ABC / Pareto revenue classification: customers ranked by total
     order revenue DESC; class A while the running cumulative share stays
@@ -8072,6 +8177,7 @@ QUERIES: dict[str, tuple] = {
     "nations_trade_balance": (nations_trade_balance, NATIONS_TRADE_SQL),
     "dedup_containment_apply": (dedup_containment_apply, DEDUP_CONTAINMENT_APPLY_SQL),
     "kg_mention_cooccurrence": (kg_mention_cooccurrence, KG_COOCCURRENCE_SQL),
+    "events_growth_accounting": (events_growth_accounting, EVENTS_GROWTH_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

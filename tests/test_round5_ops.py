@@ -440,6 +440,69 @@ def test_kg_mention_cooccurrence_differential(ray_session, tmp_path, seed):
     _run(tmp_path, "kg_mention_cooccurrence", {"documents": docs})
 
 
+@pytest.mark.parametrize("seed", [131, 132, 133])
+def test_growth_accounting_differential(ray_session, tmp_path, seed):
+    """SPARSE user activity (random weeks with gaps) — the new/retained/
+    resurrected/churned state machine vs the SQL self-join oracle."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for u in range(int(rng.integers(5, 30))):
+        weeks = np.unique(rng.integers(0, 12, size=int(rng.integers(1, 8))))
+        for w in weeks:
+            for _ in range(int(rng.integers(1, 3))):
+                rows.append(
+                    (
+                        eid,
+                        base + pd.Timedelta(weeks=int(w))
+                        + pd.Timedelta(hours=int(rng.integers(0, 100))),
+                        u,
+                        "view",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    _run(tmp_path, "events_growth_accounting", {"events": events})
+
+
+def test_growth_accounting_hand_computed(ray_session, tmp_path):
+    """One user active weeks 0,1,3 → new@0, retained@1, churn@2 (dropped:
+    no activity that week from anyone? week 2 has another user, so kept),
+    resurrected@3, churn@4 (dropped — no active week 4)."""
+    fn, _sql = QUERIES["events_growth_accounting"]
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),                            # u1 wk0
+        (1, base + pd.Timedelta(weeks=1), 1, "view", 1.0, "{}"),    # u1 wk1
+        (2, base + pd.Timedelta(weeks=3), 1, "view", 1.0, "{}"),    # u1 wk3
+        (3, base + pd.Timedelta(weeks=2), 2, "view", 1.0, "{}"),    # u2 wk2
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    events.to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = fn(str(tmp_path))
+    w0 = int(out["week"].min())
+    got = {
+        int(r.week) - w0: (
+            int(r.n_new), int(r.n_retained), int(r.n_resurrected),
+            int(r.n_churned),
+        )
+        for r in out.itertuples()
+    }
+    assert got == {
+        0: (1, 0, 0, 0),          # u1 new
+        1: (0, 1, 0, 0),          # u1 retained
+        2: (1, 0, 0, 1),          # u2 new; u1 churned out of wk1
+        3: (0, 0, 1, 1),          # u1 resurrected; u2 churned out of wk2
+    }
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
