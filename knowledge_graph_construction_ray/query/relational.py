@@ -2986,6 +2986,78 @@ FROM cum JOIN cw USING (cwk) ORDER BY cohort_week, age_weeks
 """
 
 
+def parts_supplier_hhi(sf_dir: str):
+    """Supplier-concentration profile per part: the Herfindahl–Hirschman
+    index of shipment shares, integer-exact in parts-per-million —
+    ``hhi_ppm = (Σ n_i²) · 10⁶ // (Σ n_i)²`` with ONE truncating division
+    per part (identical in int64 numpy and DuckDB ``//``), where n_i is
+    supplier i's shipment count for the part.  The single-supplier
+    monopoly scores 10⁶; an even k-way split scores ~10⁶/k.
+
+    Plan: (part, supplier) counts through one combiner exchange, then a
+    second part-keyed combiner sums (n, n²) — the division is per-part
+    arithmetic on the already-reduced rows; nothing bigger than the
+    distinct (part, supplier) set crosses, nothing bigger than parts
+    reaches the driver."""
+    from ..functions.groupby import bucketed_agg
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    ps = bucketed_agg(
+        li, ["l_partkey", "l_suppkey"], {"n": ("l_partkey", "size")}
+    )
+
+    def squares(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        if len(n) and int(n.max()) > 3_037_000_499:  # isqrt(2^63 - 1)
+            raise ValueError(
+                "parts_supplier_hhi: a (part, supplier) count exceeds the "
+                "int64 square envelope — pre-scale counts upstream"
+            )
+        return pd.DataFrame(
+            {"l_partkey": df["l_partkey"].to_numpy(np.int64), "t": n, "sq": n * n}
+        )
+
+    tot = bucketed_agg(
+        ps.map_batches(squares, batch_format="pandas"),
+        ["l_partkey"], {"t": ("t", "sum"), "sq": ("sq", "sum")},
+    ).to_pandas()  # ≤ part-cardinality rows
+    t = tot["t"].to_numpy(np.int64)
+    sq = tot["sq"].to_numpy(np.int64)
+    # wrap-proof: sq·10⁶ and t² must stay under 2⁶³ for the int64 fast
+    # arm; hot parts beyond that fall back to Python-int rows (the
+    # `_bm25_contrib` discipline — rows here are already part-bounded)
+    if len(t) and (
+        int(sq.max()) > (2**63 - 1) // 1_000_000
+        or int(t.max()) > 3_037_000_499  # isqrt(2^63 - 1)
+    ):
+        hhi = np.fromiter(
+            (int(s) * 1_000_000 // (int(x) * int(x)) for s, x in zip(sq, t)),
+            dtype=np.int64, count=len(t),
+        )
+    else:
+        hhi = (sq * 1_000_000) // (t * t)
+    out = pd.DataFrame(
+        {
+            "p_partkey": tot["l_partkey"].to_numpy(np.int64),
+            "hhi_ppm": hhi,
+            "n_shipments": t,
+        }
+    )
+    return out.sort_values("p_partkey").reset_index(drop=True).astype("int64")
+
+
+PARTS_HHI_SQL = """
+WITH ps AS (SELECT l_partkey, l_suppkey, count(*) AS n
+            FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(n) AS t, SUM(CAST(n AS HUGEINT) * n) AS sq
+        FROM ps GROUP BY 1)
+SELECT l_partkey AS p_partkey,
+       CAST((sq * 1000000) // (CAST(t AS HUGEINT) * t) AS BIGINT) AS hhi_ppm,
+       CAST(t AS BIGINT) AS n_shipments
+FROM tot ORDER BY p_partkey
+"""
+
+
 def events_growth_accounting(sf_dir: str):
     """Weekly growth accounting — every active user classified per week
     as NEW (first-ever week), RETAINED (also active the prior week) or
@@ -8178,6 +8250,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_containment_apply": (dedup_containment_apply, DEDUP_CONTAINMENT_APPLY_SQL),
     "kg_mention_cooccurrence": (kg_mention_cooccurrence, KG_COOCCURRENCE_SQL),
     "events_growth_accounting": (events_growth_accounting, EVENTS_GROWTH_SQL),
+    "parts_supplier_hhi": (parts_supplier_hhi, PARTS_HHI_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

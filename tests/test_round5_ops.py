@@ -503,6 +503,84 @@ def test_growth_accounting_hand_computed(ray_session, tmp_path):
     }
 
 
+@pytest.mark.parametrize("seed", [141, 142])
+def test_parts_hhi_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 500))
+    li = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype=np.int64),
+            "l_partkey": rng.integers(0, 30, size=n).astype(np.int64),
+            "l_suppkey": rng.integers(0, 8, size=n).astype(np.int64),
+        }
+    )
+    _run(tmp_path, "parts_supplier_hhi", {"lineitem": li})
+
+
+def test_parts_hhi_hand_computed(ray_session, tmp_path):
+    """Monopoly part scores exactly 10^6; an even 2-way split 500000;
+    a 3/1 split (9+1)·10^6 // 16 = 625000."""
+    fn, _sql = QUERIES["parts_supplier_hhi"]
+    rows = (
+        [(i, 1, 5) for i in range(4)]               # part 1: one supplier
+        + [(10, 2, 5), (11, 2, 6)]                  # part 2: 1/1 split
+        + [(20, 3, 5)] * 3 + [(23, 3, 6)]           # part 3: 3/1 split
+    )
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    li.astype("int64").to_parquet(
+        os.path.join(tmp_path, "lineitem.parquet"), index=False
+    )
+    out = fn(str(tmp_path)).set_index("p_partkey")
+    assert int(out.loc[1, "hhi_ppm"]) == 1_000_000
+    assert int(out.loc[2, "hhi_ppm"]) == 500_000
+    assert int(out.loc[3, "hhi_ppm"]) == 625_000
+
+
+def test_running_sum_hypothesis(ray_session):
+    """Property: for ANY int values and any partitioning, the cum_col
+    emission equals the sequential prefix sum in key order."""
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from knowledge_graph_construction_ray.pipelines.curation import (
+        assign_sequential_ids,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-10**6, max_value=10**6),
+            min_size=1, max_size=300,
+        ),
+        nparts=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(vals, nparts, seed):
+        rng = np.random.default_rng(seed)
+        n = len(vals)
+        df = pd.DataFrame(
+            {
+                "key": rng.permutation(n).astype(np.int64),
+                "val": np.asarray(vals, dtype=np.int64),
+            }
+        )
+        out = (
+            assign_sequential_ids(
+                rd.from_pandas(df).repartition(nparts),
+                ["key"], "_rank", sum_col="val", cum_col="cum",
+            )
+            .to_pandas()
+            .sort_values("_rank")
+        )
+        exp = np.cumsum(
+            df.sort_values("key")["val"].to_numpy(np.int64)
+        )
+        assert (out["cum"].to_numpy(np.int64) == exp).all()
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
