@@ -2986,6 +2986,74 @@ FROM cum JOIN cw USING (cwk) ORDER BY cohort_week, age_weeks
 """
 
 
+def docs_novelty_profile(sf_dir: str, n: int = 3):
+    """Per-document shingle NOVELTY — how many of a doc's distinct word
+    n-grams appear for the FIRST time (by doc_id order) anywhere in the
+    corpus.  The temporal-dedup / crawl-freshness signal: a doc whose
+    grams were all seen in earlier docs is pure boilerplate
+    (``n_new = 0``); a fully novel doc has ``n_new = n_grams``.
+
+    Plan: the vectorized Arrow gram build (``word_ngrams_batch`` — a doc
+    lives in one batch, so per-batch distinct (gram, doc) rows are
+    globally distinct) → ONE gram-keyed combiner exchange takes each
+    gram's min doc_id → grouping THAT bounded table by its min doc gives
+    per-doc first-seen counts; a second doc-keyed combiner counts each
+    doc's distinct grams; one doc-bounded left-outer join zero-fills
+    docs whose every gram was seen before."""
+    from ..functions.groupby import bucketed_agg, scrub_empty_blocks
+    from ..stages.dedupe import _default_join_partitions
+    from ..stages.textstats import word_ngrams_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        grams, gdoc = word_ngrams_batch(df["text"], df["doc_id"].to_numpy(), n)
+        return pd.DataFrame(
+            {"gram": grams.to_pandas(), "doc_id": gdoc}
+        ).drop_duplicates()
+
+    gram_rows = ds.map_batches(rows, batch_format="pandas").materialize()
+    first = bucketed_agg(
+        gram_rows, ["gram"], {"first_doc": ("doc_id", "min")}
+    )
+    n_new = scrub_empty_blocks(
+        bucketed_agg(first, ["first_doc"], {"n_new": ("first_doc", "size")})
+    )
+    per_doc = scrub_empty_blocks(
+        bucketed_agg(gram_rows, ["doc_id"], {"n_grams": ("doc_id", "size")})
+    )
+    joined = per_doc.join(
+        n_new,
+        join_type="left_outer",
+        num_partitions=_default_join_partitions(),
+        on=("doc_id",),
+        right_on=("first_doc",),
+    )
+    out = joined.to_pandas()  # doc-cardinality-bounded
+    out["n_new"] = out["n_new"].fillna(0).astype(np.int64)
+    return (
+        out[["doc_id", "n_grams", "n_new"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DOCS_NOVELTY_SQL = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE length(trim(text)) > 0),
+grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+          FROM toks WHERE len(w) >= 3),
+fs AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+per AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+nn AS (SELECT first_doc AS doc_id, count(*) AS n_new FROM fs GROUP BY first_doc)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new
+FROM per p LEFT JOIN nn USING (doc_id) ORDER BY p.doc_id
+"""
+
+
 def parts_supplier_hhi(sf_dir: str):
     """Supplier-concentration profile per part: the Herfindahl–Hirschman
     index of shipment shares, integer-exact in parts-per-million —
@@ -8251,6 +8319,7 @@ QUERIES: dict[str, tuple] = {
     "kg_mention_cooccurrence": (kg_mention_cooccurrence, KG_COOCCURRENCE_SQL),
     "events_growth_accounting": (events_growth_accounting, EVENTS_GROWTH_SQL),
     "parts_supplier_hhi": (parts_supplier_hhi, PARTS_HHI_SQL),
+    "docs_novelty_profile": (docs_novelty_profile, DOCS_NOVELTY_SQL),
     "embeddings_kmeans": (embeddings_kmeans, EMBEDDINGS_KMEANS_SQL),
     "events_last_touch": (events_last_touch, EVENTS_LAST_TOUCH_SQL),
     "basket_rules": (basket_rules, BASKET_RULES_SQL),

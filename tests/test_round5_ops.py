@@ -581,6 +581,41 @@ def test_running_sum_hypothesis(ray_session):
     check()
 
 
+def test_novelty_profile_hand_computed(ray_session, tmp_path):
+    """doc0 introduces 2 grams; doc1 repeats doc0 verbatim (0 new);
+    doc2 shares a suffix with doc0 and adds one new gram."""
+    fn, _sql = QUERIES["docs_novelty_profile"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "a b c d",       # grams: "a b c", "b c d"  -> 2 new
+                "a b c d",       # same grams                -> 0 new
+                "x b c d",       # "x b c" new, "b c d" seen -> 1 new
+            ],
+        }
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    out = fn(str(tmp_path)).set_index("doc_id")
+    assert (int(out.loc[0, "n_grams"]), int(out.loc[0, "n_new"])) == (2, 2)
+    assert (int(out.loc[1, "n_grams"]), int(out.loc[1, "n_new"])) == (2, 0)
+    assert (int(out.loc[2, "n_grams"]), int(out.loc[2, "n_new"])) == (2, 1)
+
+
+@pytest.mark.parametrize("seed", [151, 152])
+def test_novelty_profile_differential(ray_session, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 20))))
+        for _ in range(int(rng.integers(30, 150)))
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    _run(tmp_path, "docs_novelty_profile", {"documents": docs})
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
