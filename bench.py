@@ -424,6 +424,9 @@ BENCH_QUERIES = [
     "nations_trade_balance",
     "dedup_containment_apply",
     "kg_mention_cooccurrence",
+    "events_growth_accounting",
+    "parts_supplier_hhi",
+    "docs_novelty_profile",
     "q1_pricing_summary",
     "j2_segment_revenue",
     "g1_customer_priorities",
