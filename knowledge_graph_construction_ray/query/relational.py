@@ -2799,6 +2799,11 @@ def events_rfm_segments(sf_dir: str, k: int = 4):
     from ..functions.groupby import bucketed_agg
     from ..pipelines.curation import assign_sequential_ids
 
+    if _parquet_num_rows(_t(sf_dir, "events")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("user_id", "r_tile", "f_tile", "m_tile", "segment")}
+        )
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -2909,6 +2914,12 @@ def events_cohort_ltv(sf_dir: str):
     pandas arithmetic."""
     from ..functions.groupby import bucketed_agg, scrub_empty_blocks
 
+    if _parquet_num_rows(_t(sf_dir, "events")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("cohort_week", "age_weeks", "n_users", "cum_cents",
+                       "cum_cents_per_user")}
+        )
     ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -3004,6 +3015,11 @@ def docs_novelty_profile(sf_dir: str, n: int = 3):
     from ..stages.dedupe import _default_join_partitions
     from ..stages.textstats import word_ngrams_batch
 
+    if _parquet_num_rows(_t(sf_dir, "documents")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("doc_id", "n_grams", "n_new")}
+        )
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -3069,6 +3085,11 @@ def parts_supplier_hhi(sf_dir: str):
     reaches the driver."""
     from ..functions.groupby import bucketed_agg
 
+    if _parquet_num_rows(_t(sf_dir, "lineitem")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("p_partkey", "hhi_ppm", "n_shipments")}
+        )
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
     ps = bucketed_agg(
         li, ["l_partkey", "l_suppkey"], {"n": ("l_partkey", "size")}
@@ -3144,6 +3165,12 @@ def events_growth_accounting(sf_dir: str):
     user-sized reaches the driver."""
     from ..functions.groupby import bucketed_agg, bucketed_groups
 
+    if _parquet_num_rows(_t(sf_dir, "events")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("week", "n_new", "n_retained", "n_resurrected",
+                       "n_churned")}
+        )
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -3340,6 +3367,10 @@ def suppliers_full_coverage(sf_dir: str, k: int = 3):
     integer."""
     from ..functions.groupby import bucketed_agg, local_topk
 
+    if _parquet_num_rows(_t(sf_dir, "lineitem")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("s_suppkey", "n_covered")}
+        )
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
     counts = bucketed_agg(li, ["l_partkey"], {"n": ("l_partkey", "size")})
     tgt = local_topk(counts, ["n", "l_partkey"], k, descending=[True, False])
@@ -4736,6 +4767,8 @@ def dedup_containment_apply(sf_dir: str):
     population, so it broadcasts via ``ray.put`` and the corpus filters
     in one streaming pass (:func:`_apply_drop_set`) — no join, no
     shuffle."""
+    if _parquet_num_rows(_t(sf_dir, "documents")) == 0:  # zero-row trap
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     pairs = dedup_containment(sf_dir)
     a = pairs["a"].to_numpy(np.int64)
     b = pairs["b"].to_numpy(np.int64)
@@ -6610,6 +6643,10 @@ def graph_common_neighbors(
     )
     from ..stages.dedupe import _default_join_partitions
 
+    if _parquet_num_rows(_t(sf_dir, "lineitem")) == 0:  # zero-row trap
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("u", "w", "cn")}
+        )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     items = bucketed_agg(
         li, ["l_orderkey", "l_partkey"], {"_n": ("l_partkey", "size")}

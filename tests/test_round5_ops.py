@@ -616,6 +616,51 @@ def test_novelty_profile_differential(ray_session, tmp_path, seed):
     _run(tmp_path, "docs_novelty_profile", {"documents": docs})
 
 
+def test_round5_ops_zero_row_tables(ray_session, tmp_path):
+    """Zero-row sources must yield typed empty frames, not KeyErrors or
+    schema-less join poison — the repo-wide empty-result trap, pinned
+    for every round-5 operator."""
+    pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "user_id": pd.Series(dtype="int64"),
+            "event_type": pd.Series(dtype="object"),
+            "value": pd.Series(dtype="float64"),
+            "props": pd.Series(dtype="object"),
+        }
+    ).to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.Series(dtype="int64"),
+            "l_partkey": pd.Series(dtype="int64"),
+            "l_suppkey": pd.Series(dtype="int64"),
+        }
+    ).to_parquet(os.path.join(tmp_path, "lineitem.parquet"), index=False)
+    pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    expected_cols = {
+        "events_growth_accounting": [
+            "week", "n_new", "n_retained", "n_resurrected", "n_churned"],
+        "parts_supplier_hhi": ["p_partkey", "hhi_ppm", "n_shipments"],
+        "docs_novelty_profile": ["doc_id", "n_grams", "n_new"],
+        "events_rfm_segments": [
+            "user_id", "r_tile", "f_tile", "m_tile", "segment"],
+        "events_cohort_ltv": [
+            "cohort_week", "age_weeks", "n_users", "cum_cents",
+            "cum_cents_per_user"],
+        "suppliers_full_coverage": ["s_suppkey", "n_covered"],
+        "graph_common_neighbors": ["u", "w", "cn"],
+        "dedup_containment": ["a", "b", "inter_n", "small_n", "na", "nb"],
+        "dedup_containment_apply": ["doc_id"],
+    }
+    for name, cols in expected_cols.items():
+        out = QUERIES[name][0](str(tmp_path))
+        assert len(out) == 0, name
+        assert list(out.columns) == cols, name
+
+
 # ---------------------------------------------------------------------------
 # RFM segmentation
 # ---------------------------------------------------------------------------
